@@ -1,0 +1,232 @@
+"""Adaptive input embeddings and adaptive softmax, TPU-dense style.
+
+Capability parity targets:
+- AdaptiveEmbedding (Baevski & Auli adaptive inputs):
+  /root/reference/ttl/tell/modules/token_embedders/adaptive.py:11-80
+- AdaptiveSoftmax (Grave et al.) + TiedHeadModule/TiedLinear tying:
+  /root/reference/ttl/tell/modules/softmax.py:11-222
+- adaptive_loss criterion:
+  /root/reference/ttl/tell/modules/criteria/adaptive_loss.py:10-91
+
+TPU-first design: the reference selects tail-cluster positions with
+data-dependent `index_select` (softmax.py:184-190) — shape-dynamic and
+hostile to XLA. Here every cluster's logits are computed *densely* for
+all positions with masked cross-entropy; cutoffs like [5000, 20000]
+keep the head tiny, and the band matmuls are large static matmuls that
+tile perfectly onto the MXU. Loss values match the reference bitwise-
+close (same log-softmax decomposition, same masking quirks — including
+ignoring in-band target == padding_idx, a faithful reproduction of the
+reference's per-cluster `ignore_index` behavior).
+
+Weight tying (`tie_adaptive_weights`) shares each band's embedding
+table between the input embedder and the softmax output layer; pass
+the embedder's variables to `AdaptiveSoftmax` via module sharing (the
+decoder constructs both and feeds `embed_tables` explicitly).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def band_ranges(cutoff: Sequence[int]) -> List[Tuple[int, int]]:
+    """[(lo, hi)] for each band. cutoff includes the final vocab size."""
+    out = []
+    prev = 0
+    for c in cutoff:
+        out.append((prev, c))
+        prev = c
+    return out
+
+
+class AdaptiveEmbedding(nn.Module):
+    """Variable-capacity input embedding over vocab frequency bands."""
+
+    cutoff: Sequence[int]          # ends with vocab_size, e.g. (5000, 20000, 50265)
+    initial_dim: int
+    output_dim: int
+    factor: float = 1.0
+    padding_idx: int = 0
+    scale_embeds: bool = False
+    param_dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32
+
+    def band_dim(self, i: int) -> int:
+        return int(self.initial_dim // (self.factor ** i))
+
+    def setup(self):
+        tables = []
+        projs = []
+        for i, (lo, hi) in enumerate(band_ranges(self.cutoff)):
+            band_v = hi - lo
+            d = self.band_dim(i)
+
+            def emb_init(key, shape, dtype, _d=d):
+                std = math.sqrt(1.0 / _d)
+                w = jax.random.normal(key, shape, dtype) * std
+                return w.at[self.padding_idx].set(0.0)
+
+            tables.append(self.param(f"embed_{i}", emb_init,
+                                     (band_v, d), self.param_dtype))
+            projs.append(self.param(f"proj_{i}",
+                                    nn.initializers.xavier_uniform(),
+                                    (d, self.output_dim), self.param_dtype))
+        self.tables = tables
+        self.projs = projs
+
+    def __call__(self, token_ids: jax.Array) -> jax.Array:
+        """token_ids [...] -> embeddings [..., output_dim] (dense-masked)."""
+        out = jnp.zeros(token_ids.shape + (self.output_dim,), self.dtype)
+        for i, (lo, hi) in enumerate(band_ranges(self.cutoff)):
+            in_band = (token_ids >= lo) & (token_ids < hi)
+            idx = jnp.clip(token_ids - lo, 0, hi - lo - 1)
+            e = jnp.take(self.tables[i], idx, axis=0).astype(self.dtype)
+            e = jnp.dot(e, self.projs[i].astype(self.dtype),
+                        preferred_element_type=self.dtype)
+            out = out + jnp.where(in_band[..., None], e, 0.0)
+        if self.scale_embeds:
+            out = out * math.sqrt(self.output_dim)
+        return out
+
+    def weights_for_band(self, i: int):
+        return self.tables[i], self.projs[i]
+
+
+class AdaptiveSoftmax(nn.Module):
+    """Hierarchical softmax head with optional weight tying.
+
+    When `embed_tables` is passed at call time (a list of per-band
+    (table, proj) tuples from a tied AdaptiveEmbedding), the word
+    projections reuse those tables (TiedLinear, transpose=False) and
+    only the class head + tail down-projections are owned here.
+    """
+
+    vocab_size: int
+    input_dim: int
+    cutoff: Sequence[int]          # ends with vocab_size
+    factor: float = 1.0
+    dropout: float = 0.0
+    tied: bool = True              # expect embed_tables at call time
+    tie_proj: bool = False
+    param_dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32
+
+    @property
+    def n_tails(self) -> int:
+        return len(self.cutoff) - 1
+
+    def setup(self):
+        assert self.cutoff[-1] == self.vocab_size
+        self.class_proj = self.param(
+            "class_proj", nn.initializers.xavier_uniform(),
+            (self.input_dim, self.n_tails), self.param_dtype)
+        # Tail down-projections input_dim -> band output dim; with tied
+        # embeddings the target dim is the embed table's dim.
+        tail_projs = []
+        for i in range(1, len(self.cutoff)):
+            d = int(self.input_dim // (self.factor ** i))
+            tail_projs.append(self.param(
+                f"tail_proj_{i}", nn.initializers.xavier_uniform(),
+                (self.input_dim, d), self.param_dtype))
+        self.tail_projs = tail_projs
+        # Untied word tables (only when weights are not tied to the
+        # input embedder — avoids allocating a dead full-vocab table).
+        if not self.tied:
+            self.untied_head = self.param(
+                "untied_head", nn.initializers.xavier_uniform(),
+                (self.input_dim, self.cutoff[0]), self.param_dtype)
+            untied_tails = []
+            for i in range(1, len(self.cutoff)):
+                d = int(self.input_dim // (self.factor ** i))
+                untied_tails.append(self.param(
+                    f"untied_tail_{i}", nn.initializers.xavier_uniform(),
+                    (d, self.cutoff[i] - self.cutoff[i - 1]),
+                    self.param_dtype))
+            self.untied_tails = untied_tails
+
+    def head_logits(self, x: jax.Array, embed_tables=None) -> jax.Array:
+        """x [N, D] -> [N, cutoff0 + n_tails]."""
+        dtype = self.dtype
+        if embed_tables is not None:
+            table0, _ = embed_tables[0]   # [c0, D]
+            word = jnp.dot(x, table0.T.astype(x.dtype),
+                           preferred_element_type=dtype)
+        else:
+            word = jnp.dot(x, self.untied_head.astype(x.dtype),
+                           preferred_element_type=dtype)
+        cls = jnp.dot(x, self.class_proj.astype(x.dtype),
+                      preferred_element_type=dtype)
+        return jnp.concatenate([word, cls], axis=-1)
+
+    def tail_logits(self, x: jax.Array, i: int, embed_tables=None,
+                    deterministic: bool = True) -> jax.Array:
+        """x [N, D] -> logits over band i's words. i is 1-based tail index."""
+        h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
+                    preferred_element_type=self.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            h = nn.Dropout(rate=self.dropout)(h, deterministic=False)
+        if embed_tables is not None:
+            table_i, _ = embed_tables[i]  # [band_v, d]
+            return jnp.dot(h, table_i.T.astype(h.dtype),
+                           preferred_element_type=self.dtype)
+        return jnp.dot(h, self.untied_tails[i - 1].astype(h.dtype),
+                       preferred_element_type=self.dtype)
+
+    def loss_sum(self, x: jax.Array, target: jax.Array,
+                 padding_idx: int = 1, embed_tables=None,
+                 deterministic: bool = True):
+        """Summed adaptive CE loss + token count.
+
+        x: [N, D] decoder outputs (already flattened over batch*time);
+        target: [N] token ids. Returns (loss_sum_f32, ntokens_i32).
+
+        Matches the reference decomposition: head CE with tail targets
+        remapped to class slots c0+i, plus per-tail in-band CE, each
+        with `ignore_index=padding_idx` (including the in-band quirk).
+        """
+        c0 = self.cutoff[0]
+        ranges = band_ranges(self.cutoff)
+        # Head: remap tail targets to class slots.
+        head_target = target
+        for i, (lo, hi) in enumerate(ranges[1:]):
+            in_band = (target >= lo) & (target < hi)
+            head_target = jnp.where(in_band, c0 + i, head_target)
+        hlog = jax.nn.log_softmax(
+            self.head_logits(x, embed_tables).astype(jnp.float32), axis=-1)
+        head_nll = -jnp.take_along_axis(
+            hlog, head_target[:, None], axis=1)[:, 0]
+        head_valid = head_target != padding_idx
+        loss = jnp.sum(jnp.where(head_valid, head_nll, 0.0))
+        # Tails: dense logits, masked CE per band.
+        for i, (lo, hi) in enumerate(ranges[1:], start=1):
+            in_band = (target >= lo) & (target < hi)
+            tgt_in = jnp.clip(target - lo, 0, hi - lo - 1)
+            tlog = jax.nn.log_softmax(
+                self.tail_logits(x, i, embed_tables,
+                                 deterministic).astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(tlog, tgt_in[:, None], axis=1)[:, 0]
+            valid = in_band & (tgt_in != padding_idx)  # faithful quirk
+            loss = loss + jnp.sum(jnp.where(valid, nll, 0.0))
+        ntokens = jnp.sum((target != padding_idx).astype(jnp.int32))
+        return loss, ntokens
+
+    def log_prob(self, x: jax.Array, embed_tables=None) -> jax.Array:
+        """Full-vocab log-probs for generation. x [N, D] -> [N, V]."""
+        c0 = self.cutoff[0]
+        hlog = jax.nn.log_softmax(
+            self.head_logits(x, embed_tables).astype(jnp.float32), axis=-1)
+        parts = [hlog[:, :c0]]
+        for i in range(1, len(self.cutoff)):
+            prior = hlog[:, c0 + i - 1][:, None]
+            tlog = jax.nn.log_softmax(
+                self.tail_logits(x, i, embed_tables).astype(jnp.float32),
+                axis=-1)
+            parts.append(tlog + prior)
+        return jnp.concatenate(parts, axis=-1)

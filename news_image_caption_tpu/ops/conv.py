@@ -1,0 +1,201 @@
+"""Dynamic and lightweight depthwise convolutions (Wu et al. 2019).
+
+Capability parity targets:
+- DynamicConv1dTBC: /root/reference/ttl/tell/modules/convolutions/dynamic.py:25-361
+  (per-timestep predicted depthwise kernels, softmax-normalized,
+  causal left padding K-1, ring-buffer incremental state)
+- LightweightConv1dTBC: /root/reference/ttl/tell/modules/convolutions/lightweight.py:18-240
+  (shared learned kernels, same machinery)
+
+TPU-first design:
+- batch-first [B, T, C];
+- full-sequence forward uses either a K-term shift-accumulate
+  (VPU, O(K*T*C), zero memory blowup — `method='shift'`) or a banded
+  matmul (MXU, `method='band'`); both are mathematically identical to
+  the reference's unfold/band forms.
+- incremental decoding keeps a fixed-shape [B, K-1, C] history as part
+  of the decode-state pytree (the reference's dict ring buffer,
+  dynamic.py:95-99, made explicit & static-shaped). A zero-initialized
+  history reproduces the reference's weight-truncation behavior for
+  t < K because truncated kernel taps simply multiply zeros.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from news_image_caption_tpu.ops.linear import XavierLinear
+
+Dtype = Any
+
+
+def _shift_accumulate(x: jax.Array, w: jax.Array, K: int) -> jax.Array:
+    """out[b,t,h,r] = sum_k w[b,t,h,k] * x[b, t-K+1+k, h, r] (zeros off edge).
+
+    x: [B, T, H, R]; w: [B, T, H, K]. Returns [B, T, H, R].
+    """
+    B, T, H, R = x.shape
+    x_pad = jnp.pad(x, ((0, 0), (K - 1, 0), (0, 0), (0, 0)))
+    out = jnp.zeros_like(x)
+    for k in range(K):  # static unroll, each term fuses on the VPU
+        out = out + w[:, :, :, k:k + 1] * x_pad[:, k:k + T]
+    return out
+
+
+def _band_matmul(x: jax.Array, w: jax.Array, K: int) -> jax.Array:
+    """Band-matrix form: expand w into [B,H,T,T] band and matmul on MXU."""
+    B, T, H, R = x.shape
+    # band[b,h,t,s] = w[b,t,h, s-t+K-1] for t-K+1 <= s <= t else 0
+    t_idx = jnp.arange(T)[:, None]
+    s_idx = jnp.arange(T)[None, :]
+    offset = s_idx - t_idx + (K - 1)  # [T, T]
+    in_band = (offset >= 0) & (offset <= K - 1)
+    offset_c = jnp.clip(offset, 0, K - 1)
+    # w: [B, T, H, K] -> gather along K by offset -> [B, H, T, T]
+    w_bhtk = jnp.transpose(w, (0, 2, 1, 3))  # [B, H, T, K]
+    band = jnp.take_along_axis(
+        w_bhtk, jnp.broadcast_to(offset_c[None, None], (B, H, T, T)),
+        axis=3)  # [B, H, T, T]
+    band = jnp.where(in_band[None, None], band, 0.0)
+    x_bhtr = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, T, R]
+    out = jnp.einsum("bhts,bhsr->bhtr", band, x_bhtr,
+                     preferred_element_type=x.dtype)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+class DynamicConv(nn.Module):
+    """Depthwise conv whose kernel is predicted per (timestep, head)."""
+
+    input_size: int
+    kernel_size: int
+    num_heads: int
+    weight_softmax: bool = True
+    weight_dropout: float = 0.0
+    use_bias: bool = False       # bias of the weight-predicting linear
+    conv_bias: bool = False
+    method: str = "shift"        # 'shift' (VPU) or 'band' (MXU)
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert self.input_size % self.num_heads == 0
+        self.weight_linear = XavierLinear(
+            self.num_heads * self.kernel_size, use_bias=self.use_bias,
+            param_dtype=self.param_dtype, name="weight_linear")
+        if self.conv_bias:
+            self.conv_bias_param = self.param(
+                "conv_bias", nn.initializers.zeros, (self.input_size,),
+                self.param_dtype)
+
+    def _weights(self, query: jax.Array, deterministic: bool) -> jax.Array:
+        """Predict per-position kernels [..., H, K], softmaxed + dropped."""
+        H, K = self.num_heads, self.kernel_size
+        w = self.weight_linear(query)
+        w = w.reshape(query.shape[:-1] + (H, K))
+        if self.weight_softmax:
+            w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(w.dtype)
+        if self.weight_dropout > 0.0 and not deterministic:
+            w = nn.Dropout(rate=self.weight_dropout)(w, deterministic=False)
+        return w
+
+    def __call__(self, x: jax.Array, query: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        """Full-sequence causal forward. x: [B, T, C] -> [B, T, C]."""
+        B, T, C = x.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        w = self._weights(x if query is None else query, deterministic)
+        xh = x.reshape(B, T, H, R)
+        if self.method == "band" and T >= K:
+            out = _band_matmul(xh, w, K)
+        else:
+            out = _shift_accumulate(xh, w, K)
+        out = out.reshape(B, T, C)
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        return out
+
+    def init_cache(self, batch_size: int, dtype=jnp.float32) -> jax.Array:
+        """Zero history buffer [B, K-1, C] for incremental decoding."""
+        return jnp.zeros(
+            (batch_size, self.kernel_size - 1, self.input_size), dtype)
+
+    def step(self, x_t: jax.Array, cache: jax.Array,
+             deterministic: bool = True):
+        """Single decode step.
+
+        x_t: [B, C] current input; cache: [B, K-1, C] previous inputs
+        (oldest first). Returns (out [B, C], new_cache).
+        """
+        B, C = x_t.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        w = self._weights(x_t, deterministic)          # [B, H, K]
+        hist = jnp.concatenate([cache, x_t[:, None, :]], axis=1)  # [B,K,C]
+        hh = hist.reshape(B, K, H, R)
+        out = jnp.einsum("bhk,bkhr->bhr", w, hh).reshape(B, C)
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        return out, hist[:, 1:, :]
+
+
+class LightweightConv(nn.Module):
+    """Depthwise conv with shared learned kernels per head."""
+
+    input_size: int
+    kernel_size: int
+    num_heads: int
+    weight_softmax: bool = True
+    weight_dropout: float = 0.0
+    conv_bias: bool = False
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert self.input_size % self.num_heads == 0
+        self.weight = self.param(
+            "weight", nn.initializers.xavier_uniform(),
+            (self.num_heads, self.kernel_size), self.param_dtype)
+        if self.conv_bias:
+            self.conv_bias_param = self.param(
+                "conv_bias", nn.initializers.zeros, (self.input_size,),
+                self.param_dtype)
+
+    def _weights(self, deterministic: bool) -> jax.Array:
+        w = self.weight
+        if self.weight_softmax:
+            w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(w.dtype)
+        if self.weight_dropout > 0.0 and not deterministic:
+            w = nn.Dropout(rate=self.weight_dropout)(w, deterministic=False)
+        return w
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, T, C = x.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        w = self._weights(deterministic)               # [H, K]
+        wb = jnp.broadcast_to(w[None, None], (B, T, H, K))
+        out = _shift_accumulate(x.reshape(B, T, H, R), wb, K)
+        out = out.reshape(B, T, C)
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        return out
+
+    def init_cache(self, batch_size: int, dtype=jnp.float32) -> jax.Array:
+        return jnp.zeros(
+            (batch_size, self.kernel_size - 1, self.input_size), dtype)
+
+    def step(self, x_t: jax.Array, cache: jax.Array,
+             deterministic: bool = True):
+        B, C = x_t.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        w = self._weights(deterministic)               # [H, K]
+        hist = jnp.concatenate([cache, x_t[:, None, :]], axis=1)
+        hh = hist.reshape(B, K, H, R)
+        out = jnp.einsum("hk,bkhr->bhr", w, hh).reshape(B, C)
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        return out, hist[:, 1:, :]

@@ -1,0 +1,108 @@
+"""Adaptive embedding/softmax: dense-masked vs naive full softmax."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from news_image_caption_tpu.ops.adaptive import (
+    AdaptiveEmbedding, AdaptiveSoftmax, band_ranges)
+
+CUTOFF = (8, 16, 30)  # tiny: vocab 30, head 8, tails 8 and 14
+DIM = 12
+
+
+def make_embedder_and_softmax():
+    emb = AdaptiveEmbedding(cutoff=CUTOFF, initial_dim=DIM, output_dim=DIM,
+                            factor=1.0, padding_idx=0, scale_embeds=True)
+    sm = AdaptiveSoftmax(vocab_size=CUTOFF[-1], input_dim=DIM, cutoff=CUTOFF,
+                         factor=1.0, tied=True)
+    return emb, sm
+
+
+def test_band_ranges():
+    assert band_ranges(CUTOFF) == [(0, 8), (8, 16), (16, 30)]
+
+
+def test_embedding_covers_all_bands():
+    emb, _ = make_embedder_and_softmax()
+    ids = jnp.arange(30).reshape(1, 30)
+    params = emb.init(jax.random.PRNGKey(0), ids)
+    out = emb.apply(params, ids)
+    assert out.shape == (1, 30, DIM)
+    # Each band's internal padding row is zero-initialized (the
+    # reference passes padding_idx to every band's nn.Embedding), so
+    # tokens 0, 8 (=cutoff0+0) and 16 (=cutoff1+0) embed to zero.
+    for tok in (0, 8, 16):
+        np.testing.assert_allclose(np.asarray(out[0, tok]), 0.0, atol=1e-6)
+    norms = np.linalg.norm(np.asarray(out[0]), axis=-1)
+    nonzero = [t for t in range(30) if t not in (0, 8, 16)]
+    assert (norms[nonzero] > 1e-6).all()
+
+
+def _tables(emb, params):
+    p = params["params"]
+    return [(p[f"embed_{i}"], p[f"proj_{i}"]) for i in range(len(CUTOFF))]
+
+
+def test_log_prob_normalized_and_matches_naive():
+    emb, sm = make_embedder_and_softmax()
+    ids = jnp.arange(30).reshape(1, 30)
+    eparams = emb.init(jax.random.PRNGKey(0), ids)
+    tables = _tables(emb, eparams)
+
+    N = 5
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, DIM))
+    sparams = sm.init(jax.random.PRNGKey(2), x, embed_tables=tables,
+                      method=AdaptiveSoftmax.log_prob)
+    lp = sm.apply(sparams, x, embed_tables=tables,
+                  method=AdaptiveSoftmax.log_prob)
+    assert lp.shape == (N, 30)
+    # Proper distribution over the full vocab.
+    total = np.exp(np.asarray(lp)).sum(axis=-1)
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+
+def test_loss_matches_log_prob_nll():
+    """Summed adaptive loss == sum of -log p(target) from log_prob
+    (for targets that don't hit the ignore-index quirks)."""
+    emb, sm = make_embedder_and_softmax()
+    ids = jnp.arange(30).reshape(1, 30)
+    eparams = emb.init(jax.random.PRNGKey(0), ids)
+    tables = _tables(emb, eparams)
+
+    N = 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, DIM))
+    sparams = sm.init(jax.random.PRNGKey(2), x, embed_tables=tables,
+                      method=AdaptiveSoftmax.log_prob)
+    # Targets avoiding padding_idx=1, and avoiding in-band index 1
+    # (ids 8+1=9 and 16+1=17 trigger the reference's ignore quirk).
+    target = jnp.array([2, 3, 8, 10, 16, 20, 29, 5])
+    loss, ntokens = sm.apply(sparams, x, target, padding_idx=1,
+                             embed_tables=tables,
+                             method=AdaptiveSoftmax.loss_sum)
+    lp = sm.apply(sparams, x, embed_tables=tables,
+                  method=AdaptiveSoftmax.log_prob)
+    expected = -np.take_along_axis(
+        np.asarray(lp), np.asarray(target)[:, None], axis=1).sum()
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-5)
+    assert int(ntokens) == 8
+
+
+def test_loss_ignores_padding():
+    emb, sm = make_embedder_and_softmax()
+    ids = jnp.arange(30).reshape(1, 30)
+    eparams = emb.init(jax.random.PRNGKey(0), ids)
+    tables = _tables(emb, eparams)
+    N = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (N, DIM))
+    sparams = sm.init(jax.random.PRNGKey(2), x, embed_tables=tables,
+                      method=AdaptiveSoftmax.log_prob)
+    t1 = jnp.array([2, 3, 1, 1])   # two pads
+    loss1, n1 = sm.apply(sparams, x, t1, padding_idx=1, embed_tables=tables,
+                         method=AdaptiveSoftmax.loss_sum)
+    t2 = jnp.array([2, 3, 1, 1])
+    x2 = x.at[2:].set(123.0)       # pad positions' inputs are irrelevant
+    loss2, n2 = sm.apply(sparams, x2, t2, padding_idx=1, embed_tables=tables,
+                         method=AdaptiveSoftmax.loss_sum)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    assert int(n1) == 2

@@ -1,0 +1,80 @@
+"""MHA: masking, bias/zero slots, precomputed-KV equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from news_image_caption_tpu.ops.attention import (
+    MultiHeadAttention, causal_mask, extend_attn_mask)
+
+
+def make_mha(**kw):
+    return MultiHeadAttention(embed_dim=16, num_heads=4, kdim=10, vdim=10,
+                              **kw)
+
+
+def test_precomputed_kv_equals_oneshot():
+    mha = make_mha()
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    kvs = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 10))
+    mask = jnp.zeros((2, 7), dtype=bool).at[:, 5:].set(True)  # True = pad
+    params = mha.init(jax.random.PRNGKey(2), q, kvs, kvs,
+                      key_padding_mask=mask)
+    out1, _ = mha.apply(params, q, kvs, kvs, key_padding_mask=mask)
+    kv = mha.apply(params, kvs, kvs, mask,
+                   method=MultiHeadAttention.precompute_kv)
+    out2, _ = mha.apply(params, q, kv, method=MultiHeadAttention.attend)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_padding_is_ignored():
+    mha = make_mha()
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 16))
+    kvs = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 10))
+    mask = jnp.zeros((1, 6), dtype=bool).at[:, 4:].set(True)
+    params = mha.init(jax.random.PRNGKey(2), q, kvs, kvs,
+                      key_padding_mask=mask)
+    out1, _ = mha.apply(params, q, kvs, kvs, key_padding_mask=mask)
+    kvs2 = kvs.at[:, 4:].set(777.0)  # perturb only padded keys
+    out2, _ = mha.apply(params, q, kvs2, kvs2, key_padding_mask=mask)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_bias_and_zero_slots_extend_length():
+    mha = make_mha()
+    kvs = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 10))
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    params = mha.init(jax.random.PRNGKey(2), q, kvs, kvs)
+    kv = mha.apply(params, kvs, kvs, None,
+                   method=MultiHeadAttention.precompute_kv)
+    assert kv.k.shape == (2, 9, 4, 4)  # 7 + bias + zero slots
+
+
+def test_attention_weights_shape_and_sum():
+    mha = make_mha()
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    kvs = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 10))
+    params = mha.init(jax.random.PRNGKey(2), q, kvs, kvs)
+    _, w = mha.apply(params, q, kvs, kvs, need_weights=True)
+    assert w.shape == (2, 5, 9)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_causal_self_attention():
+    mha = MultiHeadAttention(embed_dim=16, num_heads=4,
+                             add_bias_kv=False, add_zero_attn=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 16))
+    am = causal_mask(6)
+    params = mha.init(jax.random.PRNGKey(1), x, x, x, attn_mask=am)
+    out1, _ = mha.apply(params, x, x, x, attn_mask=am)
+    x2 = x.at[:, 4:].set(55.0)
+    out2, _ = mha.apply(params, x2, x2, x2, attn_mask=am)
+    np.testing.assert_allclose(np.asarray(out1[:, :4]),
+                               np.asarray(out2[:, :4]), atol=1e-5)
+
+
+def test_extend_attn_mask():
+    am = causal_mask(4)
+    ext = extend_attn_mask(am, 2)
+    assert ext.shape == (4, 6)
+    np.testing.assert_allclose(np.asarray(ext[:, 4:]), 0.0)
