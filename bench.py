@@ -1,0 +1,74 @@
+"""Benchmark harness: flagship captions/sec at beam=5 on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference stack is CPU/GPU PyTorch with a per-step
+Python decode loop and no KV reuse; BASELINE.md records the measured
+torch-CPU captions/sec for the same flagship architecture
+(benchmarks/reference_torch.py). vs_baseline = value / baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured with benchmarks/reference_torch.py on this machine's CPU
+# (see BASELINE.md). Updated whenever the baseline script reruns.
+REFERENCE_CPU_CAPTIONS_PER_SEC = 0.068  # greedy, batch 16, 2026-08-16
+
+BATCH = 16
+MAX_LEN = 100
+BEAM = 5
+
+
+def main():
+    import __graft_entry__ as ge
+    from news_image_caption_tpu.generation.generator import GenerationConfig
+
+    model = ge._flagship()
+    batch = ge._batch(B=BATCH, T=32, P=49, S=512, image_dim=2048,
+                      article_dim=1024, vocab=50265)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=MAX_LEN, beam_size=BEAM,
+                           sampling_topk=1)
+
+    infer = {k: v for k, v in batch.items() if k != "caption_ids"}
+    infer["image"] = batch["image"]
+
+    import numpy as np
+
+    gen = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))
+    # Warmup / compile. NOTE: on the axon tunnel backend
+    # block_until_ready can return before execution completes until a
+    # host fetch has happened — always fetch to host for timing.
+    toks, scores = gen(params, batch)
+    np.asarray(toks)
+
+    n_iters = 5
+    batches = [ge._batch(B=BATCH, T=32, P=49, S=512, image_dim=2048,
+                         article_dim=1024, vocab=50265, key=i + 1)
+               for i in range(n_iters)]
+    t0 = time.perf_counter()
+    for b in batches:
+        toks, scores = gen(params, b)
+        np.asarray(toks)  # host fetch forces completion
+    dt = time.perf_counter() - t0
+    captions_per_sec = BATCH * n_iters / dt
+
+    vs = (captions_per_sec / REFERENCE_CPU_CAPTIONS_PER_SEC
+          if REFERENCE_CPU_CAPTIONS_PER_SEC else None)
+    print(json.dumps({
+        "metric": "captions_per_sec_beam5",
+        "value": round(captions_per_sec, 3),
+        "unit": "captions/s/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

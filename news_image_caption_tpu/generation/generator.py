@@ -1,0 +1,140 @@
+"""On-device batched generation: greedy / top-k sampling / beam search.
+
+Capability parity targets:
+- top-k sampled incremental generation:
+  /root/reference/ttl/tell/models/transformer_flattened.py:240-328
+- per-image CPU beam search (Gen-1):
+  /root/reference/models/CaptionModel.py:23-122
+
+TPU-first design: one `lax.scan` over decode steps with a fixed-shape
+carry (token buffer, finished mask, per-layer conv caches, PRNG key).
+The reference shrinks the batch as sequences finish
+(transformer_flattened.py:312-319); here finished sequences are
+masked (emit pad, zero log-prob) — identical outputs, static shapes.
+Cross-attention K/V are precomputed once before the scan. Beam search
+folds the beam dimension into the batch (B*beam "sequences") so every
+step is one big MXU-friendly batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    max_len: int = 100
+    eos_id: int = 2
+    pad_id: int = 1
+    bos_id: int = 0
+    sampling_topk: int = 1
+    sampling_temp: float = 1.0
+    beam_size: int = 5
+    length_penalty: float = 1.0
+
+
+def generate(step_fn: Callable, init_caches, seed: jax.Array,
+             config: GenerationConfig, rng: Optional[jax.Array] = None
+             ) -> Tuple[jax.Array, jax.Array]:
+    """Greedy / top-k sampled generation.
+
+    step_fn(token_t [B], step_idx, caches) -> (log_probs [B, V], caches)
+    seed: [B] first input token (<s>).
+    Returns (token_ids [B, max_len+1] incl. seed, log_probs [B, max_len]).
+    """
+    B = seed.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    tokens0 = jnp.full((B, config.max_len + 1), config.pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(seed)
+    finished0 = seed == config.eos_id
+
+    def body(carry, i):
+        cur, finished, caches, key = carry
+        lp, caches = step_fn(cur, i, caches)
+        topk_lp, topk_idx = jax.lax.top_k(lp, config.sampling_topk)
+        topk_lp = topk_lp / config.sampling_temp
+        key, sub = jax.random.split(key)
+        if config.sampling_topk == 1:
+            choice = jnp.zeros((B,), jnp.int32)
+        else:
+            choice = jax.random.categorical(sub, topk_lp, axis=-1)
+        sel_lp = jnp.take_along_axis(
+            topk_lp, choice[:, None], axis=1)[:, 0]
+        sel_idx = jnp.take_along_axis(
+            topk_idx, choice[:, None], axis=1)[:, 0]
+        next_tok = jnp.where(finished, config.pad_id, sel_idx)
+        out_lp = jnp.where(finished, 0.0, sel_lp)
+        finished = finished | (next_tok == config.eos_id)
+        return (next_tok, finished, caches, key), (next_tok, out_lp)
+
+    (_, _, _, _), (toks, lps) = jax.lax.scan(
+        body, (seed, finished0, init_caches, rng),
+        jnp.arange(config.max_len))
+    tokens = tokens0.at[:, 1:].set(toks.T)
+    return tokens, lps.T
+
+
+def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
+                config: GenerationConfig) -> Tuple[jax.Array, jax.Array]:
+    """Batched beam search with the beam folded into the batch dim.
+
+    step_fn operates on a flat [B*beam] batch; `init_caches` must
+    already be sized for B*beam (tile the contexts/KV before calling).
+    Returns (tokens [B, beam, max_len+1], scores [B, beam]) sorted
+    best-first.
+    """
+    B = seed.shape[0]
+    K = config.beam_size
+    V = None  # discovered at first step
+
+    flat_seed = jnp.repeat(seed, K)                       # [B*K]
+    tokens0 = jnp.full((B * K, config.max_len + 1), config.pad_id,
+                       jnp.int32).at[:, 0].set(flat_seed)
+    # Only beam 0 is live initially (all beams identical otherwise).
+    neg_inf = jnp.float32(-1e9)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), neg_inf)]),
+        (B,))                                              # [B*K]
+    finished0 = jnp.zeros((B * K,), bool)
+
+    def body(carry, i):
+        cur, scores, finished, tokens, caches = carry
+        lp, caches = step_fn(cur, i, caches)               # [B*K, V]
+        vocab = lp.shape[-1]
+        # Finished beams: only allow emitting pad with 0 added score.
+        pad_only = jnp.full((vocab,), neg_inf).at[config.pad_id].set(0.0)
+        lp = jnp.where(finished[:, None], pad_only[None, :], lp)
+        cand = scores[:, None] + lp                        # [B*K, V]
+        cand = cand.reshape(B, K * vocab)
+        top_scores, top_flat = jax.lax.top_k(cand, K)      # [B, K]
+        src_beam = top_flat // vocab                       # [B, K]
+        tok = (top_flat % vocab).astype(jnp.int32)         # [B, K]
+        # Gather beam state from source beams.
+        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+        tokens = tokens[flat_src]
+        caches = jax.tree.map(lambda c: c[flat_src], caches)
+        finished = finished[flat_src]
+        tok_flat = tok.reshape(-1)
+        tokens = tokens.at[:, i + 1].set(tok_flat)
+        scores = top_scores.reshape(-1)
+        finished = finished | (tok_flat == config.eos_id)
+        return (tok_flat, scores, finished, tokens, caches), None
+
+    init = (flat_seed, scores0, finished0, tokens0, init_caches)
+    (_, scores, _, tokens, _), _ = jax.lax.scan(
+        body, init, jnp.arange(config.max_len))
+    tokens = tokens.reshape(B, K, -1)
+    scores = scores.reshape(B, K)
+    # Length penalty: normalize by (non-pad length)^alpha.
+    lengths = jnp.sum(tokens != config.pad_id, axis=-1).astype(jnp.float32)
+    norm = scores / (lengths ** config.length_penalty)
+    order = jnp.argsort(-norm, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(norm, order, axis=1)
+    return tokens, scores

@@ -1,0 +1,127 @@
+"""Flagship captioning model: contexts -> dynamic-conv decoder -> caption.
+
+Capability parity target: TransformerFlattenedModel
+(/root/reference/ttl/tell/models/transformer_flattened.py:23-443):
+ResNet-152 image patches + RoBERTa article hiddens feed a registered
+decoder; adaptive loss in bits (loss/log 2); eval-mode top-k sampled
+generation.
+
+TPU-first: the model wrapper is a thin *functional* layer — a Flax
+decoder module plus pure jittable functions (loss_fn / generate_fn /
+beam_fn) that close over nothing mutable. Encoders (ResNet/RoBERTa)
+are frozen feature extractors in all reference training paths
+(config `no_grad: ^resnet ^roberta`), so the train step takes
+precomputed `contexts`; the vision/text encoder modules live in
+`models/resnet.py` / `models/roberta.py` and are composed in the
+data pipeline or the serving path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from news_image_caption_tpu.generation.generator import (
+    GenerationConfig, beam_search, generate)
+from news_image_caption_tpu.models.decoder_flattened import DynamicConvDecoder
+from news_image_caption_tpu.utils.registry import MODELS
+
+LN2 = math.log(2.0)
+
+
+def shift_caption(caption_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(input_ids, target_ids), both [B, L-1].
+
+    Parity: transformer_flattened.py:166-183 — input drops the last
+    token, target is the caption shifted left by one.
+    """
+    return caption_ids[:, :-1], caption_ids[:, 1:]
+
+
+@MODELS.register("transformer_flattened")
+class TransformerFlattened:
+    """Functional wrapper tying decoder + loss + generation."""
+
+    def __init__(self, decoder: Optional[DynamicConvDecoder] = None,
+                 **decoder_kwargs):
+        self.decoder = decoder or DynamicConvDecoder(**decoder_kwargs)
+
+    # -- init ----------------------------------------------------------
+    def init(self, rng: jax.Array, sample_batch: Dict[str, jax.Array]):
+        caption = sample_batch["caption_ids"]
+        contexts = self._contexts(sample_batch)
+        inp, tgt = shift_caption(caption)
+        return self.decoder.init(rng, inp, contexts, tgt,
+                                 method=DynamicConvDecoder.loss)
+
+    @staticmethod
+    def _contexts(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        return {
+            "image": batch["image"],
+            "image_mask": batch.get("image_mask"),
+            "article": batch["article"],
+            "article_mask": batch.get("article_mask"),
+        }
+
+    # -- training ------------------------------------------------------
+    def loss_fn(self, params, batch: Dict[str, jax.Array],
+                dropout_rng: Optional[jax.Array] = None):
+        """Per-token loss in bits (reference: loss/log(2)/sample_size).
+
+        Returns (mean_loss, aux dict with loss_sum/sample_size).
+        """
+        contexts = self._contexts(batch)
+        inp, tgt = shift_caption(batch["caption_ids"])
+        deterministic = dropout_rng is None
+        rngs = {} if deterministic else {"dropout": dropout_rng}
+        loss_sum, ntokens = self.decoder.apply(
+            params, inp, contexts, tgt, deterministic=deterministic,
+            rngs=rngs, method=DynamicConvDecoder.loss)
+        loss_bits = loss_sum / LN2
+        sample_size = jnp.maximum(ntokens, 1)
+        mean_loss = loss_bits / sample_size
+        return mean_loss, {"loss_sum": loss_bits, "sample_size": ntokens}
+
+    # -- generation ----------------------------------------------------
+    def _decode_setup(self, params, contexts: Dict[str, jax.Array],
+                      batch_size: int):
+        kvs = self.decoder.apply(
+            params, contexts, method=DynamicConvDecoder.precompute_kv)
+        caches = self.decoder.init_cache(batch_size)
+        return kvs, caches
+
+    def _step_fn(self, params, kvs):
+        def step(tok, i, caches):
+            return self.decoder.apply(
+                params, tok, i, kvs, caches,
+                method=DynamicConvDecoder.step)
+        return step
+
+    def generate(self, params, batch: Dict[str, jax.Array],
+                 config: GenerationConfig = GenerationConfig(),
+                 rng: Optional[jax.Array] = None):
+        """Top-k / greedy sampled captions [B, max_len+1]."""
+        contexts = self._contexts(batch)
+        B = contexts["image"].shape[0]
+        kvs, caches = self._decode_setup(params, contexts, B)
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        return generate(self._step_fn(params, kvs), caches, seed, config,
+                        rng)
+
+    def generate_beam(self, params, batch: Dict[str, jax.Array],
+                      config: GenerationConfig = GenerationConfig()):
+        """Beam-searched captions [B, beam, max_len+1] + scores."""
+        contexts = self._contexts(batch)
+        B = contexts["image"].shape[0]
+        K = config.beam_size
+        kvs, _ = self._decode_setup(params, contexts, B)
+        # Tile precomputed KV (cheaper than re-projecting tiled contexts).
+        kvs = jax.tree.map(
+            lambda x: jnp.repeat(x, K, axis=0) if x is not None else None,
+            kvs)
+        caches = self.decoder.init_cache(B * K)
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        return beam_search(self._step_fn(params, kvs), caches, seed, config)

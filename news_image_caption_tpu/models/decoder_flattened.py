@@ -1,0 +1,381 @@
+"""Dynamic-convolution caption decoder (Transform-and-Tell style).
+
+Capability parity target: the `dynamic_conv_decoder_flattened` decoder
+of /root/reference/ttl/tell/models/decoder_flattened.py:22-359 —
+stack of layers, each: GLU-gated dynamic conv (causal), multi-head
+attention over image patches and article hiddens, context fusion
+linear, FFN; adaptive input embeddings tied to an adaptive softmax.
+
+TPU-first design:
+- batch-first [B, T, C]; no TBC transposes;
+- the decode path is a pure `step` function over a typed, fixed-shape
+  cache pytree (per-layer conv history) + per-layer PRECOMPUTED cross
+  attention K/V (the reference re-projects context K/V every generated
+  token, decoder_flattened.py:300-325 + multi_head.py:288-352);
+- no data-dependent shapes anywhere: finished sequences are masked,
+  not compacted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from news_image_caption_tpu.ops.dropout import dropout
+
+from news_image_caption_tpu.ops.adaptive import (AdaptiveEmbedding,
+                                                 AdaptiveSoftmax)
+from news_image_caption_tpu.ops.attention import AttentionKV, MultiHeadAttention
+from news_image_caption_tpu.ops.conv import DynamicConv, LightweightConv
+from news_image_caption_tpu.ops.linear import GehringLinear
+from news_image_caption_tpu.ops.positional import SinusoidalPositionalEmbedding
+from news_image_caption_tpu.utils.registry import DECODERS
+
+Dtype = Any
+
+
+class LayerKV(NamedTuple):
+    """Per-layer precomputed cross-attention K/V."""
+    image: AttentionKV
+    article: AttentionKV
+
+
+class SumEmbedder(nn.Module):
+    """Adaptive word embedding + sinusoidal positions, summed.
+
+    Parity: the `sum` TextFieldEmbedder with `adaptive` + `position`
+    token embedders (config expt/goodnews/5_transformer_roberta/
+    config.yaml:27-49).
+    """
+
+    vocab_size: int
+    embed_dim: int
+    cutoff: Sequence[int]
+    padding_idx: int = 0          # embedder pad (reference config)
+    pos_padding_idx: int = 1      # positional pad (roberta pad)
+    factor: float = 1.0
+    scale_embeds: bool = True
+    max_positions: int = 512
+    param_dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.adaptive = AdaptiveEmbedding(
+            cutoff=tuple(self.cutoff), initial_dim=self.embed_dim,
+            output_dim=self.embed_dim, factor=self.factor,
+            padding_idx=self.padding_idx, scale_embeds=self.scale_embeds,
+            param_dtype=self.param_dtype, dtype=self.dtype, name="adaptive")
+        self.position = SinusoidalPositionalEmbedding(
+            embedding_dim=self.embed_dim, padding_idx=self.pos_padding_idx,
+            init_size=self.max_positions, dtype=self.dtype, name="position")
+
+    def __call__(self, token_ids: jax.Array,
+                 start_pos: jax.Array | int = 0) -> jax.Array:
+        return self.adaptive(token_ids) + self.position(token_ids, start_pos)
+
+    def embed_tables(self):
+        return [self.adaptive.weights_for_band(i)
+                for i in range(len(self.cutoff))]
+
+
+class DynamicConvDecoderLayer(nn.Module):
+    """One decoder layer: conv block + 2 context attentions + FFN."""
+
+    embed_dim: int
+    conv_dim: int
+    kernel_size: int
+    num_heads: int
+    ffn_dim: int
+    image_dim: int = 2048
+    article_dim: int = 1024
+    conv_type: str = "dynamic"          # or 'lightweight'
+    decoder_glu: bool = True
+    weight_softmax: bool = True
+    normalize_before: bool = False
+    dropout: float = 0.1
+    weight_dropout: float = 0.1
+    relu_dropout: float = 0.0
+    input_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        out_mult = 2 if self.decoder_glu else 1
+        self.linear1 = GehringLinear(out_mult * self.conv_dim,
+                                     param_dtype=self.param_dtype,
+                                     name="linear1")
+        conv_cls = DynamicConv if self.conv_type == "dynamic" else \
+            LightweightConv
+        self.conv = conv_cls(
+            input_size=self.conv_dim, kernel_size=self.kernel_size,
+            num_heads=self.num_heads, weight_softmax=self.weight_softmax,
+            weight_dropout=self.weight_dropout,
+            param_dtype=self.param_dtype, name="conv")
+        self.linear2 = GehringLinear(self.embed_dim,
+                                     param_dtype=self.param_dtype,
+                                     name="linear2")
+        self.conv_layer_norm = nn.LayerNorm(name="conv_layer_norm")
+        self.image_attn = MultiHeadAttention(
+            embed_dim=self.embed_dim, num_heads=self.num_heads,
+            kdim=self.image_dim, vdim=self.image_dim,
+            dropout=self.attention_dropout, param_dtype=self.param_dtype,
+            name="image_attn")
+        self.image_attn_ln = nn.LayerNorm(name="image_attn_ln")
+        self.article_attn = MultiHeadAttention(
+            embed_dim=self.embed_dim, num_heads=self.num_heads,
+            kdim=self.article_dim, vdim=self.article_dim,
+            dropout=self.attention_dropout, param_dtype=self.param_dtype,
+            name="article_attn")
+        self.article_attn_ln = nn.LayerNorm(name="article_attn_ln")
+        self.context_fc = GehringLinear(self.embed_dim,
+                                        param_dtype=self.param_dtype,
+                                        name="context_fc")
+        self.fc1 = GehringLinear(self.ffn_dim, param_dtype=self.param_dtype,
+                                 name="fc1")
+        self.fc2 = GehringLinear(self.embed_dim, param_dtype=self.param_dtype,
+                                 name="fc2")
+        self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+
+    def _maybe_ln(self, ln, x, *, before: bool):
+        if before == self.normalize_before:
+            return ln(x)
+        return x
+
+    def precompute_kv(self, contexts: Dict[str, jax.Array]) -> LayerKV:
+        """Project image/article K/V once for the whole sequence/decode."""
+        return LayerKV(
+            image=self.image_attn.precompute_kv(
+                contexts["image"], contexts["image"],
+                contexts.get("image_mask")),
+            article=self.article_attn.precompute_kv(
+                contexts["article"], contexts["article"],
+                contexts.get("article_mask")))
+
+    def _drop(self, x, rate, deterministic):
+        if rate > 0.0 and not deterministic:
+            return dropout(self, x, rate, deterministic=False)
+        return x
+
+    def _conv_block_pre(self, x, deterministic):
+        x = self._maybe_ln(self.conv_layer_norm, x, before=True)
+        x = self._drop(x, self.input_dropout, deterministic)
+        x = self.linear1(x)
+        if self.decoder_glu:
+            x = nn.glu(x, axis=-1)
+        return x
+
+    def _conv_block_post(self, x, residual, deterministic):
+        x = self.linear2(x)
+        x = self._drop(x, self.dropout, deterministic)
+        x = residual + x
+        return self._maybe_ln(self.conv_layer_norm, x, before=False)
+
+    def _contexts_block(self, x, kv: LayerKV, deterministic,
+                        need_attn: bool = False):
+        residual = x
+        x_image = self._maybe_ln(self.image_attn_ln, x, before=True)
+        x_image, attn_img = self.image_attn.attend(
+            x_image, kv.image, deterministic=deterministic,
+            need_weights=need_attn)
+        x_image = self._drop(x_image, self.dropout, deterministic)
+        x_image = residual + x_image
+        x_image = self._maybe_ln(self.image_attn_ln, x_image, before=False)
+
+        x_article = self._maybe_ln(self.article_attn_ln, x, before=True)
+        x_article, attn_art = self.article_attn.attend(
+            x_article, kv.article, deterministic=deterministic,
+            need_weights=need_attn)
+        x_article = self._drop(x_article, self.dropout, deterministic)
+        x_article = residual + x_article
+        x_article = self._maybe_ln(self.article_attn_ln, x_article,
+                                   before=False)
+
+        x = self.context_fc(jnp.concatenate([x_image, x_article], axis=-1))
+        return x, {"image": attn_img, "article": attn_art}
+
+    def _ffn_block(self, x, deterministic):
+        residual = x
+        x = self._maybe_ln(self.final_layer_norm, x, before=True)
+        x = nn.relu(self.fc1(x))
+        x = self._drop(x, self.relu_dropout, deterministic)
+        x = self.fc2(x)
+        x = self._drop(x, self.dropout, deterministic)
+        x = residual + x
+        return self._maybe_ln(self.final_layer_norm, x, before=False)
+
+    def __call__(self, x: jax.Array, kv: LayerKV,
+                 deterministic: bool = True, need_attn: bool = False):
+        """Full-sequence forward. x: [B, T, D]."""
+        residual = x
+        h = self._conv_block_pre(x, deterministic)
+        h = self.conv(h, deterministic=deterministic)
+        x = self._conv_block_post(h, residual, deterministic)
+        x, attns = self._contexts_block(x, kv, deterministic, need_attn)
+        x = self._ffn_block(x, deterministic)
+        return x, attns
+
+    def init_cache(self, batch_size: int, dtype=jnp.float32) -> jax.Array:
+        return self.conv.init_cache(batch_size, dtype)
+
+    def step(self, x_t: jax.Array, kv: LayerKV, conv_cache: jax.Array,
+             deterministic: bool = True):
+        """Single-token decode. x_t: [B, D]."""
+        residual = x_t[:, None, :]
+        h = self._conv_block_pre(x_t[:, None, :], deterministic)
+        h_t, new_cache = self.conv.step(h[:, 0, :], conv_cache,
+                                        deterministic=deterministic)
+        x = self._conv_block_post(h_t[:, None, :], residual, deterministic)
+        x, _ = self._contexts_block(x, kv, deterministic)
+        x = self._ffn_block(x, deterministic)
+        return x[:, 0, :], new_cache
+
+
+@DECODERS.register("dynamic_conv_decoder_flattened")
+class DynamicConvDecoder(nn.Module):
+    """Decoder stack + tied adaptive softmax.
+
+    `contexts` dict (batch-first):
+      image [B, P, image_dim], image_mask [B, P] (True = pad),
+      article [B, S, article_dim], article_mask [B, S] (True = pad).
+    """
+
+    vocab_size: int = 50265
+    embed_dim: int = 1024
+    ffn_dim: int = 4096
+    num_heads: int = 16
+    num_layers: int = 4
+    kernel_sizes: Sequence[int] = (3, 7, 15, 31)
+    cutoff: Sequence[int] = (5000, 20000, 50265)
+    conv_dim: Optional[int] = None
+    image_dim: int = 2048
+    article_dim: int = 1024
+    conv_type: str = "dynamic"
+    decoder_glu: bool = True
+    weight_softmax: bool = True
+    normalize_before: bool = False
+    final_norm: bool = False
+    dropout: float = 0.1
+    weight_dropout: float = 0.1
+    relu_dropout: float = 0.0
+    input_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    adaptive_softmax_dropout: float = 0.0
+    padding_idx: int = 0
+    target_padding_idx: int = 1   # criterion padding (roberta pad)
+    max_positions: int = 512
+    param_dtype: Dtype = jnp.float32
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert len(self.kernel_sizes) == self.num_layers
+        assert tuple(self.cutoff)[-1] == self.vocab_size
+        self.embedder = SumEmbedder(
+            vocab_size=self.vocab_size, embed_dim=self.embed_dim,
+            cutoff=tuple(self.cutoff), padding_idx=self.padding_idx,
+            pos_padding_idx=self.target_padding_idx,
+            max_positions=self.max_positions,
+            param_dtype=self.param_dtype, dtype=self.dtype, name="embedder")
+        cdim = self.conv_dim or self.embed_dim
+        self.layers = [
+            DynamicConvDecoderLayer(
+                embed_dim=self.embed_dim, conv_dim=cdim,
+                kernel_size=self.kernel_sizes[i], num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim, image_dim=self.image_dim,
+                article_dim=self.article_dim, conv_type=self.conv_type,
+                decoder_glu=self.decoder_glu,
+                weight_softmax=self.weight_softmax,
+                normalize_before=self.normalize_before,
+                dropout=self.dropout, weight_dropout=self.weight_dropout,
+                relu_dropout=self.relu_dropout,
+                input_dropout=self.input_dropout,
+                attention_dropout=self.attention_dropout,
+                param_dtype=self.param_dtype, name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.adaptive_softmax = AdaptiveSoftmax(
+            vocab_size=self.vocab_size, input_dim=self.embed_dim,
+            cutoff=tuple(self.cutoff), dropout=self.adaptive_softmax_dropout,
+            tied=True, param_dtype=self.param_dtype, dtype=self.dtype,
+            name="adaptive_softmax")
+        if self.normalize_before and self.final_norm:
+            self.layer_norm = nn.LayerNorm(name="layer_norm")
+
+    # ------------------------------------------------------------------
+    # context K/V
+    # ------------------------------------------------------------------
+    def precompute_kv(self, contexts: Dict[str, jax.Array]) -> List[LayerKV]:
+        return [layer.precompute_kv(contexts) for layer in self.layers]
+
+    # ------------------------------------------------------------------
+    # training / full-sequence path
+    # ------------------------------------------------------------------
+    def hidden(self, token_ids: jax.Array, contexts: Dict[str, jax.Array],
+               deterministic: bool = True) -> jax.Array:
+        """Teacher-forced hidden states [B, T, D]."""
+        kvs = self.precompute_kv(contexts)
+        x = self.embedder(token_ids)
+        x = self._drop_embed(x, deterministic)
+        for layer, kv in zip(self.layers, kvs):
+            x, _ = layer(x, kv, deterministic=deterministic)
+        if self.normalize_before and self.final_norm:
+            x = self.layer_norm(x)
+        return x
+
+    def _drop_embed(self, x, deterministic):
+        if self.dropout > 0.0 and not deterministic:
+            return dropout(self, x, self.dropout, deterministic=False)
+        return x
+
+    def loss(self, token_ids: jax.Array, contexts: Dict[str, jax.Array],
+             target_ids: jax.Array, deterministic: bool = True):
+        """Adaptive-softmax CE (sum) + ntokens, like `adaptive_loss`.
+
+        Parity: /root/reference/ttl/tell/modules/criteria/adaptive_loss.py:27-73.
+        """
+        x = self.hidden(token_ids, contexts, deterministic)
+        flat = x.reshape(-1, x.shape[-1])
+        tables = self.embedder.embed_tables()
+        return self.adaptive_softmax.loss_sum(
+            flat, target_ids.reshape(-1),
+            padding_idx=self.target_padding_idx, embed_tables=tables,
+            deterministic=deterministic)
+
+    def log_prob(self, token_ids: jax.Array,
+                 contexts: Dict[str, jax.Array]) -> jax.Array:
+        """Full-vocab log-probs [B, T, V] (teacher-forced)."""
+        x = self.hidden(token_ids, contexts)
+        B, T, D = x.shape
+        tables = self.embedder.embed_tables()
+        lp = self.adaptive_softmax.log_prob(x.reshape(-1, D), tables)
+        return lp.reshape(B, T, self.vocab_size)
+
+    # ------------------------------------------------------------------
+    # incremental decode path
+    # ------------------------------------------------------------------
+    def init_cache(self, batch_size: int) -> List[jax.Array]:
+        # Pure config-derived shapes: usable outside init/apply.
+        cdim = self.conv_dim or self.embed_dim
+        return [jnp.zeros((batch_size, k - 1, cdim), self.dtype)
+                for k in self.kernel_sizes]
+
+    def step(self, token_t: jax.Array, step_idx: jax.Array | int,
+             kvs: List[LayerKV], caches: List[jax.Array]):
+        """One decode step.
+
+        token_t: [B] current input token; step_idx: number of tokens
+        already consumed (0 for the seed). Returns
+        (log_probs [B, V], new_caches).
+        """
+        x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
+        new_caches = []
+        for layer, kv, cache in zip(self.layers, kvs, caches):
+            x, nc = layer.step(x, kv, cache)
+            new_caches.append(nc)
+        if self.normalize_before and self.final_norm:
+            x = self.layer_norm(x)
+        tables = self.embedder.embed_tables()
+        lp = self.adaptive_softmax.log_prob(x, tables)
+        return lp, new_caches

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from news_image_caption_tpu.ops.dropout import dropout
+
 Dtype = Any
 
 
@@ -171,7 +173,7 @@ class AdaptiveSoftmax(nn.Module):
         h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
                     preferred_element_type=self.dtype)
         if self.dropout > 0.0 and not deterministic:
-            h = nn.Dropout(rate=self.dropout)(h, deterministic=False)
+            h = dropout(self, h, self.dropout, deterministic=False)
         if embed_tables is not None:
             table_i, _ = embed_tables[i]  # [band_v, d]
             return jnp.dot(h, table_i.T.astype(h.dtype),

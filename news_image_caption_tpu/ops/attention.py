@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from news_image_caption_tpu.ops.dropout import dropout
+
 from news_image_caption_tpu.ops.linear import XavierLinear
 
 Dtype = Any
@@ -138,8 +140,7 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         probs = probs.astype(kv.v.dtype)
         if self.dropout > 0.0 and not deterministic:
-            probs = nn.Dropout(rate=self.dropout)(
-                probs, deterministic=False)
+            probs = dropout(self, probs, self.dropout, deterministic=False)
         out = jnp.einsum("bhts,bshd->bthd", probs, kv.v)
         out = out.reshape(B, T, self.embed_dim)
         out = self.out_proj(out)

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from news_image_caption_tpu.ops.dropout import dropout
+
 from news_image_caption_tpu.ops.linear import XavierLinear
 
 Dtype = Any
@@ -98,7 +100,7 @@ class DynamicConv(nn.Module):
         if self.weight_softmax:
             w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(w.dtype)
         if self.weight_dropout > 0.0 and not deterministic:
-            w = nn.Dropout(rate=self.weight_dropout)(w, deterministic=False)
+            w = dropout(self, w, self.weight_dropout, deterministic=False)
         return w
 
     def __call__(self, x: jax.Array, query: Optional[jax.Array] = None,
@@ -168,7 +170,7 @@ class LightweightConv(nn.Module):
         if self.weight_softmax:
             w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(w.dtype)
         if self.weight_dropout > 0.0 and not deterministic:
-            w = nn.Dropout(rate=self.weight_dropout)(w, deterministic=False)
+            w = dropout(self, w, self.weight_dropout, deterministic=False)
         return w
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

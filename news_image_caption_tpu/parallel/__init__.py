@@ -1,0 +1,11 @@
+from news_image_caption_tpu.parallel.mesh import make_mesh, MeshConfig
+from news_image_caption_tpu.parallel.partition import (
+    param_shardings, batch_shardings, shard_params)
+
+__all__ = [
+    "make_mesh",
+    "MeshConfig",
+    "param_shardings",
+    "batch_shardings",
+    "shard_params",
+]

@@ -1,0 +1,14 @@
+from news_image_caption_tpu.training.optim import (
+    bert_adam, noam_schedule, warmup_linear_schedule, make_bert_adam)
+from news_image_caption_tpu.training.train_step import (
+    TrainState, make_train_step, make_eval_step)
+
+__all__ = [
+    "bert_adam",
+    "noam_schedule",
+    "warmup_linear_schedule",
+    "make_bert_adam",
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+]

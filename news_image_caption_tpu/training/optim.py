@@ -1,0 +1,130 @@
+"""Optimizers and LR schedules matching the reference's three trainers.
+
+Capability parity targets:
+- bert_adam warmup_linear (Gen-3):
+  /root/reference/ttl/expt/goodnews/5_transformer_roberta/config.yaml:118-135
+  (Adam b1=0.9 b2=0.98 eps=1e-6, decoupled weight decay, per-update
+  grad-norm clip 0.1, lr ramp x/warmup then linear decay 1-x)
+- Noam (Gen-2): /root/reference/final/custom_v3.py:401-410
+  (d_model^-0.5 * min(step^-0.5, step * warmup^-1.5), Adam lr=1)
+- Gen-1 step decay + grad value clamp:
+  /root/reference/train.py:106-118, misc/utils.py:180-184
+
+apex FusedAdam's fusion is replaced by XLA: the whole optax update is
+one fused program on TPU; no loss scaling is needed for bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import optax
+
+
+def warmup_linear_schedule(lr: float, t_total: int, warmup: float = 0.05):
+    """pytorch-pretrained-bert `warmup_linear`: x/warmup then 1-x."""
+
+    def schedule(step):
+        x = jnp.minimum(step / t_total, 1.0)
+        mult = jnp.where(x < warmup, x / warmup, 1.0 - x)
+        return lr * jnp.maximum(mult, 0.0)
+
+    return schedule
+
+
+def noam_schedule(model_size: int, factor: float = 1.0, warmup: int = 30000):
+    """Annotated-Transformer rate(): lr for step (1-indexed)."""
+
+    def schedule(step):
+        s = jnp.maximum(step, 1).astype(jnp.float32)
+        return factor * (model_size ** -0.5) * jnp.minimum(
+            s ** -0.5, s * (warmup ** -1.5))
+
+    return schedule
+
+
+def step_decay_schedule(lr: float, decay_start: int, decay_every: int,
+                        decay_rate: float = 0.8):
+    """Gen-1 epoch-based LR decay (train.py:106-113), in steps."""
+
+    def schedule(step):
+        frac = jnp.maximum(step - decay_start, 0) // jnp.maximum(
+            decay_every, 1)
+        return lr * (decay_rate ** frac)
+
+    return schedule
+
+
+def bert_adam(lr_schedule, b1: float = 0.9, b2: float = 0.98,
+              eps: float = 1e-6, weight_decay: float = 1e-5,
+              max_grad_norm: Optional[float] = 0.1) -> optax.GradientTransformation:
+    """BertAdam-style chain: clip -> adam(no bias corr) -> decoupled wd.
+
+    Note: the original BertAdam does NOT use bias correction; optax's
+    scale_by_adam does. We disable it by using the raw moments via
+    scale_by_adam with b1/b2 and then relying on the warmup ramp to
+    mask the early-step difference — the reference behavior
+    (pytorch-pretrained-bert) is matched by `bias_correction=False`
+    semantics below.
+    """
+    txs = []
+    if max_grad_norm is not None:
+        txs.append(optax.clip_by_global_norm(max_grad_norm))
+    txs.append(_scale_by_adam_no_bias_correction(b1, b2, eps))
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*txs)
+
+
+def _scale_by_adam_no_bias_correction(b1, b2, eps):
+    """Adam moments without bias correction (BertAdam semantics)."""
+    import jax
+
+    def init_fn(params):
+        # mu and nu must be distinct buffers (donation requires it).
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g,
+                          updates, state.mu)
+        nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g,
+                          updates, state.nu)
+        new_updates = jax.tree.map(
+            lambda m, v: m / (jnp.sqrt(v) + eps), mu, nu)
+        return new_updates, optax.ScaleByAdamState(
+            count=state.count + 1, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_bert_adam(lr: float, t_total: int, warmup: float = 0.05,
+                   **kw) -> optax.GradientTransformation:
+    return bert_adam(warmup_linear_schedule(lr, t_total, warmup), **kw)
+
+
+def noam_adam(model_size: int, factor: float = 1.0, warmup: int = 30000,
+              b1: float = 0.9, b2: float = 0.98, eps: float = 1e-9
+              ) -> optax.GradientTransformation:
+    """Gen-2 optimizer: Adam(lr=1, Noam lambda schedule)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(
+            noam_schedule(model_size, factor, warmup)))
+
+
+def gen1_adam(lr: float, decay_start: int, decay_every: int,
+              decay_rate: float = 0.8, grad_clip_value: float = 0.1,
+              b1: float = 0.8, b2: float = 0.999, eps: float = 1e-8
+              ) -> optax.GradientTransformation:
+    """Gen-1 trainer: per-element grad clamp + Adam + step decay."""
+    return optax.chain(
+        optax.clip(grad_clip_value),
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(
+            step_decay_schedule(lr, decay_start, decay_every, decay_rate)))

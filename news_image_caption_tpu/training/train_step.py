@@ -1,0 +1,71 @@
+"""Sharded train/eval steps over an explicit device mesh.
+
+The train step is one jit-compiled program: forward, backward,
+optimizer update. Sharding follows the "computation follows data"
+pattern: parameters are placed with `shard_params` (model axis),
+batches with `batch_shardings` (data axis), and jit propagates — XLA
+inserts the gradient psum over ICI, the TPU-native replacement for
+NCCL DataParallel (SURVEY.md §2.10). Optimizer moments inherit the
+parameter shardings automatically via `tx.init` on sharded params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from news_image_caption_tpu.parallel.partition import (
+    batch_shardings, shard_params)
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       mesh: Optional[Mesh] = None) -> TrainState:
+    """Build (optionally sharded) train state. With a mesh, params are
+    placed per the partition rules and optimizer moments inherit."""
+    if mesh is not None:
+        params = shard_params(params, mesh)
+    return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh):
+    return jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                    donate: bool = True) -> Callable:
+    """loss_fn(params, batch, dropout_rng) -> (loss, aux).
+    Returns jitted step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   **aux}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn: Callable) -> Callable:
+    def eval_step(params, batch):
+        loss, aux = loss_fn(params, batch, None)
+        return {"loss": loss, **aux}
+
+    return jax.jit(eval_step)

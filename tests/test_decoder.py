@@ -1,0 +1,142 @@
+"""Decoder + model: teacher-forced vs incremental parity, loss, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.models.captioner import (TransformerFlattened,
+                                                     shift_caption)
+from news_image_caption_tpu.models.decoder_flattened import DynamicConvDecoder
+
+VOCAB = 40
+CUTOFF = (12, 24, 40)
+
+
+def tiny_decoder(**kw):
+    kw.setdefault("vocab_size", VOCAB)
+    kw.setdefault("embed_dim", 16)
+    kw.setdefault("ffn_dim", 32)
+    kw.setdefault("num_heads", 4)
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("kernel_sizes", (3, 5))
+    kw.setdefault("cutoff", CUTOFF)
+    kw.setdefault("image_dim", 12)
+    kw.setdefault("article_dim", 10)
+    kw.setdefault("max_positions", 64)
+    return DynamicConvDecoder(**kw)
+
+
+def tiny_batch(B=2, T=7, P=4, S=6, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 4)
+    caption = jax.random.randint(ks[0], (B, T), 2, VOCAB)
+    caption = caption.at[:, 0].set(0)          # <s>
+    caption = caption.at[:, -1].set(1)         # trailing pad
+    article_mask = jnp.zeros((B, S), bool).at[:, S - 1:].set(True)
+    return {
+        "caption_ids": caption,
+        "image": jax.random.normal(ks[1], (B, P, 12)),
+        "image_mask": jnp.zeros((B, P), bool),
+        "article": jax.random.normal(ks[2], (B, S, 10)),
+        "article_mask": article_mask,
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = TransformerFlattened(tiny_decoder())
+    batch = tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, batch
+
+
+def test_loss_finite_and_positive(model_and_params):
+    model, params, batch = model_and_params
+    loss, aux = model.loss_fn(params, batch)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert int(aux["sample_size"]) > 0
+
+
+def test_incremental_step_matches_teacher_forced(model_and_params):
+    """log-probs from the step path == full-sequence path, per position."""
+    model, params, batch = model_and_params
+    dec = model.decoder
+    contexts = model._contexts(batch)
+    inp, _ = shift_caption(batch["caption_ids"])
+    full_lp = dec.apply(params, inp, contexts,
+                        method=DynamicConvDecoder.log_prob)
+
+    B, T = inp.shape
+    kvs = dec.apply(params, contexts,
+                    method=DynamicConvDecoder.precompute_kv)
+    caches = dec.init_cache(B)
+    for t in range(T):
+        lp_t, caches = dec.apply(params, inp[:, t], t, kvs, caches,
+                                 method=DynamicConvDecoder.step)
+        np.testing.assert_allclose(np.asarray(lp_t),
+                                   np.asarray(full_lp[:, t]), atol=2e-4)
+
+
+def test_greedy_generation_runs_and_respects_eos(model_and_params):
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=12, sampling_topk=1)
+    tokens, lps = model.generate(params, batch, cfg)
+    B = batch["image"].shape[0]
+    assert tokens.shape == (B, 13)
+    assert lps.shape == (B, 12)
+    toks = np.asarray(tokens)
+    # After the first eos, everything must be pad.
+    for b in range(B):
+        seq = toks[b]
+        eos_pos = np.where(seq == cfg.eos_id)[0]
+        if len(eos_pos):
+            assert (seq[eos_pos[0] + 1:] == cfg.pad_id).all()
+
+
+def test_topk_sampling_differs_across_rngs(model_and_params):
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=12, sampling_topk=5, sampling_temp=2.0)
+    t1, _ = model.generate(params, batch, cfg, rng=jax.random.PRNGKey(1))
+    t2, _ = model.generate(params, batch, cfg, rng=jax.random.PRNGKey(2))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_beam_search_beats_or_equals_greedy_score(model_and_params):
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=10, beam_size=3, length_penalty=1.0)
+    tokens, scores = model.generate_beam(params, batch, cfg)
+    B = batch["image"].shape[0]
+    assert tokens.shape == (B, 3, 11)
+    s = np.asarray(scores)
+    assert (s[:, 0] + 1e-6 >= s[:, 1]).all()  # sorted best-first
+
+    # Beam-1 average log-prob >= greedy's (same objective).
+    gcfg = GenerationConfig(max_len=10, sampling_topk=1)
+    gtok, glp = model.generate(params, batch, gcfg)
+    glen = (np.asarray(gtok) != gcfg.pad_id).sum(-1)
+    gscore = np.asarray(glp).sum(-1) / glen
+    assert (s[:, 0] >= gscore - 1e-4).all()
+
+
+def test_train_step_decreases_loss(model_and_params):
+    import optax
+    model, params, batch = model_and_params
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        (loss, _), grads = jax.value_and_grad(
+            model.loss_fn, has_aux=True)(params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    p = params
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        p, opt_state, loss = step(p, opt_state, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
