@@ -1,0 +1,181 @@
+"""`tellax` CLI: train / evaluate from a YAML config.
+
+Capability parity target: the `tell (train|evaluate)` docopt CLI
+(/root/reference/ttl/tell/commands/__main__.py:1-103) with
+-o JSON overrides, -r recover, -s suffix; plus the evaluate command's
+generations.jsonl writer (/root/reference/ttl/tell/commands/evaluate.py:31-177).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="tellax")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pt = sub.add_parser("train", help="train a model from a YAML config")
+    pt.add_argument("param_path")
+    pt.add_argument("-o", "--overrides", default=None,
+                    help="JSON dict merged over the YAML config")
+    pt.add_argument("-r", "--recover", action="store_true",
+                    help="resume from the latest checkpoint")
+    pt.add_argument("-s", "--serialization-dir", default=None)
+
+    pe = sub.add_parser("evaluate", help="generate + score on a split")
+    pe.add_argument("param_path")
+    pe.add_argument("-o", "--overrides", default=None)
+    pe.add_argument("-m", "--model-path", default=None,
+                    help="checkpoint to load (default: best)")
+    pe.add_argument("-s", "--suffix", default="")
+    pe.add_argument("--split", default="test")
+
+    args = p.parse_args(argv)
+    if args.command == "train":
+        return train_command(args)
+    return evaluate_command(args)
+
+
+def train_command(args) -> int:
+    import jax
+
+    from news_image_caption_tpu.config import (build_dataset, build_model,
+                                               build_optimizer, load_config)
+    from news_image_caption_tpu.data.loader import DeviceLoader
+    from news_image_caption_tpu.training.train_step import create_train_state
+    from news_image_caption_tpu.training.trainer import (Trainer,
+                                                         TrainerConfig)
+
+    cfg = load_config(args.param_path, args.overrides)
+    tcfg = cfg.get("trainer", {})
+    serialization_dir = (args.serialization_dir
+                         or tcfg.get("serialization_dir")
+                         or os.path.join(
+                             os.path.dirname(args.param_path) or ".",
+                             "serialization"))
+    model = build_model(cfg)
+    train_ds = build_dataset(cfg, "train")
+    val_ds = build_dataset(cfg, "val")
+    tx = build_optimizer(cfg)
+    batch_size = cfg.get("iterator", {}).get("batch_size", 16)
+
+    sample = next(train_ds.batches(batch_size))
+    params = model.init(jax.random.PRNGKey(tcfg.get("seed", 0)), sample)
+    state = create_train_state(params, tx)
+
+    trainer = Trainer(model.loss_fn, tx, TrainerConfig(
+        num_epochs=tcfg.get("num_epochs", 10),
+        patience=tcfg.get("patience"),
+        keep_checkpoints=tcfg.get("num_serialized_models_to_keep", 10),
+        validation_metric=tcfg.get("validation_metric", "loss"),
+        maximize_metric=tcfg.get("maximize_metric", False),
+        serialization_dir=serialization_dir,
+        seed=tcfg.get("seed", 0)))
+
+    def train_batches(epoch):
+        return DeviceLoader(
+            train_ds.batches(batch_size, seed=epoch))
+
+    def val_batches(epoch):
+        return DeviceLoader(val_ds.batches(batch_size, shuffle=False))
+
+    trainer.train(state, train_batches, val_batches,
+                  recover=args.recover)
+    return 0
+
+
+def evaluate_command(args) -> int:
+    import jax
+    import numpy as np
+
+    from news_image_caption_tpu.config import (build_dataset, build_model,
+                                               build_optimizer, load_config)
+    from news_image_caption_tpu.evaluation.metrics import (BleuScorer,
+                                                           CiderScorer,
+                                                           RougeScorer)
+    from news_image_caption_tpu.generation.generator import GenerationConfig
+    from news_image_caption_tpu.training.checkpoint import CheckpointStore
+    from news_image_caption_tpu.training.train_step import create_train_state
+
+    cfg = load_config(args.param_path, args.overrides)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, args.split)
+    batch_size = cfg.get("iterator", {}).get("batch_size", 16)
+    gcfg_raw = cfg.get("generation", {})
+    gcfg = GenerationConfig(
+        max_len=gcfg_raw.get("max_len", 100),
+        sampling_topk=gcfg_raw.get("sampling_topk", 1),
+        sampling_temp=gcfg_raw.get("sampling_temp", 1.0),
+        beam_size=gcfg_raw.get("beam_size", 5))
+
+    sample = next(ds.batches(batch_size, shuffle=False))
+    params = model.init(jax.random.PRNGKey(0), sample)
+    serialization_dir = (cfg.get("trainer", {}).get("serialization_dir")
+                         or os.path.join(
+                             os.path.dirname(args.param_path) or ".",
+                             "serialization"))
+    ckpt_dir = os.path.join(serialization_dir, "checkpoints")
+    if os.path.isdir(ckpt_dir):
+        store = CheckpointStore(ckpt_dir)
+        tx = build_optimizer(cfg)
+        state = create_train_state(params, tx)
+        which = args.model_path or "best"
+        try:
+            state = store.load(state, which)
+            params = state.params
+        except FileNotFoundError:
+            print(f"warning: no checkpoint {which!r}; using random init",
+                  file=sys.stderr)
+
+    gen = jax.jit(lambda p, b: model.generate(p, b, gcfg))
+    out_path = os.path.join(serialization_dir,
+                            f"generations{args.suffix}.jsonl")
+    os.makedirs(serialization_dir, exist_ok=True)
+    bleu_s, cider_s, rouge_s = BleuScorer(4), CiderScorer(), RougeScorer()
+    n = 0
+    with open(out_path, "w") as f:
+        for batch in ds.batches(batch_size, shuffle=False):
+            tokens, _ = gen(params, batch)
+            tokens = np.asarray(tokens)
+            for b in range(tokens.shape[0]):
+                gen_ids = [int(t) for t in tokens[b]
+                           if int(t) not in (0, 1)]
+                gen_text = " ".join(f"w{t}" for t in gen_ids
+                                    if t != 2)
+                ref_text = ""
+                if hasattr(ds, "__getitem__"):
+                    pass  # dataset-specific reference text hookup below
+                cap = batch["caption_ids"][b]
+                ref_text = " ".join(
+                    f"w{int(t)}" for t in np.asarray(cap)
+                    if int(t) not in (0, 1, 2))
+                bleu_s += (gen_text, [ref_text])
+                cider_s += (gen_text, [ref_text])
+                rouge_s += (gen_text, [ref_text])
+                f.write(json.dumps({
+                    "generation": gen_text, "caption": ref_text}) + "\n")
+                n += 1
+    bleu_corpus, _ = bleu_s.compute_score()
+    cider_mean, _ = cider_s.compute_score()
+    rouge_mean, _ = rouge_s.compute_score()
+    metrics = {
+        "n_samples": n,
+        "bleu-1": bleu_corpus[0] * 100, "bleu-2": bleu_corpus[1] * 100,
+        "bleu-3": bleu_corpus[2] * 100, "bleu-4": bleu_corpus[3] * 100,
+        "cider": cider_mean, "rouge-l": rouge_mean * 100,
+    }
+    metrics_path = os.path.join(serialization_dir,
+                                f"evaluate-metrics{args.suffix}.json")
+    with open(metrics_path, "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

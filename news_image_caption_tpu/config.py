@@ -1,0 +1,104 @@
+"""YAML config + JSON overrides + component builders.
+
+Capability parity target: the reference's Gen-3 config system —
+YAML -> Params with JSON `--overrides` merge and string-keyed
+registries (/root/reference/ttl/tell/commands/train.py:50-77,
+__main__.py:1-103). Gen-1/2 argparse flag drivers map onto the same
+configs (opts.py:5-147 -> config dicts).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Any, Dict, Optional
+
+import yaml
+
+# Import for registration side effects.
+import news_image_caption_tpu.models  # noqa: F401
+import news_image_caption_tpu.data.dataset  # noqa: F401
+from news_image_caption_tpu.utils.registry import (DATASETS, DECODERS,
+                                                   MODELS)
+
+
+def load_config(path: str, overrides: Optional[str] = None) -> Dict:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    if overrides:
+        cfg = merge_overrides(cfg, json.loads(overrides))
+    return cfg
+
+
+def merge_overrides(cfg: Dict, overrides: Dict) -> Dict:
+    """Deep-merge `overrides` into `cfg` (dicts merge, scalars replace)."""
+    out = copy.deepcopy(cfg)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    merge(out, overrides)
+    return out
+
+
+def build_model(cfg: Dict):
+    """Construct a model from the `model:` config block."""
+    mcfg = copy.deepcopy(cfg["model"])
+    mtype = mcfg.pop("type")
+    model_cls = MODELS.get(mtype)
+    decoder_cfg = mcfg.pop("decoder", None)
+    if decoder_cfg is not None:
+        dtype_ = decoder_cfg.pop("type", "dynamic_conv_decoder_flattened")
+        decoder_cls = DECODERS.get(dtype_)
+        decoder = decoder_cls(**{k: _tupleize(v)
+                                 for k, v in decoder_cfg.items()})
+        return model_cls(decoder=decoder, **mcfg)
+    return model_cls(**mcfg)
+
+
+def build_dataset(cfg: Dict, split: str = "train"):
+    dcfg = copy.deepcopy(cfg.get("dataset", {"type": "synthetic_news"}))
+    dtype_ = dcfg.pop("type")
+    split_cfg = dcfg.pop(split, {})
+    for other in ("train", "val", "test"):
+        dcfg.pop(other, None)
+    dcfg.update(split_cfg)
+    return DATASETS.build(dtype_, **dcfg)
+
+
+def build_optimizer(cfg: Dict):
+    from news_image_caption_tpu.training import optim
+
+    ocfg = copy.deepcopy(cfg.get("trainer", {}).get(
+        "optimizer", {"type": "bert_adam"}))
+    otype = ocfg.pop("type")
+    if otype == "bert_adam":
+        return optim.make_bert_adam(
+            lr=ocfg.get("lr", 1e-4),
+            t_total=ocfg.get("t_total", 437600),
+            warmup=ocfg.get("warmup", 0.05),
+            b1=ocfg.get("b1", 0.9), b2=ocfg.get("b2", 0.98),
+            eps=ocfg.get("e", 1e-6),
+            weight_decay=ocfg.get("weight_decay", 1e-5),
+            max_grad_norm=ocfg.get("max_grad_norm", 0.1))
+    if otype == "noam":
+        return optim.noam_adam(
+            model_size=ocfg.get("model_size", 512),
+            factor=ocfg.get("factor", 1.0),
+            warmup=ocfg.get("warmup", 30000))
+    if otype == "gen1_adam":
+        return optim.gen1_adam(
+            lr=ocfg.get("lr", 5e-4),
+            decay_start=ocfg.get("decay_start", 0),
+            decay_every=ocfg.get("decay_every", 10000),
+            decay_rate=ocfg.get("decay_rate", 0.8),
+            grad_clip_value=ocfg.get("grad_clip", 0.1))
+    raise KeyError(f"unknown optimizer type {otype!r}")
+
+
+def _tupleize(v: Any) -> Any:
+    return tuple(v) if isinstance(v, list) else v

@@ -1,0 +1,107 @@
+"""Datasets: in-memory array store + synthetic news-caption data.
+
+The reference reads from MongoDB + HDF5 + JPEG dirs at *training time*
+(/root/reference/final/dataloader.py:78-141,
+ /root/reference/dataloader.py:57-371). TPU-first design materializes
+everything into array shards OFFLINE so the input pipeline never
+blocks on Python preprocessing (SURVEY.md §7 step 2); this module is
+the in-memory form of that contract plus a synthetic generator used
+by tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from news_image_caption_tpu.utils.registry import DATASETS
+
+
+@dataclass
+class Example:
+    caption_ids: List[int]
+    article_ids: Optional[List[int]] = None
+    image: Optional[np.ndarray] = None          # raw HWC uint8 or feats
+    image_feats: Optional[np.ndarray] = None    # [P, C]
+    article_feats: Optional[np.ndarray] = None  # [S, C]
+    caption_text: str = ""
+    metadata: Optional[Dict] = None
+
+
+@DATASETS.register("synthetic_news")
+class SyntheticNewsDataset:
+    """Random but deterministic caption/article/feature data.
+
+    Shapes mirror the flagship contract: image patches [P, image_dim],
+    article features [S, article_dim], RoBERTa-style caption ids
+    (bos=0, eos=2, pad=1).
+    """
+
+    def __init__(self, size: int = 256, vocab_size: int = 50265,
+                 caption_len: int = 32, article_len: int = 128,
+                 n_patches: int = 49, image_dim: int = 2048,
+                 article_dim: int = 1024, seed: int = 0):
+        self.size = size
+        self.vocab_size = vocab_size
+        self.caption_len = caption_len
+        self.article_len = article_len
+        self.n_patches = n_patches
+        self.image_dim = image_dim
+        self.article_dim = article_dim
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.size
+
+    def __getitem__(self, idx: int) -> Example:
+        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        cap_lo = min(5, self.caption_len - 1)
+        cap_len = int(rng.integers(cap_lo, self.caption_len))
+        body = rng.integers(4, self.vocab_size, size=max(cap_len - 2, 1))
+        caption = [0] + body.tolist() + [2]
+        art_lo = min(4, self.article_len - 1)
+        art_len = int(rng.integers(art_lo, self.article_len))
+        return Example(
+            caption_ids=caption,
+            image_feats=rng.standard_normal(
+                (self.n_patches, self.image_dim)).astype(np.float32),
+            article_feats=rng.standard_normal(
+                (art_len, self.article_dim)).astype(np.float32),
+            caption_text=" ".join(f"w{t}" for t in body),
+            metadata={"index": idx},
+        )
+
+    def batches(self, batch_size: int, shuffle: bool = True,
+                seed: int = 0, drop_last: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(self.size)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for s in range(0, self.size - batch_size + 1, batch_size):
+            idxs = order[s:s + batch_size]
+            yield self.collate([self[int(i)] for i in idxs])
+
+    def collate(self, examples: List[Example]) -> Dict[str, np.ndarray]:
+        B = len(examples)
+        cap = np.full((B, self.caption_len), 1, np.int32)
+        art = np.zeros((B, self.article_len, self.article_dim), np.float32)
+        art_mask = np.ones((B, self.article_len), bool)
+        img = np.zeros((B, self.n_patches, self.image_dim), np.float32)
+        for i, ex in enumerate(examples):
+            n = min(len(ex.caption_ids), self.caption_len)
+            cap[i, :n] = ex.caption_ids[:n]
+            s = min(ex.article_feats.shape[0], self.article_len)
+            art[i, :s] = ex.article_feats[:s]
+            art_mask[i, :s] = False
+            img[i] = ex.image_feats
+        return {
+            "caption_ids": cap,
+            "image": img,
+            "image_mask": np.zeros((B, self.n_patches), bool),
+            "article": art,
+            "article_mask": art_mask,
+        }

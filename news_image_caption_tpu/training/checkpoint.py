@@ -1,0 +1,108 @@
+"""Checkpoint store: latest/best/keep-N with metadata, msgpack format.
+
+Capability parity targets (the reference's three resume schemas,
+SURVEY.md §5):
+1. Gen-1: model/optimizer + infos pickle (iter, epoch, best score)
+   + model-best on metric improvement (/root/reference/train.py:235-269)
+2. Gen-2: latest.pt + best.pt + scheduler + epoch info + fast-forward
+   resume (/root/reference/final_roberta/custom_v4.py:455-530)
+3. Gen-3: AllenNLP checkpointer, num_serialized_models_to_keep,
+   best.th (/root/reference/ttl/expt/.../config.yaml:156-158)
+
+One store covers all three: `save(state, metrics)` writes
+step-numbered checkpoints + json metadata, tracks the best metric,
+retains the newest N, and `load('latest'|'best'|step)` restores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+class CheckpointStore:
+    def __init__(self, directory: str, keep: int = 10,
+                 best_metric: str = "loss", maximize: bool = False):
+        self.dir = directory
+        self.keep = keep
+        self.best_metric = best_metric
+        self.maximize = maximize
+        os.makedirs(directory, exist_ok=True)
+        self._meta_path = os.path.join(directory, "meta.json")
+        self.meta: Dict[str, Any] = {"checkpoints": [], "best": None}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.meta = json.load(f)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.dir, f"ckpt_{step}.msgpack")
+
+    def _write_meta(self):
+        with open(self._meta_path, "w") as f:
+            json.dump(self.meta, f, indent=1)
+
+    def save(self, state: Any, step: int,
+             metrics: Optional[Dict[str, float]] = None) -> str:
+        # Pull to host before serializing (works for sharded arrays).
+        host_state = jax.tree.map(np.asarray, state)
+        path = self._path(step)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(host_state))
+        entry = {"step": step, "metrics": metrics or {}}
+        self.meta["checkpoints"] = [
+            c for c in self.meta["checkpoints"] if c["step"] != step
+        ] + [entry]
+        # Track best.
+        val = (metrics or {}).get(self.best_metric)
+        if val is not None:
+            best = self.meta.get("best")
+            better = (best is None
+                      or (val > best["value"] if self.maximize
+                          else val < best["value"]))
+            if better:
+                self.meta["best"] = {"step": step, "value": float(val)}
+                best_path = os.path.join(self.dir, "best.msgpack")
+                with open(best_path, "wb") as f:
+                    f.write(serialization.to_bytes(host_state))
+        # Retention: keep newest N (never deleting the best step's file).
+        ckpts = sorted(self.meta["checkpoints"], key=lambda c: c["step"])
+        while len(ckpts) > self.keep:
+            victim = ckpts.pop(0)
+            p = self._path(victim["step"])
+            if os.path.exists(p):
+                os.remove(p)
+        self.meta["checkpoints"] = ckpts
+        self._write_meta()
+        return path
+
+    def latest_step(self) -> Optional[int]:
+        if not self.meta["checkpoints"]:
+            return None
+        return max(c["step"] for c in self.meta["checkpoints"])
+
+    def load(self, target: Any, which: Any = "latest") -> Any:
+        """Restore into the pytree structure of `target`.
+
+        which: 'latest', 'best', or an int step.
+        """
+        if which == "latest":
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints in {self.dir}")
+            path = self._path(step)
+        elif which == "best":
+            path = os.path.join(self.dir, "best.msgpack")
+        else:
+            path = self._path(int(which))
+        with open(path, "rb") as f:
+            return serialization.from_bytes(target, f.read())
+
+    def best_value(self) -> Optional[float]:
+        b = self.meta.get("best")
+        return None if b is None else b["value"]

@@ -1,0 +1,148 @@
+"""Training loop with validation/checkpoint/patience callbacks.
+
+Capability parity target: Gen-3 CallbackApexTrainer
+(/root/reference/ttl/tell/training/callback_apex_trainer.py:51-375):
+per-epoch train + validate, checkpoint callback with keep-N, metric
+tracking with patience early-stop, NaN-loss batch skip, tensorboard-
+style scalar logging (here: jsonl metrics sink), recover-from-latest.
+
+apex AMP is unnecessary on TPU — bf16 is handled by the model dtype
+policy; the whole step is one fused XLA program.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from news_image_caption_tpu.training.checkpoint import CheckpointStore
+from news_image_caption_tpu.training.train_step import (
+    TrainState, make_eval_step, make_train_step)
+from news_image_caption_tpu.utils.logging import setup_logger
+
+
+@dataclass
+class TrainerConfig:
+    num_epochs: int = 10
+    patience: Optional[int] = None          # epochs without val improvement
+    keep_checkpoints: int = 10
+    validation_metric: str = "loss"         # on val set
+    maximize_metric: bool = False
+    log_every: int = 40
+    serialization_dir: str = "runs/default"
+    skip_nan_batches: bool = True           # ref: trainer :225-227
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, loss_fn: Callable, tx, config: TrainerConfig,
+                 eval_loss_fn: Optional[Callable] = None):
+        self.config = config
+        self.tx = tx
+        self.train_step = make_train_step(loss_fn, tx, donate=False)
+        self.eval_step = make_eval_step(eval_loss_fn or loss_fn)
+        self.store = CheckpointStore(
+            os.path.join(config.serialization_dir, "checkpoints"),
+            keep=config.keep_checkpoints,
+            best_metric=config.validation_metric,
+            maximize=config.maximize_metric)
+        self.logger = setup_logger("trainer")
+        self._metrics_path = os.path.join(
+            config.serialization_dir, "metrics.jsonl")
+        os.makedirs(config.serialization_dir, exist_ok=True)
+
+    def _log_metrics(self, record: Dict[str, Any]):
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def train(self, state: TrainState,
+              train_batches: Callable[[int], Iterable],
+              val_batches: Optional[Callable[[int], Iterable]] = None,
+              recover: bool = False) -> TrainState:
+        """train_batches(epoch) -> iterable of device-ready batches."""
+        cfg = self.config
+        start_epoch = 0
+        if recover:
+            step = self.store.latest_step()
+            if step is not None:
+                state = self.store.load(state, "latest")
+                start_epoch = int(
+                    next((c["metrics"].get("epoch", 0)
+                          for c in self.store.meta["checkpoints"]
+                          if c["step"] == step), 0))
+                self.logger.info("recovered step=%s epoch=%s",
+                                 step, start_epoch)
+        rng = jax.random.PRNGKey(cfg.seed)
+        best = self.store.best_value()
+        epochs_since_best = 0
+
+        for epoch in range(start_epoch, cfg.num_epochs):
+            t_epoch = time.time()
+            n_tokens = 0
+            n_batches = 0
+            last_log = time.time()
+            for batch in train_batches(epoch):
+                state, metrics = self.train_step(state, batch, rng)
+                loss = float(metrics["loss"])
+                if cfg.skip_nan_batches and not math.isfinite(loss):
+                    self.logger.warning("skipping NaN/inf loss batch at "
+                                        "step %d", int(state.step))
+                    continue
+                n_batches += 1
+                n_tokens += int(metrics.get("sample_size", 0))
+                if n_batches % cfg.log_every == 0:
+                    dt = time.time() - last_log
+                    last_log = time.time()
+                    self.logger.info(
+                        "epoch %d step %d loss %.4f (%.1f tok/s)",
+                        epoch, int(state.step), loss,
+                        n_tokens / max(time.time() - t_epoch, 1e-9))
+                    self._log_metrics({
+                        "epoch": epoch, "step": int(state.step),
+                        "loss": loss, "split": "train"})
+            # Validation.
+            val_metrics: Dict[str, float] = {}
+            if val_batches is not None:
+                val_metrics = self.evaluate(state.params,
+                                            val_batches(epoch))
+                self._log_metrics({"epoch": epoch,
+                                   "step": int(state.step),
+                                   "split": "val", **val_metrics})
+                self.logger.info("epoch %d val %s", epoch, val_metrics)
+            ckpt_metrics = {"epoch": epoch + 1, **val_metrics}
+            self.store.save(state, int(state.step), ckpt_metrics)
+            # Patience tracking on the validation metric.
+            if cfg.patience is not None and val_metrics:
+                val = val_metrics.get(cfg.validation_metric)
+                improved = (best is None or
+                            (val > best if cfg.maximize_metric
+                             else val < best))
+                if improved:
+                    best = val
+                    epochs_since_best = 0
+                else:
+                    epochs_since_best += 1
+                    if epochs_since_best >= cfg.patience:
+                        self.logger.info(
+                            "early stop: no %s improvement in %d epochs",
+                            cfg.validation_metric, cfg.patience)
+                        break
+        return state
+
+    def evaluate(self, params, batches: Iterable) -> Dict[str, float]:
+        total_loss, total_size, n = 0.0, 0, 0
+        for batch in batches:
+            m = self.eval_step(params, batch)
+            size = int(m.get("sample_size", 1))
+            total_loss += float(m["loss"]) * size
+            total_size += size
+            n += 1
+        return {"loss": total_loss / max(total_size, 1),
+                "n_batches": n}

@@ -1,0 +1,117 @@
+"""Data layer: vocab, BPE round-trips, collation, loader."""
+
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.data.bpe import ByteBPE, RobertaBPE
+from news_image_caption_tpu.data.collate import (collate_captions,
+                                                 make_causal_pad_mask)
+from news_image_caption_tpu.data.dataset import SyntheticNewsDataset
+from news_image_caption_tpu.data.loader import DeviceLoader
+from news_image_caption_tpu.data.vocabulary import WordVocab
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a news photo shows people at a rally in the city",
+    "the mayor spoke to reporters on tuesday afternoon",
+    "protesters gathered outside the court house today",
+]
+
+
+def test_word_vocab_roundtrip():
+    v = WordVocab.build(CORPUS, min_count=1)
+    ids = v.encode("the mayor spoke")
+    assert ids[0] == v.start_id and ids[-1] == v.end_id
+    assert v.decode(ids) == "the mayor spoke"
+
+
+def test_word_vocab_unk_and_threshold():
+    v = WordVocab.build(CORPUS, min_count=2)   # only words seen twice
+    ids = v.encode("zebra", add_specials=False)
+    assert ids == [v.unk_id]
+    assert "the" in v.word2idx and "zebra" not in v.word2idx
+
+
+def test_word_vocab_save_load(tmp_path):
+    v = WordVocab.build(CORPUS)
+    p = str(tmp_path / "vocab.json")
+    v.save(p)
+    v2 = WordVocab.load(p)
+    assert v2.word2idx == v.word2idx
+
+
+def test_bpe_roundtrip():
+    bpe = ByteBPE.train(CORPUS, num_merges=50)
+    for text in CORPUS + ["unseen words zyx!", "CamelCase, punct. 123"]:
+        ids = bpe.encode(text)
+        assert bpe.decode(ids) == text
+
+
+def test_bpe_merges_reduce_length():
+    bpe0 = ByteBPE.train(CORPUS, num_merges=0)
+    bpe50 = ByteBPE.train(CORPUS, num_merges=50)
+    t = CORPUS[0]
+    assert len(bpe50.encode(t)) < len(bpe0.encode(t))
+
+
+def test_roberta_bpe_specials():
+    tok = RobertaBPE(ByteBPE.train(CORPUS, num_merges=30), max_len=16)
+    ids = tok.encode("the mayor spoke")
+    assert ids[0] == 0 and ids[-1] == 2
+    assert len(ids) <= 16
+    assert tok.decode(ids) == "the mayor spoke"
+
+
+def test_collate_shapes_and_masks():
+    batch = collate_captions(
+        captions=[[0, 5, 6, 2], [0, 7, 2]], caption_len=6,
+        articles=[[10, 11, 12], [13]], article_len=5, pad_id=1)
+    assert batch["caption_ids"].shape == (2, 6)
+    np.testing.assert_array_equal(batch["caption_ids"][1],
+                                  [0, 7, 2, 1, 1, 1])
+    # article_mask: True = pad
+    np.testing.assert_array_equal(batch["article_mask"][1],
+                                  [False, True, True, True, True])
+    assert int(batch["ntokens"]) == (3 - 1) + (2 - 1) + 2  # non-pad shifted
+
+
+def test_causal_pad_mask():
+    ids = np.array([[5, 6, 1]])
+    m = make_causal_pad_mask(ids, pad_id=1)
+    assert m.shape == (1, 3, 3)
+    assert m[0, 0, 0] and not m[0, 0, 1]       # causal
+    assert not m[0, 2, 2]                      # pad column blocked
+
+
+def test_synthetic_dataset_batches_deterministic():
+    ds = SyntheticNewsDataset(size=32, vocab_size=100, caption_len=12,
+                              article_len=16, n_patches=4, image_dim=8,
+                              article_dim=6)
+    b1 = next(ds.batches(batch_size=4, seed=1))
+    b2 = next(ds.batches(batch_size=4, seed=1))
+    np.testing.assert_array_equal(b1["caption_ids"], b2["caption_ids"])
+    assert b1["image"].shape == (4, 4, 8)
+    assert b1["article"].shape == (4, 16, 6)
+
+
+def test_device_loader_prefetch():
+    ds = SyntheticNewsDataset(size=16, vocab_size=50, caption_len=8,
+                              article_len=8, n_patches=2, image_dim=4,
+                              article_dim=4)
+    loader = DeviceLoader(ds.batches(batch_size=4), prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    import jax
+    assert isinstance(batches[0]["caption_ids"], jax.Array)
+
+
+def test_device_loader_propagates_errors():
+    def bad_gen():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("boom")
+
+    loader = DeviceLoader(bad_gen())
+    it = iter(loader)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)

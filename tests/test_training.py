@@ -1,0 +1,129 @@
+"""Checkpoint store, trainer loop, config system, CLI end-to-end."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.config import (build_dataset, build_model,
+                                           build_optimizer, load_config,
+                                           merge_overrides)
+from news_image_caption_tpu.training.checkpoint import CheckpointStore
+from news_image_caption_tpu.training.optim import (noam_schedule,
+                                                   warmup_linear_schedule)
+
+TINY = os.path.join(os.path.dirname(__file__), "..", "configs",
+                    "tiny_test.yaml")
+
+
+def test_warmup_linear_schedule():
+    s = warmup_linear_schedule(lr=1.0, t_total=100, warmup=0.1)
+    assert float(s(0)) == 0.0
+    assert float(s(5)) == pytest.approx(0.5)       # ramp x/warmup
+    # original warmup_linear switches to 1-x at the boundary
+    assert float(s(10)) == pytest.approx(0.9)
+    assert float(s(55)) == pytest.approx(0.45)     # linear decay 1-x
+    assert float(s(100)) == pytest.approx(0.0)
+
+
+def test_noam_schedule_peak_at_warmup():
+    s = noam_schedule(model_size=512, warmup=100)
+    vals = [float(s(t)) for t in [1, 50, 100, 200, 400]]
+    assert vals.index(max(vals)) == 2              # peak at warmup
+
+
+def test_checkpoint_save_load_best_and_retention(tmp_path):
+    store = CheckpointStore(str(tmp_path), keep=2, best_metric="loss")
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(0)}
+    store.save(state, 1, {"loss": 5.0})
+    store.save({"w": jnp.ones(4) * 2, "step": jnp.asarray(2)}, 2,
+               {"loss": 3.0})
+    store.save({"w": jnp.ones(4) * 3, "step": jnp.asarray(3)}, 3,
+               {"loss": 4.0})
+    # retention: keep=2 -> step 1 file deleted
+    assert store.latest_step() == 3
+    assert not os.path.exists(os.path.join(str(tmp_path),
+                                           "ckpt_1.msgpack"))
+    # best is step 2 (loss 3.0)
+    best = store.load(state, "best")
+    np.testing.assert_allclose(np.asarray(best["w"]), 2.0)
+    latest = store.load(state, "latest")
+    np.testing.assert_allclose(np.asarray(latest["w"]), 3.0)
+
+
+def test_config_load_and_overrides():
+    cfg = load_config(TINY)
+    assert cfg["model"]["decoder"]["embed_dim"] == 16
+    cfg2 = merge_overrides(cfg, {"model": {"decoder": {"embed_dim": 8}},
+                                 "iterator": {"batch_size": 2}})
+    assert cfg2["model"]["decoder"]["embed_dim"] == 8
+    assert cfg2["iterator"]["batch_size"] == 2
+    assert cfg["model"]["decoder"]["embed_dim"] == 16  # original intact
+
+
+def test_build_model_and_train_from_config(tmp_path):
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss_fn(params, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_trainer_end_to_end_with_recover(tmp_path):
+    from news_image_caption_tpu.data.loader import DeviceLoader
+    from news_image_caption_tpu.training.train_step import \
+        create_train_state
+    from news_image_caption_tpu.training.trainer import (Trainer,
+                                                         TrainerConfig)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    train_ds = build_dataset(cfg, "train")
+    val_ds = build_dataset(cfg, "val")
+    tx = build_optimizer(cfg)
+    batch = next(train_ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    state = create_train_state(params, tx)
+
+    tconf = TrainerConfig(num_epochs=2, serialization_dir=str(tmp_path),
+                          log_every=4)
+    trainer = Trainer(model.loss_fn, tx, tconf)
+    state = trainer.train(
+        state,
+        lambda e: DeviceLoader(train_ds.batches(4, seed=e)),
+        lambda e: DeviceLoader(val_ds.batches(4, shuffle=False)))
+    assert int(state.step) == 2 * (32 // 4)
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoints",
+                                       "meta.json"))
+    # Recover restores step count and continues.
+    state2 = create_train_state(params, tx)
+    trainer2 = Trainer(model.loss_fn, tx, tconf)
+    state2 = trainer2.train(
+        state2,
+        lambda e: DeviceLoader(train_ds.batches(4, seed=e)),
+        recover=True)
+    assert int(state2.step) >= int(state.step)
+
+
+def test_cli_evaluate_writes_generations(tmp_path):
+    import shutil
+
+    from news_image_caption_tpu.cli import main
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    shutil.copy(TINY, cfg_path)
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    ser = tmp_path / "serialization"
+    gens = (ser / "generations.jsonl").read_text().strip().split("\n")
+    assert len(gens) == 8
+    rec = json.loads(gens[0])
+    assert "generation" in rec and "caption" in rec
+    metrics = json.loads((ser / "evaluate-metrics.json").read_text())
+    assert "bleu-4" in metrics and "cider" in metrics
