@@ -36,6 +36,10 @@ class GenerationConfig:
     sampling_temp: float = 1.0
     beam_size: int = 5
     length_penalty: float = 1.0
+    # Mark sequences whose SEED equals eos as already finished. Gen-1
+    # models use token 0 as both <bos> input and <eos> output, so they
+    # set this False.
+    init_finished: bool = True
 
 
 def generate(step_fn: Callable, init_caches, seed: jax.Array,
@@ -52,7 +56,10 @@ def generate(step_fn: Callable, init_caches, seed: jax.Array,
         rng = jax.random.PRNGKey(0)
     tokens0 = jnp.full((B, config.max_len + 1), config.pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(seed)
-    finished0 = seed == config.eos_id
+    if config.init_finished:
+        finished0 = seed == config.eos_id
+    else:
+        finished0 = jnp.zeros((B,), bool)
 
     def body(carry, i):
         cur, finished, caches, key = carry
@@ -81,11 +88,14 @@ def generate(step_fn: Callable, init_caches, seed: jax.Array,
 
 
 def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
-                config: GenerationConfig) -> Tuple[jax.Array, jax.Array]:
+                config: GenerationConfig,
+                cache_batch_axis: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search with the beam folded into the batch dim.
 
     step_fn operates on a flat [B*beam] batch; `init_caches` must
     already be sized for B*beam (tile the contexts/KV before calling).
+    `cache_batch_axis` is the axis of every cache leaf that carries the
+    flat batch (Gen-1 LSTM states are [layers, B, H] -> axis 1).
     Returns (tokens [B, beam, max_len+1], scores [B, beam]) sorted
     best-first.
     """
@@ -118,7 +128,9 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
         # Gather beam state from source beams.
         flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
         tokens = tokens[flat_src]
-        caches = jax.tree.map(lambda c: c[flat_src], caches)
+        caches = jax.tree.map(
+            lambda c: jnp.take(c, flat_src, axis=cache_batch_axis),
+            caches)
         finished = finished[flat_src]
         tok_flat = tok.reshape(-1)
         tokens = tokens.at[:, i + 1].set(tok_flat)

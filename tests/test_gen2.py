@@ -1,0 +1,128 @@
+"""Gen-2 transformer family: norms, masks, incremental parity, training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.models.gen2 import (Gen2Captioner,
+                                                Gen2LayerNorm,
+                                                Gen2Transformer,
+                                                label_smoothing_loss)
+
+V, D = 50, 16
+
+
+def tiny_model(**kw):
+    kw.setdefault("vocab_size", V)
+    kw.setdefault("d_model", D)
+    kw.setdefault("d_ff", 32)
+    kw.setdefault("num_heads", 4)
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("img_dim", 12)
+    kw.setdefault("sent_dim", 10)
+    kw.setdefault("max_len", 32)
+    return Gen2Captioner(Gen2Transformer(**kw))
+
+
+def tiny_batch(B=2, T=9, P=4, S=6, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 4)
+    cap = jax.random.randint(ks[0], (B, T), 3, V)
+    cap = cap.at[:, 0].set(1).at[:, -1].set(0)   # <start>=1, pad=0
+    art_mask = jnp.zeros((B, S), bool).at[:, -2:].set(True)
+    return {
+        "caption_ids": cap,
+        "image": jax.random.normal(ks[1], (B, P, 12)),
+        "article": jax.random.normal(ks[2], (B, S, 10)),
+        "article_mask": art_mask,
+    }
+
+
+def test_gen2_layernorm_matches_torch_semantics():
+    import torch
+    x = np.random.default_rng(0).standard_normal((3, 8)).astype(np.float32)
+    ln = Gen2LayerNorm()
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(ln.apply(params, jnp.asarray(x)))
+    # torch reference: a*(x-mean)/(std+eps)+b with unbiased std
+    t = torch.tensor(x)
+    expected = ((t - t.mean(-1, keepdim=True))
+                / (t.std(-1, keepdim=True) + 1e-6)).numpy()
+    np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+def test_label_smoothing_loss_zero_smoothing_is_ce():
+    lp = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(0), (4, 7)), -1)
+    tgt = jnp.array([1, 2, 0, 3])   # one pad (id 0)
+    loss, n = label_smoothing_loss(lp, tgt, pad_id=0, smoothing=0.0)
+    manual = -(lp[0, 1] + lp[1, 2] + lp[3, 3])
+    np.testing.assert_allclose(float(loss), float(manual), rtol=1e-6)
+    assert int(n) == 3
+
+
+def test_loss_and_train_decreases():
+    import optax
+    model = tiny_model()
+    batch = tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o, rng):
+        (l, _), g = jax.value_and_grad(model.loss_fn, has_aux=True)(
+            p, batch, rng)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    p, rng = params, jax.random.PRNGKey(1)
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        p, opt, l = step(p, opt, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_incremental_matches_teacher_forced():
+    model = tiny_model()
+    batch = tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    mod = model.module
+    memory = model._memory(batch)
+    src_masks = model._src_masks(batch)
+    tgt = batch["caption_ids"][:, :-1]
+    full = mod.apply(params, memory, tgt, src_masks=src_masks,
+                     method=Gen2Transformer.log_probs)
+    B, T = tgt.shape
+    kvs = mod.apply(params, memory, method=Gen2Transformer.precompute_kv)
+    caches = mod.init_cache(B, T)
+    for t in range(T):
+        lp, caches = mod.apply(params, tgt[:, t], t, kvs, caches,
+                               src_masks, method=Gen2Transformer.step)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(full[:, t]),
+                                   atol=2e-4)
+
+
+def test_greedy_generation():
+    model = tiny_model()
+    batch = tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=10, bos_id=1, eos_id=2, pad_id=0,
+                           sampling_topk=1)
+    tokens, lps = model.generate(params, batch, cfg)
+    assert tokens.shape == (2, 11)
+    assert (np.asarray(tokens[:, 0]) == 1).all()
+
+
+def test_article_padding_ignored():
+    model = tiny_model()
+    batch = tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    l1, _ = model.loss_fn(params, batch)
+    batch2 = dict(batch)
+    batch2["article"] = batch["article"].at[:, -2:].set(99.0)
+    l2, _ = model.loss_fn(params, batch2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
