@@ -1,0 +1,103 @@
+"""End-to-end Gen-3 pipeline: raw image + article ids -> caption.
+
+Capability parity target: TransformerFlattenedModel._forward
+(/root/reference/ttl/tell/models/transformer_flattened.py:166-238):
+ResNet-152 patches (49x2048) + RoBERTa article hiddens (optionally
+25-layer weighted sum) -> contexts dict -> decoder.
+
+Both encoders are frozen (reference `no_grad: ^resnet ^roberta`), so
+`encode` runs under stop_gradient and can be jitted separately from
+the train step (features can also be precomputed offline — the
+fastest production path; see data/dataset.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.models.captioner import TransformerFlattened
+from news_image_caption_tpu.models.resnet import ResNetTrunk
+from news_image_caption_tpu.models.roberta import (RobertaEncoder,
+                                                   WeightedSumFeatures)
+from news_image_caption_tpu.utils.registry import MODELS
+
+
+@MODELS.register("gen3_pipeline")
+class Gen3Pipeline:
+    """ResNet + RoBERTa encoders feeding the flagship captioner."""
+
+    def __init__(self,
+                 captioner: Optional[TransformerFlattened] = None,
+                 resnet: Optional[ResNetTrunk] = None,
+                 roberta: Optional[RobertaEncoder] = None,
+                 weigh_bert: bool = False,
+                 **decoder_kwargs):
+        self.captioner = captioner or TransformerFlattened(
+            **decoder_kwargs)
+        self.resnet = resnet or ResNetTrunk(depth=152, num_stages=4)
+        self.roberta = roberta or RobertaEncoder()
+        self.weigh_bert = weigh_bert
+        self.weighted_sum = WeightedSumFeatures(
+            num_layers=(self.roberta.num_layers + 1)) if weigh_bert \
+            else None
+        self.article_pad = self.roberta.padding_idx
+
+    def init(self, rng, batch):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        variables = {
+            "resnet": self.resnet.init(r1, batch["image"]),
+            "roberta": self.roberta.init(r2, batch["article_ids"]),
+        }
+        ctx = self.encode(variables, batch)
+        if self.weigh_bert:
+            # weighted-sum params initialized on the hiddens
+            _, hiddens = self.roberta.apply(variables["roberta"],
+                                            batch["article_ids"])
+            variables["weighted_sum"] = self.weighted_sum.init(
+                r4, hiddens)
+            ctx = self.encode(variables, batch)
+        dec_batch = {**ctx, "caption_ids": batch["caption_ids"]}
+        variables["captioner"] = self.captioner.init(r3, dec_batch)
+        return variables
+
+    def encode(self, variables, batch) -> Dict[str, jax.Array]:
+        """Frozen encoders -> contexts dict (stop-gradient)."""
+        patches = self.resnet.apply(variables["resnet"], batch["image"],
+                                    method=ResNetTrunk.patches)
+        last, hiddens = self.roberta.apply(variables["roberta"],
+                                           batch["article_ids"])
+        if self.weigh_bert and "weighted_sum" in variables:
+            article = self.weighted_sum.apply(variables["weighted_sum"],
+                                              hiddens)
+        else:
+            article = last
+        B, P, _ = patches.shape
+        return {
+            "image": jax.lax.stop_gradient(patches),
+            "image_mask": jnp.zeros((B, P), bool),
+            "article": jax.lax.stop_gradient(article),
+            "article_mask": batch["article_ids"] == self.article_pad,
+        }
+
+    def loss_fn(self, variables, batch, dropout_rng=None):
+        ctx = self.encode(variables, batch)
+        dec_batch = {**ctx, "caption_ids": batch["caption_ids"]}
+        return self.captioner.loss_fn(variables["captioner"], dec_batch,
+                                      dropout_rng)
+
+    def generate(self, variables, batch,
+                 config: GenerationConfig = GenerationConfig(),
+                 rng=None):
+        ctx = self.encode(variables, batch)
+        return self.captioner.generate(variables["captioner"], ctx,
+                                       config, rng)
+
+    def generate_beam(self, variables, batch,
+                      config: GenerationConfig = GenerationConfig()):
+        ctx = self.encode(variables, batch)
+        return self.captioner.generate_beam(variables["captioner"], ctx,
+                                            config)
