@@ -59,12 +59,19 @@ class TransformerFlattened:
 
     @staticmethod
     def _contexts(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-        return {
+        ctx = {
             "image": batch["image"],
             "image_mask": batch.get("image_mask"),
             "article": batch["article"],
             "article_mask": batch.get("article_mask"),
         }
+        # Extra contexts for the faces/objects/entity variants
+        # (transformer_faces.py:21, transformer_faces_objects.py:22).
+        for extra in ("faces", "obj", "entity"):
+            if extra in batch:
+                ctx[extra] = batch[extra]
+                ctx[f"{extra}_mask"] = batch.get(f"{extra}_mask")
+        return ctx
 
     # -- training ------------------------------------------------------
     def loss_fn(self, params, batch: Dict[str, jax.Array],

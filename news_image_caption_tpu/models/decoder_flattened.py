@@ -37,10 +37,9 @@ from news_image_caption_tpu.utils.registry import DECODERS
 Dtype = Any
 
 
-class LayerKV(NamedTuple):
-    """Per-layer precomputed cross-attention K/V."""
-    image: AttentionKV
-    article: AttentionKV
+# Per-layer precomputed cross-attention K/V, keyed by context name
+# (e.g. {"image": AttentionKV, "article": ..., "faces": ..., "obj": ...}).
+LayerKV = Dict[str, AttentionKV]
 
 
 class SumEmbedder(nn.Module):
@@ -89,8 +88,11 @@ class DynamicConvDecoderLayer(nn.Module):
     kernel_size: int
     num_heads: int
     ffn_dim: int
-    image_dim: int = 2048
-    article_dim: int = 1024
+    # (name, kv_dim) per attended context; fusion concat follows this
+    # order (parity: decoder_flattened.py:249-263 for 2 contexts,
+    # decoder_faces_objects.py:252-276 for 4).
+    context_specs: Tuple[Tuple[str, int], ...] = (("image", 2048),
+                                                  ("article", 1024))
     conv_type: str = "dynamic"          # or 'lightweight'
     decoder_glu: bool = True
     weight_softmax: bool = True
@@ -118,18 +120,16 @@ class DynamicConvDecoderLayer(nn.Module):
                                      param_dtype=self.param_dtype,
                                      name="linear2")
         self.conv_layer_norm = nn.LayerNorm(name="conv_layer_norm")
-        self.image_attn = MultiHeadAttention(
-            embed_dim=self.embed_dim, num_heads=self.num_heads,
-            kdim=self.image_dim, vdim=self.image_dim,
-            dropout=self.attention_dropout, param_dtype=self.param_dtype,
-            name="image_attn")
-        self.image_attn_ln = nn.LayerNorm(name="image_attn_ln")
-        self.article_attn = MultiHeadAttention(
-            embed_dim=self.embed_dim, num_heads=self.num_heads,
-            kdim=self.article_dim, vdim=self.article_dim,
-            dropout=self.attention_dropout, param_dtype=self.param_dtype,
-            name="article_attn")
-        self.article_attn_ln = nn.LayerNorm(name="article_attn_ln")
+        attns, lns = {}, {}
+        for cname, cdim in self.context_specs:
+            attns[cname] = MultiHeadAttention(
+                embed_dim=self.embed_dim, num_heads=self.num_heads,
+                kdim=cdim, vdim=cdim,
+                dropout=self.attention_dropout,
+                param_dtype=self.param_dtype, name=f"{cname}_attn")
+            lns[cname] = nn.LayerNorm(name=f"{cname}_attn_ln")
+        self.context_attns = attns
+        self.context_attn_lns = lns
         self.context_fc = GehringLinear(self.embed_dim,
                                         param_dtype=self.param_dtype,
                                         name="context_fc")
@@ -145,14 +145,13 @@ class DynamicConvDecoderLayer(nn.Module):
         return x
 
     def precompute_kv(self, contexts: Dict[str, jax.Array]) -> LayerKV:
-        """Project image/article K/V once for the whole sequence/decode."""
-        return LayerKV(
-            image=self.image_attn.precompute_kv(
-                contexts["image"], contexts["image"],
-                contexts.get("image_mask")),
-            article=self.article_attn.precompute_kv(
-                contexts["article"], contexts["article"],
-                contexts.get("article_mask")))
+        """Project each context's K/V once per sequence/decode."""
+        return {
+            cname: self.context_attns[cname].precompute_kv(
+                contexts[cname], contexts[cname],
+                contexts.get(f"{cname}_mask"))
+            for cname, _ in self.context_specs
+        }
 
     def _drop(self, x, rate, deterministic):
         if rate > 0.0 and not deterministic:
@@ -176,25 +175,20 @@ class DynamicConvDecoderLayer(nn.Module):
     def _contexts_block(self, x, kv: LayerKV, deterministic,
                         need_attn: bool = False):
         residual = x
-        x_image = self._maybe_ln(self.image_attn_ln, x, before=True)
-        x_image, attn_img = self.image_attn.attend(
-            x_image, kv.image, deterministic=deterministic,
-            need_weights=need_attn)
-        x_image = self._drop(x_image, self.dropout, deterministic)
-        x_image = residual + x_image
-        x_image = self._maybe_ln(self.image_attn_ln, x_image, before=False)
-
-        x_article = self._maybe_ln(self.article_attn_ln, x, before=True)
-        x_article, attn_art = self.article_attn.attend(
-            x_article, kv.article, deterministic=deterministic,
-            need_weights=need_attn)
-        x_article = self._drop(x_article, self.dropout, deterministic)
-        x_article = residual + x_article
-        x_article = self._maybe_ln(self.article_attn_ln, x_article,
-                                   before=False)
-
-        x = self.context_fc(jnp.concatenate([x_image, x_article], axis=-1))
-        return x, {"image": attn_img, "article": attn_art}
+        parts, attns = [], {}
+        for cname, _ in self.context_specs:
+            ln = self.context_attn_lns[cname]
+            xc = self._maybe_ln(ln, x, before=True)
+            xc, attn = self.context_attns[cname].attend(
+                xc, kv[cname], deterministic=deterministic,
+                need_weights=need_attn)
+            xc = self._drop(xc, self.dropout, deterministic)
+            xc = residual + xc
+            xc = self._maybe_ln(ln, xc, before=False)
+            parts.append(xc)
+            attns[cname] = attn
+        x = self.context_fc(jnp.concatenate(parts, axis=-1))
+        return x, attns
 
     def _ffn_block(self, x, deterministic):
         residual = x
@@ -252,6 +246,9 @@ class DynamicConvDecoder(nn.Module):
     conv_dim: Optional[int] = None
     image_dim: int = 2048
     article_dim: int = 1024
+    # Additional attended contexts, e.g. (("faces", 512), ("obj", 1024))
+    # for the faces/objects variants (decoder_faces_objects.py:252-276).
+    extra_contexts: Tuple[Tuple[str, int], ...] = ()
     conv_type: str = "dynamic"
     decoder_glu: bool = True
     weight_softmax: bool = True
@@ -279,12 +276,14 @@ class DynamicConvDecoder(nn.Module):
             max_positions=self.max_positions,
             param_dtype=self.param_dtype, dtype=self.dtype, name="embedder")
         cdim = self.conv_dim or self.embed_dim
+        specs = (("image", self.image_dim), ("article", self.article_dim)
+                 ) + tuple(self.extra_contexts)
         self.layers = [
             DynamicConvDecoderLayer(
                 embed_dim=self.embed_dim, conv_dim=cdim,
                 kernel_size=self.kernel_sizes[i], num_heads=self.num_heads,
-                ffn_dim=self.ffn_dim, image_dim=self.image_dim,
-                article_dim=self.article_dim, conv_type=self.conv_type,
+                ffn_dim=self.ffn_dim, context_specs=specs,
+                conv_type=self.conv_type,
                 decoder_glu=self.decoder_glu,
                 weight_softmax=self.weight_softmax,
                 normalize_before=self.normalize_before,
@@ -369,6 +368,15 @@ class DynamicConvDecoder(nn.Module):
         already consumed (0 for the seed). Returns
         (log_probs [B, V], new_caches).
         """
+        lp, _, new_caches = self.step_with_hidden(token_t, step_idx,
+                                                  kvs, caches)
+        return lp, new_caches
+
+    def step_with_hidden(self, token_t: jax.Array,
+                         step_idx: jax.Array | int,
+                         kvs: List[LayerKV], caches: List[jax.Array]):
+        """Like `step` but also returns the hidden state [B, D]
+        (needed by the pointer family's entity/copy heads)."""
         x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
         new_caches = []
         for layer, kv, cache in zip(self.layers, kvs, caches):
@@ -378,4 +386,14 @@ class DynamicConvDecoder(nn.Module):
             x = self.layer_norm(x)
         tables = self.embedder.embed_tables()
         lp = self.adaptive_softmax.log_prob(x, tables)
-        return lp, new_caches
+        return lp, x, new_caches
+
+    def loss_from_hidden(self, x: jax.Array, target_ids: jax.Array,
+                         deterministic: bool = True):
+        """Adaptive CE on precomputed hidden states [B, T, D]."""
+        flat = x.reshape(-1, x.shape[-1])
+        tables = self.embedder.embed_tables()
+        return self.adaptive_softmax.loss_sum(
+            flat, target_ids.reshape(-1),
+            padding_idx=self.target_padding_idx, embed_tables=tables,
+            deterministic=deterministic)

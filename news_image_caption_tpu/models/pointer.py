@@ -1,0 +1,436 @@
+"""Pointer/entity captioner family (copy mechanism over the article).
+
+Capability parity targets:
+- TransformerPointerModel (/root/reference/ttl/tell/models/transformer_pointer.py:27-722):
+  entity head = gated SelfAttention over decoder outputs -> 2-way
+  classifier; copy head = multi-head attention *scores* between
+  decoder outputs and RoBERTa article hiddens, masked to proper-noun
+  positions, aggregated per token id; reduced-vocab scatter-add copy
+  loss; generation mixes copy vs generate by the entity gate.
+- SelfAttention / DownsampledMultiHeadAttention / scalar_bias
+  (/root/reference/ttl/tell/modules/attention/self_attention.py:10,
+   downsampled_single_head.py:12, scalar_bias.py:10-31)
+- variants: transformer_only_pointer (no entity head),
+  transformer_pointer_2 (loss mix), transformer_faces_pointer /
+  transformer_objects_pointer (extra contexts),
+  transformer_pretrained_entity_pointer (warm start via
+  LoadStateDictWithPrefix -> here: plain param-dict merge).
+
+TPU-first re-design of the copy loss: the reference builds a reduced
+vocabulary with `unique()` + scatter_add (shape-dynamic,
+transformer_pointer.py:265-298). The copy probability of the target
+token is just sum_s attn[b,l,s] * [ctx_ids[b,s] == target[b,l]] over
+relevant positions — an O(L*S) masked sum with static shapes and NO
+vocab-sized materialization at all. For generation, the full copy
+distribution is one segment-sum scatter into [B, V] per step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.models.captioner import (TransformerFlattened,
+                                                     shift_caption)
+from news_image_caption_tpu.models.decoder_flattened import \
+    DynamicConvDecoder
+from news_image_caption_tpu.ops.dropout import dropout
+from news_image_caption_tpu.ops.linear import GehringLinear
+from news_image_caption_tpu.utils.registry import MODELS
+
+LN2 = math.log(2.0)
+NEG = -1e9
+
+
+class EntitySelfAttention(nn.Module):
+    """Gated self-attention + scalar-bias slot + residual LayerNorm.
+
+    Parity: SelfAttention(out_channels=1024, embed_dim=1024,
+    num_heads=16, gated=True) at transformer_pointer.py:91-92. With
+    project_input=False the inner gated projections are dead params;
+    the live path is q/k/v GehringLinears, causal single-softmax
+    attention with a zero "attend to nothing" slot, out GehringLinear,
+    then LayerNorm(x + residual).
+    """
+
+    embed_dim: int = 1024
+    num_heads: int = 16
+
+    def setup(self):
+        self.in_proj_q = GehringLinear(self.embed_dim, name="in_proj_q")
+        self.in_proj_k = GehringLinear(self.embed_dim, name="in_proj_k")
+        self.in_proj_v = GehringLinear(self.embed_dim, name="in_proj_v")
+        self.out_proj = GehringLinear(self.embed_dim, name="out_proj")
+        self.ln = nn.LayerNorm(name="ln")
+
+    def _attend(self, q, k, v):
+        """q [B,T,H,hd]; k,v [B,S,H,hd] -> [B,T,E] with causal+bias."""
+        B, T, H, hd = q.shape
+        S = k.shape[1]
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        i = jnp.arange(T)[:, None]
+        j = jnp.arange(S)[None, :]
+        causal = jnp.where(j <= i + (S - T), 0.0, NEG)
+        scores = scores + causal[None, None]
+        # scalar bias: a zero-score, zero-value slot at position 0
+        zeros = jnp.zeros((B, H, T, 1), scores.dtype)
+        scores = jnp.concatenate([zeros, scores], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        v_pad = jnp.concatenate(
+            [jnp.zeros((B, 1, H, hd), v.dtype), v], axis=1)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_pad)
+        return out.reshape(B, T, H * hd)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """x [B, T, E] -> [B, T, E] (full sequence, causal)."""
+        B, T, E = x.shape
+        H, hd = self.num_heads, self.embed_dim // self.num_heads
+        scale = hd ** -0.5
+        q = (self.in_proj_q(x) * scale).reshape(B, T, H, hd)
+        k = self.in_proj_k(x).reshape(B, T, H, hd)
+        v = self.in_proj_v(x).reshape(B, T, H, hd)
+        out = self.out_proj(self._attend(q, k, v))
+        return self.ln(out + x)
+
+    def init_cache(self, batch_size: int, max_len: int):
+        hd = self.embed_dim // self.num_heads
+        shape = (batch_size, max_len, self.num_heads, hd)
+        return (jnp.zeros(shape), jnp.zeros(shape))
+
+    def step(self, x_t: jax.Array, pos, cache):
+        """x_t [B, E]; bounded KV cache; returns ([B,E], cache)."""
+        B, E = x_t.shape
+        H, hd = self.num_heads, E // self.num_heads
+        scale = hd ** -0.5
+        k_c, v_c = cache
+        q = (self.in_proj_q(x_t) * scale).reshape(B, 1, H, hd)
+        k_new = self.in_proj_k(x_t).reshape(B, 1, H, hd)
+        v_new = self.in_proj_v(x_t).reshape(B, 1, H, hd)
+        k_c = jax.lax.dynamic_update_slice(k_c, k_new, (0, pos, 0, 0))
+        v_c = jax.lax.dynamic_update_slice(v_c, v_new, (0, pos, 0, 0))
+        S = k_c.shape[1]
+        scores = jnp.einsum("bthd,bshd->bhts", q, k_c,
+                            preferred_element_type=jnp.float32)
+        valid = (jnp.arange(S) <= pos)[None, None, None, :]
+        scores = jnp.where(valid, scores, NEG)
+        zeros = jnp.zeros((B, H, 1, 1), scores.dtype)
+        scores = jnp.concatenate([zeros, scores], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_c.dtype)
+        v_pad = jnp.concatenate(
+            [jnp.zeros((B, 1, H, hd), v_c.dtype), v_c], axis=1)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_pad)
+        out = self.out_proj(out.reshape(B, 1, E))[:, 0]
+        return self.ln(out + x_t), (k_c, v_c)
+
+
+class CopyAttentionScores(nn.Module):
+    """Head-averaged attention probabilities decoder -> article.
+
+    Parity: multi_head_attention_score_forward with a fused (q, k)
+    in-projection, learned bias_k slot and add_zero_attn
+    (multi_head.py:14-205; call site transformer_pointer.py:232-239).
+    Returns [B, L, S] (the two extra slots already dropped).
+    """
+
+    embed_dim: int = 1024
+    num_heads: int = 16
+    kdim: Optional[int] = None   # key input dim (reference: == embed_dim)
+    dropout_rate: float = 0.1
+
+    def setup(self):
+        kdim = self.kdim or self.embed_dim
+        # The reference fuses (q, k) into one 2E x E in_proj_weight
+        # (multi_head.py:520-526); stored split here so kdim may
+        # differ — porting splits the fused tensor.
+        self.q_proj_w = self.param(
+            "q_proj_weight", nn.initializers.xavier_uniform(),
+            (self.embed_dim, self.embed_dim))
+        self.k_proj_w = self.param(
+            "k_proj_weight", nn.initializers.xavier_uniform(),
+            (kdim, self.embed_dim))
+        self.in_proj_bias = self.param(
+            "in_proj_bias", nn.initializers.zeros, (2 * self.embed_dim,))
+        self.bias_k = self.param(
+            "bias_k", nn.initializers.xavier_normal(),
+            (1, 1, self.embed_dim))
+        # out_proj exists in the reference state dict but the score
+        # path never uses it; kept for checkpoint-port parity.
+        self.out_proj = GehringLinear(self.embed_dim, name="out_proj")
+
+    def __call__(self, query: jax.Array, key: jax.Array,
+                 key_padding_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        """query [B,L,E]; key [B,S,E]; mask True=pad -> probs [B,L,S]."""
+        B, L, E = query.shape
+        S = key.shape[1]
+        H, hd = self.num_heads, E // self.num_heads
+        q = query @ self.q_proj_w + self.in_proj_bias[:E]
+        k = key @ self.k_proj_w + self.in_proj_bias[E:]
+        q = q * (hd ** -0.5)
+        k = jnp.concatenate(
+            [k, jnp.broadcast_to(self.bias_k, (B, 1, E))], axis=1)
+        k = jnp.concatenate([k, jnp.zeros((B, 1, E), k.dtype)], axis=1)
+        valid = (jnp.ones((B, S), bool) if key_padding_mask is None
+                 else ~key_padding_mask)
+        valid = jnp.concatenate(
+            [valid, jnp.ones((B, 2), bool)], axis=1)
+        q = q.reshape(B, L, H, hd)
+        kh = k.reshape(B, S + 2, H, hd)
+        scores = jnp.einsum("blhd,bshd->bhls", q, kh,
+                            preferred_element_type=jnp.float32)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if self.dropout_rate > 0.0 and not deterministic:
+            probs = dropout(self, probs, self.dropout_rate,
+                            deterministic=False)
+        probs = probs.mean(axis=1)          # head average -> [B, L, S+2]
+        return probs[:, :, :S]
+
+
+def copy_target_prob(copy_attn: jax.Array, context_ids: jax.Array,
+                     target_ids: jax.Array) -> jax.Array:
+    """p_copy(target) [B, L] = sum_s attn[b,l,s]*[ctx[b,s]==tgt[b,l]].
+
+    Static-shape equivalent of the reference's reduced-vocab
+    scatter_add + gather (transformer_pointer.py:265-298).
+    """
+    match = (context_ids[:, None, :] == target_ids[:, :, None])
+    return jnp.sum(copy_attn * match, axis=-1)
+
+
+def copy_distribution(copy_attn: jax.Array, context_ids: jax.Array,
+                      vocab_size: int) -> jax.Array:
+    """Full copy distribution [B, V] via scatter-add (generation)."""
+    B, S = context_ids.shape
+    zeros = jnp.zeros((B, vocab_size), copy_attn.dtype)
+    return zeros.at[jnp.arange(B)[:, None], context_ids].add(copy_attn)
+
+
+@MODELS.register("transformer_pointer")
+class TransformerPointer:
+    """Flagship captioner + entity gate + copy head.
+
+    loss_weights (gen, entity, copy): the reference's
+    `transformer_pointer` trains ONLY entity+copy (a fine-tuning
+    stage over a pretrained base, transformer_pointer.py:120-127);
+    `transformer_pointer_2`-style joint training uses (1, 1, 1).
+    `use_entity_head=False` gives `transformer_only_pointer`.
+    """
+
+    def __init__(self,
+                 captioner: Optional[TransformerFlattened] = None,
+                 embed_dim: int = 1024,
+                 num_heads: int = 16,
+                 article_dim: Optional[int] = None,
+                 loss_weights: Tuple[float, float, float] = (0., 1., 1.),
+                 use_entity_head: bool = True,
+                 max_entities: int = 24,
+                 **decoder_kwargs):
+        if captioner is None:
+            # forward the shared dims into the decoder config
+            decoder_kwargs.setdefault("embed_dim", embed_dim)
+            decoder_kwargs.setdefault("num_heads", num_heads)
+            if article_dim is not None:
+                decoder_kwargs.setdefault("article_dim", article_dim)
+            captioner = TransformerFlattened(**decoder_kwargs)
+        self.captioner = captioner
+        d = self.captioner.decoder
+        # entity/copy heads operate on the decoder's hidden size
+        embed_dim = d.embed_dim
+        self.vocab_size = d.vocab_size
+        self.pad_id = d.target_padding_idx
+        self.embed_dim = embed_dim
+        self.article_dim = article_dim or d.article_dim
+        self.entity_attn = EntitySelfAttention(embed_dim, num_heads)
+        self.entity_fc_mod = GehringLinear(2)
+        self.copy_attn = CopyAttentionScores(embed_dim, num_heads,
+                                             kdim=self.article_dim)
+        self.loss_weights = loss_weights
+        self.use_entity_head = use_entity_head
+        self.max_entities = max_entities
+
+    # -- init -----------------------------------------------------------
+    def init(self, rng, batch):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        variables = {"captioner": self.captioner.init(r1, batch)}
+        inp, _ = shift_caption(batch["caption_ids"])
+        B, L = inp.shape
+        x = jnp.zeros((B, L, self.embed_dim))
+        art = jnp.zeros((B, batch["article_ids"].shape[1],
+                         self.article_dim))
+        variables["entity_attn"] = self.entity_attn.init(r2, x)
+        variables["entity_fc"] = self.entity_fc_mod.init(
+            r3, x[:, 0, :])
+        variables["copy_attn"] = self.copy_attn.init(r4, x, art)
+        return variables
+
+    def load_pretrained_captioner(self, variables, captioner_params):
+        """Warm start (LoadStateDictWithPrefix equivalent)."""
+        return {**variables, "captioner": captioner_params}
+
+    # -- losses ---------------------------------------------------------
+    def _decoder_hidden(self, params, batch, deterministic, rngs):
+        ctx = self.captioner._contexts(batch)
+        inp, tgt = shift_caption(batch["caption_ids"])
+        x = self.captioner.decoder.apply(
+            params, inp, ctx, deterministic=deterministic, rngs=rngs,
+            method=DynamicConvDecoder.hidden)
+        return x, inp, tgt, ctx
+
+    def loss_fn(self, variables, batch, dropout_rng=None):
+        """Returns (loss, aux) with gen/entity/copy components.
+
+        Extra batch keys:
+          caption_copy_masks [B, Lc]: per-token entity index (0 = not
+            an entity, i>=1 = i-th entity, -1 = ignore), full caption
+            length (shifted internally like the caption).
+          context_proper_masks [B, S]: >=1 marks proper-noun tokens.
+          article_ids [B, S], article (RoBERTa features) [B, S, De].
+        """
+        deterministic = dropout_rng is None
+        rngs = {} if deterministic else {"dropout": dropout_rng}
+        params = variables["captioner"]
+        x, inp, tgt, ctx = self._decoder_hidden(
+            params, batch, deterministic, rngs)
+        B, L, D = x.shape
+
+        # generation loss (adaptive softmax) on the same hidden states
+        loss_sum, ntokens = self.captioner.decoder.apply(
+            params, x, tgt, deterministic=deterministic, rngs=rngs,
+            method=DynamicConvDecoder.loss_from_hidden)
+        gen_loss = loss_sum / LN2 / jnp.maximum(ntokens, 1)
+
+        # entity loss
+        copy_masks = batch["caption_copy_masks"][:, 1:]  # align targets
+        copy_masks = copy_masks[:, :L]
+        if self.use_entity_head:
+            x_entity = self.entity_attn.apply(
+                variables["entity_attn"], x)
+            entity_logits = self.entity_fc_mod.apply(
+                variables["entity_fc"], x_entity)
+            ent_tgt = jnp.clip(copy_masks, -1, 1)
+            lse = jax.nn.log_softmax(
+                entity_logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(
+                lse, jnp.maximum(ent_tgt, 0)[..., None], axis=-1)[..., 0]
+            valid = ent_tgt >= 0
+            entity_loss = (jnp.sum(jnp.where(valid, nll, 0.0))
+                           / jnp.maximum(jnp.sum(valid), 1)) / LN2
+        else:
+            entity_loss = jnp.float32(0.0)
+
+        # copy loss
+        copy_attn = self.copy_attn.apply(
+            variables["copy_attn"], x, batch["article"],
+            batch.get("article_mask"), deterministic=deterministic,
+            rngs=rngs)
+        relevant = batch["context_proper_masks"] >= 1    # [B, S]
+        copy_attn = copy_attn * relevant[:, None, :]
+        p_tgt = copy_target_prob(copy_attn, batch["article_ids"], tgt)
+        log_p = jnp.log(jnp.maximum(p_tgt, 1e-12))
+        copy_loss = jnp.float32(0.0)
+        for i in range(1, self.max_entities + 1):
+            m = copy_masks == i
+            cnt = jnp.sum(m)
+            mean_i = jnp.sum(jnp.where(m, -log_p, 0.0)) / jnp.maximum(
+                cnt, 1)
+            copy_loss = copy_loss + jnp.where(cnt > 0, mean_i, 0.0)
+        copy_loss = copy_loss / LN2
+
+        wg, we, wc = self.loss_weights
+        loss = wg * gen_loss + we * entity_loss + wc * copy_loss
+        return loss, {"gen_loss": gen_loss, "entity_loss": entity_loss,
+                      "copy_loss": copy_loss, "sample_size": ntokens}
+
+    # -- generation -----------------------------------------------------
+    def generate(self, variables, batch,
+                 config: GenerationConfig = GenerationConfig(),
+                 rng=None):
+        """Top-k generation with copy-vs-generate mixing.
+
+        Parity: transformer_pointer.py:427-640 — per step: entity gate
+        from self-attended decoder outputs, copy candidate from the
+        aggregated copy distribution (suppressed if prob < 1e-6 or the
+        token was already copied), else the generated token.
+        Returns (tokens [B, max_len+1], copied_flags [B, max_len]).
+        """
+        params = variables["captioner"]
+        dec = self.captioner.decoder
+        ctx = self.captioner._contexts(batch)
+        B = ctx["image"].shape[0]
+        kvs = dec.apply(params, ctx,
+                        method=DynamicConvDecoder.precompute_kv)
+        caches = dec.init_cache(B)
+        e_cache = self.entity_attn.init_cache(B, config.max_len + 1)
+        relevant = (batch["context_proper_masks"] >= 1).astype(
+            jnp.float32)
+        context_ids = batch["article_ids"]
+        article = batch["article"]
+        article_mask = batch.get("article_mask")
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def body(carry, i):
+            cur, finished, caches, e_cache, copied, key = carry
+            lp, h, caches = dec.apply(
+                params, cur, i, kvs, caches,
+                method=DynamicConvDecoder.step_with_hidden)
+            # entity gate on the self-attended decode history
+            h_ent, e_cache = self.entity_attn.apply(
+                variables["entity_attn"], h, i, e_cache,
+                method=EntitySelfAttention.step)
+            ent_logits = self.entity_fc_mod.apply(
+                variables["entity_fc"], h_ent)
+            should_copy = jnp.argmax(ent_logits, axis=-1) == 1
+            if not self.use_entity_head:
+                should_copy = jnp.ones((B,), bool)
+            # copy distribution over the vocab
+            attn = self.copy_attn.apply(
+                variables["copy_attn"], h[:, None, :], article,
+                article_mask)[:, 0, :]
+            attn = attn * relevant
+            dist = copy_distribution(attn, context_ids, self.vocab_size)
+            dist = jnp.where(copied, 0.0, dist)  # no repeat copying
+            key, k1, k2 = jax.random.split(key, 3)
+            topc_p, topc_idx = jax.lax.top_k(dist, config.sampling_topk)
+            if config.sampling_topk == 1:
+                choice_c = jnp.zeros((B,), jnp.int32)
+            else:
+                choice_c = jax.random.categorical(
+                    k1, jnp.log(jnp.maximum(topc_p, 1e-9)), axis=-1)
+            copy_tok = jnp.take_along_axis(
+                topc_idx, choice_c[:, None], axis=1)[:, 0]
+            copy_p = jnp.take_along_axis(
+                topc_p, choice_c[:, None], axis=1)[:, 0]
+            should_copy = should_copy & (copy_p >= 1e-6)
+            # generated token
+            topg_lp, topg_idx = jax.lax.top_k(lp, config.sampling_topk)
+            topg_lp = topg_lp / config.sampling_temp
+            if config.sampling_topk == 1:
+                choice_g = jnp.zeros((B,), jnp.int32)
+            else:
+                choice_g = jax.random.categorical(k2, topg_lp, axis=-1)
+            gen_tok = jnp.take_along_axis(
+                topg_idx, choice_g[:, None], axis=1)[:, 0]
+            tok = jnp.where(should_copy, copy_tok, gen_tok)
+            tok = jnp.where(finished, config.pad_id, tok)
+            copied = copied.at[jnp.arange(B), copy_tok].set(
+                copied[jnp.arange(B), copy_tok] | should_copy)
+            finished = finished | (tok == config.eos_id)
+            return ((tok, finished, caches, e_cache, copied, key),
+                    (tok, should_copy & ~finished))
+
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        copied0 = jnp.zeros((B, self.vocab_size), bool)
+        finished0 = jnp.zeros((B,), bool)
+        carry = (seed, finished0, caches, e_cache, copied0, rng)
+        _, (toks, copied_flags) = jax.lax.scan(
+            body, carry, jnp.arange(config.max_len))
+        tokens = jnp.concatenate([seed[:, None], toks.T], axis=1)
+        return tokens, copied_flags.T

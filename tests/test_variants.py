@@ -1,0 +1,97 @@
+"""Faces/objects/glove variants over the generalized decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import news_image_caption_tpu.models.variants as V
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.utils.registry import MODELS
+
+
+def tiny_kwargs():
+    return dict(vocab_size=40, cutoff=(12, 24, 40), embed_dim=16,
+                ffn_dim=32, num_heads=4, num_layers=2,
+                kernel_sizes=(3, 5), image_dim=12, article_dim=10,
+                max_positions=64)
+
+
+def base_batch(B=2, T=7, P=4, S=6, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 4)
+    cap = jax.random.randint(ks[0], (B, T), 2, 40)
+    cap = cap.at[:, 0].set(0).at[:, -1].set(1)
+    return {
+        "caption_ids": cap,
+        "image": jax.random.normal(ks[1], (B, P, 12)),
+        "image_mask": jnp.zeros((B, P), bool),
+        "article": jax.random.normal(ks[2], (B, S, 10)),
+        "article_mask": jnp.zeros((B, S), bool),
+    }
+
+
+def test_nan_to_mask():
+    feats = jnp.ones((1, 3, 4)).at[0, 1].set(jnp.nan)
+    clean, mask = V.nan_to_mask(feats)
+    np.testing.assert_array_equal(np.asarray(mask), [[False, True,
+                                                      False]])
+    assert np.isfinite(np.asarray(clean)).all()
+
+
+def test_faces_variant_trains_and_masks():
+    model = MODELS.get("transformer_faces")(face_dim=8, **tiny_kwargs())
+    batch = base_batch()
+    faces = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 8))
+    faces = faces.at[1, 2].set(jnp.nan)          # missing face
+    faces_clean, faces_mask = V.nan_to_mask(faces)
+    batch["faces"] = faces_clean
+    batch["faces_mask"] = faces_mask
+    params = model.init(jax.random.PRNGKey(0), batch)
+    l1, _ = model.loss_fn(params, batch)
+    assert np.isfinite(float(l1))
+    # perturbing masked face rows must not change the loss
+    batch2 = dict(batch)
+    batch2["faces"] = faces_clean.at[1, 2].set(50.0)
+    l2, _ = model.loss_fn(params, batch2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    # generation runs with the extra context
+    toks, _ = model.generate(params, batch,
+                             GenerationConfig(max_len=6))
+    assert toks.shape == (2, 7)
+
+
+def test_faces_objects_variant():
+    model = MODELS.get("transformer_faces_objects")(
+        face_dim=8, obj_dim=6, **tiny_kwargs())
+    batch = base_batch()
+    batch["faces"] = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8))
+    batch["faces_mask"] = jnp.zeros((2, 3), bool)
+    batch["obj"] = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 6))
+    batch["obj_mask"] = jnp.zeros((2, 5), bool)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss_fn(params, batch)
+    assert np.isfinite(float(loss))
+    # context_fc fuses 4 contexts -> kernel rows = 4 * embed_dim
+    fc = params["params"]["layers_0"]["context_fc"]["kernel"]
+    assert fc.shape[0] == 4 * 16
+
+
+def test_glove_variant():
+    kw = tiny_kwargs()
+    kw.pop("article_dim")
+    model = MODELS.get("transformer_glove")(article_dim=9, **kw)
+    batch = base_batch()
+    batch["article"] = jax.random.normal(jax.random.PRNGKey(3),
+                                         (2, 6, 9))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss_fn(params, batch)
+    assert np.isfinite(float(loss))
+
+
+def test_registry_has_all_variants():
+    for name in ["transformer_faces", "transformer_faces_objects",
+                 "transformer_glove", "transformer_only_pointer",
+                 "transformer_pointer_2", "transformer_faces_pointer",
+                 "transformer_objects_pointer", "transformer_pointer",
+                 "transformer_flattened", "gen3_pipeline", "gen1",
+                 "gen2_transformer"]:
+        assert name in MODELS, name
