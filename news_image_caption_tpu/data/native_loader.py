@@ -1,0 +1,163 @@
+"""Python bindings for the C++ shard reader (ctypes, no pybind11).
+
+Shard format "NICS1": fixed-size records; a JSON sidecar (`.schema`)
+describes the fields packed into each record so Python can view the
+raw batch buffer as named numpy arrays with zero copies.
+
+Usage:
+    write_shard("train-000.nics", {"caption_ids": ..., "image": ...})
+    loader = NativeShardLoader(["train-000.nics"], batch_size=16)
+    for batch in loader.epoch(shuffle=True, seed=0):
+        ...  # dict of numpy views
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import struct
+import subprocess
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+MAGIC = 0x31453434950
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(_HERE, "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libshard_reader.so")
+
+_lib = None
+
+
+def _build_lib():
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                   capture_output=True)
+
+
+def get_lib():
+    """Load (building if needed) the native library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build_lib()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.shard_open.restype = ctypes.c_void_p
+    lib.shard_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                               ctypes.c_int]
+    lib.shard_num_records.restype = ctypes.c_long
+    lib.shard_num_records.argtypes = [ctypes.c_void_p]
+    lib.shard_record_bytes.restype = ctypes.c_long
+    lib.shard_record_bytes.argtypes = [ctypes.c_void_p]
+    lib.shard_start.restype = ctypes.c_int
+    lib.shard_start.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_long,
+                                ctypes.c_int]
+    lib.shard_next.restype = ctypes.c_long
+    lib.shard_next.argtypes = [ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_long]
+    lib.shard_stop.argtypes = [ctypes.c_void_p]
+    lib.shard_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def write_shard(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """Write a fixed-record shard + JSON schema sidecar.
+
+    Every array's leading dim is the record count; trailing dims and
+    dtypes define the record layout.
+    """
+    n = None
+    schema = []
+    for k, a in arrays.items():
+        a = np.ascontiguousarray(a)
+        if n is None:
+            n = a.shape[0]
+        assert a.shape[0] == n, f"{k}: leading dim mismatch"
+        schema.append({"name": k, "dtype": str(a.dtype),
+                       "shape": list(a.shape[1:])})
+    record_bytes = sum(
+        int(np.dtype(f["dtype"]).itemsize * max(np.prod(f["shape"]), 1))
+        for f in schema)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<QQQ", MAGIC, n, record_bytes))
+        for i in range(n):
+            for spec in schema:
+                f.write(np.ascontiguousarray(
+                    arrays[spec["name"]][i]).tobytes())
+    with open(path + ".schema", "w") as f:
+        json.dump({"record_bytes": record_bytes, "fields": schema}, f)
+
+
+class NativeShardLoader:
+    """Threaded native prefetch over one or more shards."""
+
+    def __init__(self, paths: Sequence[str], batch_size: int,
+                 n_threads: int = 2, n_slots: int = 4,
+                 drop_last: bool = True):
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.n_threads = n_threads
+        self.n_slots = n_slots
+        self.drop_last = drop_last
+        with open(self.paths[0] + ".schema") as f:
+            self.schema = json.load(f)
+        lib = get_lib()
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths])
+        self._h = lib.shard_open(arr, len(self.paths))
+        if not self._h:
+            raise OSError(f"failed to open shards: {self.paths}")
+        assert lib.shard_record_bytes(self._h) == \
+            self.schema["record_bytes"], "schema/shard mismatch"
+
+    def __len__(self):
+        return get_lib().shard_num_records(self._h)
+
+    def _view(self, buf: np.ndarray, n: int) -> Dict[str, np.ndarray]:
+        """Reinterpret the raw [n, record_bytes] buffer as field arrays."""
+        out = {}
+        offset = 0
+        rb = self.schema["record_bytes"]
+        flat = buf[:n * rb].reshape(n, rb)
+        for f in self.schema["fields"]:
+            dt = np.dtype(f["dtype"])
+            size = int(dt.itemsize * max(np.prod(f["shape"]), 1))
+            field = flat[:, offset:offset + size]
+            out[f["name"]] = np.ascontiguousarray(field).view(dt).reshape(
+                [n] + f["shape"])
+            offset += size
+        return out
+
+    def epoch(self, shuffle: bool = True, seed: int = 0
+              ) -> Iterator[Dict[str, np.ndarray]]:
+        lib = get_lib()
+        lib.shard_start(self._h, self.batch_size, self.n_threads,
+                        self.n_slots, int(shuffle), seed,
+                        int(self.drop_last))
+        rb = self.schema["record_bytes"]
+        buf = np.empty(self.batch_size * rb, np.uint8)
+        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        try:
+            while True:
+                n = lib.shard_next(self._h, ptr, buf.nbytes)
+                if n == 0:
+                    break
+                yield self._view(buf, int(n))
+        finally:
+            lib.shard_stop(self._h)
+
+    def close(self):
+        if self._h:
+            get_lib().shard_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,232 @@
+// Native shard reader: mmap'd fixed-record array shards with a
+// threaded prefetch ring.
+//
+// Capability parity target: the reference hides I/O latency with
+// joblib worker *processes* per batch (/root/reference/dataloader.py:279-296)
+// and torch DataLoader workers. This is the TPU-native equivalent:
+// record shards are mmap'd, a pool of C++ threads copies shuffled
+// record batches into a ring of staging buffers ahead of the
+// consumer, and Python hands the filled buffer straight to
+// jax.device_put. No GIL, no pickling, no per-batch process spawns.
+//
+// File format ("NICS1"): 24-byte header
+//   [magic u64 = 0x3153_4349_4Eul][n_records u64][record_bytes u64]
+// followed by n_records * record_bytes raw bytes.
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <random>
+#include <thread>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr uint64_t kMagic = 0x31453434950ull;  // "PICS1" little-endian-ish
+
+struct Shard {
+  const uint8_t* data = nullptr;   // mmap base
+  size_t size = 0;
+  uint64_t n_records = 0;
+  uint64_t record_bytes = 0;
+  int fd = -1;
+};
+
+struct Slot {
+  std::vector<uint8_t> buf;
+  long n_filled = 0;
+  bool ready = false;
+};
+
+struct Reader {
+  std::vector<Shard> shards;
+  uint64_t record_bytes = 0;
+  uint64_t total_records = 0;
+
+  // prefetch state
+  long batch_size = 0;
+  bool drop_last = true;
+  std::vector<std::pair<uint32_t, uint64_t>> order;  // (shard, record)
+  std::atomic<size_t> next_batch_idx{0};
+  size_t n_batches = 0;
+
+  std::vector<Slot> slots;
+  std::deque<size_t> free_slots;
+  std::deque<size_t> ready_slots;
+  std::mutex mu;
+  std::condition_variable cv_free, cv_ready;
+  std::vector<std::thread> threads;
+  std::atomic<bool> stop{false};
+  std::atomic<int> live_workers{0};
+
+  const uint8_t* record_ptr(uint32_t s, uint64_t r) const {
+    return shards[s].data + 24 + r * record_bytes;
+  }
+};
+
+void worker_loop(Reader* rd) {
+  while (!rd->stop.load()) {
+    size_t bi = rd->next_batch_idx.fetch_add(1);
+    if (bi >= rd->n_batches) break;
+    size_t slot_idx;
+    {
+      std::unique_lock<std::mutex> lk(rd->mu);
+      rd->cv_free.wait(lk, [&] {
+        return !rd->free_slots.empty() || rd->stop.load();
+      });
+      if (rd->stop.load()) break;
+      slot_idx = rd->free_slots.front();
+      rd->free_slots.pop_front();
+    }
+    Slot& slot = rd->slots[slot_idx];
+    size_t start = bi * rd->batch_size;
+    size_t end = start + rd->batch_size;
+    if (end > rd->order.size()) end = rd->order.size();
+    long n = static_cast<long>(end - start);
+    for (size_t i = start; i < end; ++i) {
+      auto [s, r] = rd->order[i];
+      std::memcpy(slot.buf.data() + (i - start) * rd->record_bytes,
+                  rd->record_ptr(s, r), rd->record_bytes);
+    }
+    slot.n_filled = n;
+    {
+      std::lock_guard<std::mutex> lk(rd->mu);
+      slot.ready = true;
+      rd->ready_slots.push_back(slot_idx);
+    }
+    rd->cv_ready.notify_one();
+  }
+  if (rd->live_workers.fetch_sub(1) == 1) {
+    // last worker out: wake the consumer so it can observe EOF
+    rd->cv_ready.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* shard_open(const char** paths, int n_paths) {
+  auto* rd = new Reader();
+  for (int i = 0; i < n_paths; ++i) {
+    Shard sh;
+    sh.fd = ::open(paths[i], O_RDONLY);
+    if (sh.fd < 0) { delete rd; return nullptr; }
+    struct stat st;
+    if (fstat(sh.fd, &st) != 0) { delete rd; return nullptr; }
+    sh.size = static_cast<size_t>(st.st_size);
+    void* p = mmap(nullptr, sh.size, PROT_READ, MAP_PRIVATE, sh.fd, 0);
+    if (p == MAP_FAILED) { delete rd; return nullptr; }
+    sh.data = static_cast<const uint8_t*>(p);
+    uint64_t magic, n, rb;
+    std::memcpy(&magic, sh.data, 8);
+    std::memcpy(&n, sh.data + 8, 8);
+    std::memcpy(&rb, sh.data + 16, 8);
+    if (magic != kMagic) { delete rd; return nullptr; }
+    if (rd->record_bytes == 0) rd->record_bytes = rb;
+    if (rb != rd->record_bytes) { delete rd; return nullptr; }
+    sh.n_records = n;
+    sh.record_bytes = rb;
+    rd->total_records += n;
+    rd->shards.push_back(sh);
+  }
+  return rd;
+}
+
+long shard_num_records(void* h) {
+  return static_cast<long>(static_cast<Reader*>(h)->total_records);
+}
+
+long shard_record_bytes(void* h) {
+  return static_cast<long>(static_cast<Reader*>(h)->record_bytes);
+}
+
+int shard_start(void* h, long batch_size, int n_threads, int n_slots,
+                int shuffle, long seed, int drop_last) {
+  auto* rd = static_cast<Reader*>(h);
+  rd->batch_size = batch_size;
+  rd->drop_last = drop_last != 0;
+  rd->order.clear();
+  for (uint32_t s = 0; s < rd->shards.size(); ++s)
+    for (uint64_t r = 0; r < rd->shards[s].n_records; ++r)
+      rd->order.emplace_back(s, r);
+  if (shuffle) {
+    std::mt19937_64 rng(static_cast<uint64_t>(seed));
+    std::shuffle(rd->order.begin(), rd->order.end(), rng);
+  }
+  size_t n = rd->order.size();
+  rd->n_batches = rd->drop_last ? n / batch_size
+                                : (n + batch_size - 1) / batch_size;
+  rd->next_batch_idx.store(0);
+  rd->stop.store(false);
+  rd->slots.assign(static_cast<size_t>(n_slots), Slot{});
+  rd->free_slots.clear();
+  rd->ready_slots.clear();
+  for (int i = 0; i < n_slots; ++i) {
+    rd->slots[i].buf.resize(batch_size * rd->record_bytes);
+    rd->free_slots.push_back(i);
+  }
+  rd->live_workers.store(n_threads);
+  for (int i = 0; i < n_threads; ++i)
+    rd->threads.emplace_back(worker_loop, rd);
+  return static_cast<int>(rd->n_batches);
+}
+
+// Returns number of records copied into `out` (0 = end of epoch).
+long shard_next(void* h, uint8_t* out, long out_bytes) {
+  auto* rd = static_cast<Reader*>(h);
+  size_t slot_idx;
+  {
+    std::unique_lock<std::mutex> lk(rd->mu);
+    rd->cv_ready.wait(lk, [&] {
+      return !rd->ready_slots.empty() ||
+             (rd->live_workers.load() == 0);
+    });
+    if (rd->ready_slots.empty()) return 0;  // epoch exhausted
+    slot_idx = rd->ready_slots.front();
+    rd->ready_slots.pop_front();
+  }
+  Slot& slot = rd->slots[slot_idx];
+  long n = slot.n_filled;
+  long bytes = n * static_cast<long>(rd->record_bytes);
+  if (bytes > out_bytes) bytes = out_bytes;
+  std::memcpy(out, slot.buf.data(), bytes);
+  {
+    std::lock_guard<std::mutex> lk(rd->mu);
+    slot.ready = false;
+    rd->free_slots.push_back(slot_idx);
+  }
+  rd->cv_free.notify_one();
+  return n;
+}
+
+void shard_stop(void* h) {
+  auto* rd = static_cast<Reader*>(h);
+  rd->stop.store(true);
+  rd->cv_free.notify_all();
+  rd->cv_ready.notify_all();
+  for (auto& t : rd->threads)
+    if (t.joinable()) t.join();
+  rd->threads.clear();
+}
+
+void shard_close(void* h) {
+  auto* rd = static_cast<Reader*>(h);
+  shard_stop(h);
+  for (auto& sh : rd->shards) {
+    if (sh.data) munmap(const_cast<uint8_t*>(sh.data), sh.size);
+    if (sh.fd >= 0) ::close(sh.fd);
+  }
+  delete rd;
+}
+
+}  // extern "C"

@@ -1,0 +1,152 @@
+"""ZMQ ventilator / sink serving architecture.
+
+Capability parity target: NLPServer + Sink
+(/root/reference/ttl/tell/server/base.py:30-382): a PULL frontend
+receives client jobs, PUSH backends fan them out to worker processes,
+a Sink process PUBlishes results back to subscribed clients; ServerCmd
+control protocol; graceful shutdown.
+
+Host-side architecture is unchanged on TPU (ZMQ is portable C); the
+worker's compute becomes a jitted JAX generate function (worker.py).
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import os
+import tempfile
+import threading
+import uuid
+from typing import Callable, List, Optional
+
+import zmq
+
+from news_image_caption_tpu.serving.messages import pack, unpack
+from news_image_caption_tpu.utils.logging import setup_logger
+
+
+class ServerCmd:
+    terminate = b"TERMINATE"
+    show_config = b"SHOW_CONFIG"
+    new_job = b"REGISTER"
+
+
+def auto_bind(socket: zmq.Socket) -> str:
+    """Bind to a random IPC path (parity: server/utils.py auto_bind)."""
+    tmp_dir = tempfile.mkdtemp(prefix="tellax-ipc-")
+    addr = f"ipc://{tmp_dir}/socket"
+    socket.bind(addr)
+    return addr
+
+
+# JAX/CUDA state does not survive fork; use spawn like the
+# reference (server/base.py:23-27).
+_MP = multiprocessing.get_context("spawn")
+
+
+class Sink(_MP.Process):
+    """Collects worker results and PUBlishes them to clients."""
+
+    def __init__(self, receive_addr_queue):
+        super().__init__()
+        self._addr_queue = receive_addr_queue
+        self.daemon = True
+
+    def run(self):
+        ctx = zmq.Context()
+        receiver = ctx.socket(zmq.PULL)
+        recv_addr = auto_bind(receiver)
+        publisher = ctx.socket(zmq.PUB)
+        pub_addr = auto_bind(publisher)
+        self._addr_queue.put((recv_addr, pub_addr))
+        logger = setup_logger("sink")
+        try:
+            while True:
+                frames = receiver.recv_multipart()
+                if frames[0] == ServerCmd.terminate:
+                    break
+                # frames: [client_id, *payload]
+                publisher.send_multipart(frames)
+        finally:
+            receiver.close()
+            publisher.close()
+            ctx.term()
+
+
+class CaptionServer:
+    """Ventilator: client PULL frontend -> worker PUSH backends."""
+
+    def __init__(self, worker_factory: Callable, num_workers: int = 1):
+        self.worker_factory = worker_factory
+        self.num_workers = num_workers
+        self.logger = setup_logger("server")
+        self._procs: List[multiprocessing.Process] = []
+        self.frontend_addr: Optional[str] = None
+        self.sink_pub_addr: Optional[str] = None
+        self._thread: Optional[threading.Thread] = None
+        self._ctx: Optional[zmq.Context] = None
+
+    def start(self):
+        ctx = zmq.Context()
+        self._ctx = ctx
+        frontend = ctx.socket(zmq.PULL)
+        self.frontend_addr = auto_bind(frontend)
+
+        addr_q = _MP.Queue()
+        sink = Sink(addr_q)
+        sink.start()
+        sink_recv_addr, self.sink_pub_addr = addr_q.get()
+        self._procs.append(sink)
+        self._sink_recv_addr = sink_recv_addr
+
+        backend = ctx.socket(zmq.PUSH)
+        backend_addr = auto_bind(backend)
+
+        for i in range(self.num_workers):
+            w = self.worker_factory(worker_id=i,
+                                    receive_addr=backend_addr,
+                                    sink_addr=sink_recv_addr)
+            w.start()
+            self._procs.append(w)
+
+        def relay():
+            poller = zmq.Poller()
+            poller.register(frontend, zmq.POLLIN)
+            while True:
+                events = dict(poller.poll(timeout=200))
+                if frontend in events:
+                    frames = frontend.recv_multipart()
+                    if frames[0] == ServerCmd.terminate:
+                        break
+                    backend.send_multipart(frames)
+                if self._stop.is_set():
+                    break
+            frontend.close()
+            backend.close()
+
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=relay, daemon=True)
+        self._thread.start()
+        self.logger.info("server up: frontend=%s workers=%d",
+                         self.frontend_addr, self.num_workers)
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+        # tell the sink to stop
+        try:
+            ctx = zmq.Context()
+            s = ctx.socket(zmq.PUSH)
+            s.connect(self._sink_recv_addr)
+            s.send_multipart([ServerCmd.terminate])
+            s.close()
+            ctx.term()
+        except Exception:
+            pass
+        for p in self._procs:
+            p.terminate()
+            p.join(timeout=2)
+        if self._ctx is not None:
+            self._ctx.term()

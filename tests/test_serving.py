@@ -1,0 +1,95 @@
+"""Serving stack: messages, end-to-end ZMQ round trip, HTTP proxy."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.serving.messages import pack, unpack
+
+
+def test_pack_unpack_roundtrip():
+    obj = {
+        "a": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "b": "hello",
+        "c": [1, 2, 3],
+        "d": np.array([True, False]),
+    }
+    out = unpack(pack(obj))
+    np.testing.assert_array_equal(out["a"], obj["a"])
+    assert out["b"] == "hello"
+    assert out["c"] == [1, 2, 3]
+    np.testing.assert_array_equal(out["d"], obj["d"])
+
+
+@pytest.fixture(scope="module")
+def server_and_client():
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import CaptioningWorker
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(platform="cpu", **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=120000)
+    yield server, client
+    client.close()
+    server.stop()
+
+
+def make_job(B=1):
+    rng = np.random.default_rng(0)
+    return {
+        "image": rng.standard_normal((B, 4, 16)).astype(np.float32),
+        "image_mask": np.zeros((B, 4), bool),
+        "article": rng.standard_normal((B, 6, 24)).astype(np.float32),
+        "article_mask": np.zeros((B, 6), bool),
+    }
+
+
+def test_zmq_round_trip(server_and_client):
+    _, client = server_and_client
+    result = client.caption(make_job())
+    assert "tokens" in result
+    assert result["tokens"].shape == (1, 17)
+
+
+def test_multiple_jobs_in_order(server_and_client):
+    _, client = server_and_client
+    r1 = client.caption(make_job())
+    r2 = client.caption(make_job())
+    np.testing.assert_array_equal(r1["tokens"], r2["tokens"])
+
+
+def test_worker_error_propagates(server_and_client):
+    _, client = server_and_client
+    bad = {"image": np.zeros((1, 2), np.float32)}  # malformed job
+    with pytest.raises(RuntimeError):
+        client.caption(bad)
+
+
+def test_http_proxy(server_and_client):
+    from news_image_caption_tpu.serving.http import serve_http
+    _, client = server_and_client
+    httpd, port = serve_http(client, server_info={"model": "tiny"})
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status") as r:
+            status = json.loads(r.read())
+        assert status["status"] == "ok" and status["model"] == "tiny"
+
+        job = make_job()
+        payload = {k: {"data": v.tolist(), "dtype": str(v.dtype)}
+                   for k, v in job.items()}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            result = json.loads(r.read())
+        assert "tokens" in result
+        assert len(result["tokens"][0]) == 17
+    finally:
+        httpd.shutdown()
