@@ -6,6 +6,7 @@ from news_image_caption_tpu.models.gen2 import Gen2Captioner, Gen2Transformer
 from news_image_caption_tpu.models.pipeline import Gen3Pipeline
 from news_image_caption_tpu.models.pointer import TransformerPointer
 from news_image_caption_tpu.models import variants  # noqa: F401
+from news_image_caption_tpu.models import tgnc  # noqa: F401
 from news_image_caption_tpu.models.resnet import ResNetTrunk
 from news_image_caption_tpu.models.roberta import RobertaEncoder
 

@@ -95,3 +95,35 @@ def test_registry_has_all_variants():
                  "transformer_flattened", "gen3_pipeline", "gen1",
                  "gen2_transformer"]:
         assert name in MODELS, name
+
+
+def test_entity_variant_and_tgnc():
+    import jax
+    import jax.numpy as jnp
+
+    model = MODELS.get("transformer_entity")(
+        entity_dim=8, **tiny_kwargs())
+    batch = base_batch()
+    batch["entity"] = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 8))
+    batch["entity_mask"] = jnp.zeros((2, 3), bool)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    loss, _ = model.loss_fn(params, batch)
+    assert np.isfinite(float(loss))
+
+    from news_image_caption_tpu.models.tgnc import TGNC
+    from news_image_caption_tpu.models.captioner import \
+        TransformerFlattened
+    from news_image_caption_tpu.models.decoder_flattened import \
+        DynamicConvDecoder
+    tg = TGNC(captioner=TransformerFlattened(
+        DynamicConvDecoder(**{k: v for k, v in tiny_kwargs().items()})),
+        n_templates=5, template_loss_weight=0.5)
+    b2 = base_batch()
+    b2["template_label"] = jnp.zeros((2, 5)).at[:, 1].set(1.0)
+    v = tg.init(jax.random.PRNGKey(0), b2)
+    loss, aux = tg.loss_fn(v, b2, dropout_rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "template_loss" in aux
+    probs = tg.template_probs(v, b2)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0,
+                               atol=1e-5)
