@@ -1,0 +1,329 @@
+"""Dataset readers: jsonl-materialized news data + gated Mongo + HDF5.
+
+Capability parity targets (SURVEY.md §2.5):
+- the 11 Mongo-backed lazy readers (goodnews_flattened,
+  goodnews_flattened_glove, goodnews_entity(_pointer),
+  goodnews_face_ner_matched, goodnews_copy_matched, nytimes{,_glove,
+  _position,_copy_matched,_faces_ner_matched})
+  /root/reference/ttl/tell/data/dataset_readers/ — unified here as
+  one instance builder parameterized by which fields it attaches
+  (copy masks, faces, objects, entities), reading from either a
+  portable jsonl materialization or MongoDB (if pymongo exists);
+- paragraph-window context selection around the image position
+  (nytimes_faces_ner_matched.py:145-170);
+- Gen-1 HDF5 loader contract: `get_batch` dict with images, labels,
+  masks, bounds, infos + `wrapped` epoch flag
+  (/root/reference/dataloader.py:57-371).
+
+TPU-first: readers produce numpy Examples; fixed-shape batching (and
+the native C++ prefetch path) happens in collate/native_loader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from news_image_caption_tpu.data.indexer import RobertaCopyIndexer
+from news_image_caption_tpu.data.preprocess import (clean_sentence,
+                                                    entity_spans,
+                                                    truncate_words)
+from news_image_caption_tpu.utils.registry import DATASETS
+
+
+@dataclass
+class NewsRecord:
+    """One raw news item (the materialized/Mongo schema)."""
+    caption: str
+    article: str
+    image_path: Optional[str] = None
+    image: Optional[np.ndarray] = None           # HWC uint8
+    image_index: int = 0                         # paragraph position
+    paragraphs: Optional[List[str]] = None
+    face_embeds: Optional[np.ndarray] = None     # [n_faces, 512]
+    obj_embeds: Optional[np.ndarray] = None      # [n_obj, dim]
+    metadata: Dict = field(default_factory=dict)
+
+
+def paragraph_window(paragraphs: Sequence[str], image_index: int,
+                     indexer: RobertaCopyIndexer,
+                     budget: int = 510) -> str:
+    """Expand ± around the image's paragraph until ~budget BPE tokens.
+
+    Parity: nytimes_faces_ner_matched.py:145-170.
+    """
+    if not paragraphs:
+        return ""
+    n = len(paragraphs)
+    i = min(max(image_index, 0), n - 1)
+    chosen = [i]
+    used = len(indexer.encode_with_offsets(paragraphs[i])[0])
+    lo, hi = i - 1, i + 1
+    while used < budget and (lo >= 0 or hi < n):
+        for cand in (lo, hi):
+            if 0 <= cand < n:
+                cost = len(indexer.encode_with_offsets(
+                    paragraphs[cand])[0])
+                if used + cost <= budget:
+                    chosen.append(cand)
+                    used += cost
+        lo -= 1
+        hi += 1
+        if lo < -1 and hi > n:
+            break
+    return " ".join(paragraphs[j] for j in sorted(set(chosen)))
+
+
+class JsonlNewsReader:
+    """Reads materialized NewsRecords from a .jsonl file.
+
+    Record schema: {caption, article | paragraphs, image_path?,
+    image_index?, face_embeds?, obj_embeds?, metadata?}.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __iter__(self) -> Iterator[NewsRecord]:
+        with open(self.path) as f:
+            for line in f:
+                obj = json.loads(line)
+                yield NewsRecord(
+                    caption=obj["caption"],
+                    article=obj.get("article")
+                    or " ".join(obj.get("paragraphs", [])),
+                    paragraphs=obj.get("paragraphs"),
+                    image_path=obj.get("image_path"),
+                    image_index=obj.get("image_index", 0),
+                    face_embeds=(np.asarray(obj["face_embeds"],
+                                            np.float32)
+                                 if obj.get("face_embeds") else None),
+                    obj_embeds=(np.asarray(obj["obj_embeds"],
+                                           np.float32)
+                                if obj.get("obj_embeds") else None),
+                    metadata=obj.get("metadata", {}))
+
+
+class MongoNewsReader:
+    """MongoDB-backed reader (goodnews/nytimes collections).
+
+    Parity: goodnews_flattened.py:25-118 splits/articles layout.
+    Requires pymongo; import is deferred so the rest of the data
+    layer works without it.
+    """
+
+    def __init__(self, host: str = "localhost", port: int = 27017,
+                 database: str = "goodnews", split: str = "train",
+                 image_dir: str = "."):
+        import pymongo  # gated dependency
+        self.client = pymongo.MongoClient(host=host, port=port)
+        self.db = self.client[database]
+        self.split = split
+        self.image_dir = image_dir
+
+    def __iter__(self) -> Iterator[NewsRecord]:
+        cursor = self.db.splits.find(
+            {"split": self.split}, no_cursor_timeout=True)
+        for sample in cursor:
+            article = self.db.articles.find_one(
+                {"_id": sample["article_id"]})
+            if article is None:
+                continue
+            image_path = os.path.join(
+                self.image_dir, f"{sample['_id']}.jpg")
+            if not os.path.exists(image_path):
+                continue  # missing-image skip (goodnews_flattened.py:90)
+            idx = sample.get("image_index", 0)
+            caption = article["images"][str(idx)] \
+                if "images" in article else sample.get("caption", "")
+            yield NewsRecord(
+                caption=caption.strip(),
+                article=article.get("context", ""),
+                paragraphs=article.get("paragraphs"),
+                image_path=image_path,
+                image_index=int(idx) if str(idx).isdigit() else 0,
+                metadata={"web_url": article.get("web_url", ""),
+                          "_id": str(sample["_id"])})
+
+
+class InstanceBuilder:
+    """NewsRecord -> model-ready numpy instance.
+
+    Flags select the reader variant being reproduced:
+      with_copy_masks  (goodnews_copy_matched / pointer readers)
+      with_faces / with_objects (faces/objects readers)
+      use_paragraph_window (nytimes readers)
+    """
+
+    def __init__(self, indexer: RobertaCopyIndexer,
+                 max_context_words: int = 500,
+                 with_copy_masks: bool = False,
+                 with_faces: bool = False,
+                 with_objects: bool = False,
+                 use_paragraph_window: bool = False,
+                 max_faces: int = 4, max_objects: int = 64,
+                 analyzer=None):
+        self.indexer = indexer
+        self.max_context_words = max_context_words
+        self.with_copy_masks = with_copy_masks
+        self.with_faces = with_faces
+        self.with_objects = with_objects
+        self.use_paragraph_window = use_paragraph_window
+        self.max_faces = max_faces
+        self.max_objects = max_objects
+        self.analyzer = analyzer
+
+    def build(self, rec: NewsRecord) -> Dict:
+        if self.use_paragraph_window and rec.paragraphs:
+            context = paragraph_window(rec.paragraphs, rec.image_index,
+                                       self.indexer)
+        else:
+            context = truncate_words(rec.article,
+                                     self.max_context_words)
+        caption = clean_sentence(rec.caption, strip_punct=False)
+
+        out: Dict = {"metadata": {**rec.metadata,
+                                  "caption": rec.caption,
+                                  "context": context}}
+        if self.with_copy_masks:
+            cap_spans = entity_spans(caption, self.analyzer)
+            numbered = [(s, e, i + 1)
+                        for i, (s, e, _) in enumerate(cap_spans)]
+            enc = self.indexer.encode(caption, numbered)
+            out["caption_ids"] = np.asarray(enc["ids"], np.int32)
+            out["caption_copy_masks"] = np.asarray(
+                enc["copy_masks"], np.int32)
+            ctx = self.indexer.proper_masks(context, self.analyzer)
+            out["article_ids"] = np.asarray(ctx["ids"], np.int32)
+            out["context_proper_masks"] = np.asarray(
+                ctx["proper_masks"], np.int32)
+        else:
+            out["caption_ids"] = np.asarray(
+                self.indexer.encode(caption)["ids"], np.int32)
+            out["article_ids"] = np.asarray(
+                self.indexer.encode(context)["ids"], np.int32)
+
+        if rec.image is not None:
+            out["image"] = rec.image
+        elif rec.image_path:
+            out["image_path"] = rec.image_path
+
+        if self.with_faces:
+            out["face_embeds"] = self._pad_feats(
+                rec.face_embeds, self.max_faces, 512)
+        if self.with_objects:
+            dim = (rec.obj_embeds.shape[-1]
+                   if rec.obj_embeds is not None else 2048)
+            out["obj_embeds"] = self._pad_feats(
+                rec.obj_embeds, self.max_objects, dim)
+        return out
+
+    @staticmethod
+    def _pad_feats(feats: Optional[np.ndarray], max_n: int,
+                   dim: int) -> np.ndarray:
+        """NaN-pad to fixed count (NaN rows become masks downstream,
+        parity: transformer_faces_objects.py:373-379)."""
+        out = np.full((max_n, dim), np.nan, np.float32)
+        if feats is not None and len(feats):
+            n = min(len(feats), max_n)
+            out[:n] = feats[:n]
+        return out
+
+
+# ----------------------------------------------------------------------
+# Gen-1 HDF5 loader contract
+# ----------------------------------------------------------------------
+
+
+class H5DataLoader:
+    """Gen-1 `DataLoader.get_batch` contract over HDF5 files.
+
+    Expects an HDF5 with datasets: images [N,H,W,3] uint8,
+    labels [M, seq_len] int, label_start_ix/label_end_ix [N]
+    (1-indexed like the reference), and a split JSON mapping
+    {"images": [{"split": ..., "id": ...}, ...]}.
+
+    get_batch returns {images, labels, masks, gts, bounds, infos}
+    with seq_per_img replication and the `wrapped` epoch flag
+    (parity: /root/reference/dataloader.py:245-371).
+    """
+
+    def __init__(self, h5_path: str, split_json: str,
+                 seq_per_img: int = 5, seed: int = 0):
+        import h5py
+        self.h5 = h5py.File(h5_path, "r")
+        with open(split_json) as f:
+            info = json.load(f)
+        self.images_info = info["images"]
+        self.seq_per_img = seq_per_img
+        self.splits: Dict[str, List[int]] = {}
+        for i, img in enumerate(self.images_info):
+            self.splits.setdefault(img.get("split", "train"),
+                                   []).append(i)
+        self._iters = {s: 0 for s in self.splits}
+        self._rng = np.random.default_rng(seed)
+        for s in self.splits:
+            self._rng.shuffle(self.splits[s])
+
+    @property
+    def seq_length(self) -> int:
+        return self.h5["labels"].shape[1]
+
+    def get_batch(self, split: str, batch_size: int = 16) -> Dict:
+        idxs = self.splits[split]
+        images, labels, infos, gts = [], [], [], []
+        wrapped = False
+        for _ in range(batch_size):
+            pos = self._iters[split]
+            if pos >= len(idxs):
+                self._rng.shuffle(idxs)
+                self._iters[split] = 0
+                pos = 0
+                wrapped = True
+            ix = idxs[pos]
+            self._iters[split] += 1
+            images.append(self.h5["images"][ix])
+            start = int(self.h5["label_start_ix"][ix]) - 1
+            end = int(self.h5["label_end_ix"][ix])
+            caps = self.h5["labels"][start:end]
+            gts.append(np.asarray(caps))
+            # sample seq_per_img captions (with replacement if few)
+            take = self._rng.integers(0, len(caps),
+                                      size=self.seq_per_img)
+            labels.append(caps[np.sort(take)])
+            infos.append({"ix": ix,
+                          **{k: v for k, v in
+                             self.images_info[ix].items()
+                             if k in ("id", "file_path")}})
+        images = np.stack(images)
+        labels = np.concatenate(labels)      # [B*seq_per_img, L]
+        # +2 columns for <start>/<end> like the reference layout
+        L = labels.shape[1]
+        lab = np.zeros((labels.shape[0], L + 2), labels.dtype)
+        lab[:, 1:L + 1] = labels
+        masks = np.zeros_like(lab, np.float32)
+        nonzero = (lab != 0).sum(1) + 2
+        for i, n in enumerate(nonzero):
+            masks[i, :n] = 1
+        return {"images": images, "labels": lab, "masks": masks,
+                "gts": gts,
+                "bounds": {"it_pos_now": self._iters[split],
+                           "it_max": len(idxs), "wrapped": wrapped},
+                "infos": infos}
+
+
+@DATASETS.register("jsonl_news")
+def jsonl_news_dataset(path: str, **builder_kwargs):
+    """Registry hook: reader + builder over a materialized jsonl."""
+    from news_image_caption_tpu.data.bpe import ByteBPE
+    bpe_corpus = builder_kwargs.pop("bpe_corpus", None)
+    bpe = (ByteBPE.train(bpe_corpus, 200) if bpe_corpus
+           else ByteBPE.train(
+               [r.caption for r in JsonlNewsReader(path)], 200))
+    indexer = RobertaCopyIndexer(bpe)
+    builder = InstanceBuilder(indexer, **builder_kwargs)
+    return [builder.build(rec) for rec in JsonlNewsReader(path)]

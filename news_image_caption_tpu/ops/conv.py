@@ -105,17 +105,29 @@ class DynamicConv(nn.Module):
 
     def __call__(self, x: jax.Array, query: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
-        """Full-sequence causal forward. x: [B, T, C] -> [B, T, C]."""
+        """Full-sequence causal forward. x: [B, T, C] -> [B, T, C].
+
+        method: 'shift' (XLA fused shift-accumulate; default — XLA
+        fuses this to the same speed as the hand-written kernel,
+        benchmarks/pallas_bench.py), 'pallas' (explicit halo-DMA VMEM
+        kernel, TPU only, T % 128 == 0), 'band' (MXU band matmul —
+        measured much slower at K=31, kept for reference).
+        """
         B, T, C = x.shape
         H, K = self.num_heads, self.kernel_size
         R = C // H
         w = self._weights(x if query is None else query, deterministic)
-        xh = x.reshape(B, T, H, R)
-        if self.method == "band" and T >= K:
-            out = _band_matmul(xh, w, K)
+        if self.method == "pallas" and T % 128 == 0:
+            from news_image_caption_tpu.ops.pallas_kernels import \
+                dynamic_conv_pallas
+            out = dynamic_conv_pallas(x, w, num_heads=H)
         else:
-            out = _shift_accumulate(xh, w, K)
-        out = out.reshape(B, T, C)
+            xh = x.reshape(B, T, H, R)
+            if self.method == "band" and T >= K:
+                out = _band_matmul(xh, w, K)
+            else:
+                out = _shift_accumulate(xh, w, K)
+            out = out.reshape(B, T, C)
         if self.conv_bias:
             out = out + self.conv_bias_param.astype(out.dtype)
         return out

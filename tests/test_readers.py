@@ -1,0 +1,140 @@
+"""Readers: indexer copy masks, paragraph window, jsonl + HDF5 loaders."""
+
+import json
+
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.data.bpe import ByteBPE
+from news_image_caption_tpu.data.indexer import RobertaCopyIndexer
+from news_image_caption_tpu.data.preprocess import (clean_sentence,
+                                                    template_entities,
+                                                    truncate_words)
+from news_image_caption_tpu.data.readers import (H5DataLoader,
+                                                 InstanceBuilder,
+                                                 JsonlNewsReader,
+                                                 NewsRecord,
+                                                 paragraph_window)
+
+CORPUS = ["President Barack Obama visited New York on Tuesday.",
+          "A large dog runs through the city park every morning.",
+          "Officials said the new policy will start next month."]
+
+
+@pytest.fixture(scope="module")
+def indexer():
+    return RobertaCopyIndexer(ByteBPE.train(CORPUS, 80), max_len=64)
+
+
+def test_clean_sentence():
+    assert clean_sentence("<p>Hello   <b>world</b>!</p>") == "Hello world !"
+    assert clean_sentence("café — nice") == "cafe nice"
+
+
+def test_template_entities():
+    out = template_entities("Barack Obama visited New York.")
+    assert "_" in out and "visited" in out
+
+
+def test_truncate_words():
+    assert truncate_words("a b c d e", 3) == "a b c"
+
+
+def test_encode_offsets_cover_text(indexer):
+    text = "Barack Obama spoke."
+    ids, offsets = indexer.encode_with_offsets(text)
+    assert len(ids) == len(offsets)
+    assert indexer.decode(ids) == text
+    # offsets are monotone and within bounds
+    assert offsets[0][0] == 0
+    assert offsets[-1][1] == len(text)
+
+
+def test_copy_masks_mark_entity_tokens(indexer):
+    text = "Barack Obama spoke in Paris today."
+    start = text.index("Barack")
+    end = start + len("Barack Obama")
+    enc = indexer.encode(text, [(start, end, 1)])
+    ids, masks = enc["ids"], enc["copy_masks"]
+    assert len(ids) == len(masks)
+    assert masks[0] == 0 and masks[-1] == 0      # specials
+    marked = [indexer.decode([i]) for i, m in zip(ids, masks) if m == 1]
+    joined = "".join(marked)
+    assert "Barack" in joined and "Obama" in joined
+    assert "Paris" not in joined
+
+
+def test_proper_masks_numbering(indexer):
+    res = indexer.proper_masks(
+        "Barack Obama met Angela Merkel in Berlin.")
+    masks = res["proper_masks"]
+    distinct = sorted(set(m for m in masks if m > 0))
+    assert len(distinct) >= 2        # at least two numbered entities
+
+
+def test_paragraph_window(indexer):
+    paragraphs = [f"Paragraph number {i} talks about topic {i}."
+                  for i in range(10)]
+    ctx = paragraph_window(paragraphs, image_index=5, indexer=indexer,
+                           budget=40)
+    assert "number 5" in ctx
+    n_tokens = len(indexer.encode_with_offsets(ctx)[0])
+    assert n_tokens <= 60
+
+
+def test_jsonl_reader_and_builder(tmp_path, indexer):
+    path = str(tmp_path / "news.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({
+            "caption": "Barack Obama spoke in Paris.",
+            "paragraphs": ["Intro paragraph.",
+                           "Barack Obama went to Paris.",
+                           "Closing paragraph."],
+            "image_index": 1,
+            "face_embeds": [[0.1] * 512],
+            "metadata": {"web_url": "http://x"}}) + "\n")
+    recs = list(JsonlNewsReader(path))
+    assert len(recs) == 1 and recs[0].paragraphs
+
+    builder = InstanceBuilder(indexer, with_copy_masks=True,
+                              with_faces=True,
+                              use_paragraph_window=True)
+    inst = builder.build(recs[0])
+    assert inst["caption_ids"][0] == 0
+    assert (inst["caption_copy_masks"] > 0).any()
+    assert inst["face_embeds"].shape == (4, 512)
+    assert np.isnan(inst["face_embeds"][1]).all()   # NaN padding
+    assert inst["metadata"]["web_url"] == "http://x"
+
+
+def test_h5_loader_contract(tmp_path):
+    import h5py
+    N, M, L = 6, 12, 7
+    h5_path = str(tmp_path / "data.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(h5_path, "w") as f:
+        f["images"] = rng.integers(0, 255, (N, 16, 16, 3),
+                                   dtype=np.uint8)
+        f["labels"] = rng.integers(1, 50, (M, L)).astype(np.int32)
+        starts = np.asarray([1, 3, 5, 7, 9, 11], np.int32)
+        ends = np.asarray([2, 4, 6, 8, 10, 12], np.int32)
+        f["label_start_ix"] = starts
+        f["label_end_ix"] = ends
+    split_json = str(tmp_path / "split.json")
+    with open(split_json, "w") as f:
+        json.dump({"images": [
+            {"split": "train" if i < 4 else "val", "id": i}
+            for i in range(N)]}, f)
+
+    loader = H5DataLoader(h5_path, split_json, seq_per_img=2)
+    batch = loader.get_batch("train", batch_size=2)
+    assert batch["images"].shape == (2, 16, 16, 3)
+    assert batch["labels"].shape == (4, L + 2)       # B*seq_per_img
+    assert batch["labels"][:, 0].sum() == 0          # <start> col
+    assert set(batch["bounds"]) == {"it_pos_now", "it_max", "wrapped"}
+    # epoch wrap flag fires after exhausting the split
+    wrapped = False
+    for _ in range(5):
+        wrapped = wrapped or loader.get_batch(
+            "train", 2)["bounds"]["wrapped"]
+    assert wrapped
