@@ -112,3 +112,75 @@ class CaptioningWorker(_MP.Process):
             receiver.close()
             sink.close()
             ctx.term()
+
+
+def full_model_builder(caption_model=None, caption_params=None,
+                       use_faces: bool = True, use_objects: bool = True,
+                       gen_config=None):
+    """Builder composing detection + captioning like the reference
+    CaptioningWorker (tasks/captioner.py:79-144): MTCNN face detect ->
+    InceptionResnetV1 embeddings, YOLOv3 object features, then the
+    faces/objects captioner over raw image + precomputed article
+    features. Returns a predict(job) closure.
+
+    job keys: image_raw [H, W, 3] uint8, article [S, De],
+    article_mask [S] (True = pad), image (precomputed patches) or
+    image_raw for ResNet upstream.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    from news_image_caption_tpu.models.facenet import (MTCNN,
+                                                       InceptionResnetV1)
+    from news_image_caption_tpu.models.variants import nan_to_mask
+    from news_image_caption_tpu.models.yolov3 import \
+        ObjectFeatureExtractor
+
+    mtcnn = MTCNN() if use_faces else None
+    embedder = InceptionResnetV1() if use_faces else None
+    if use_faces:
+        emb_params = embedder.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 160, 160, 3)))
+        embed_j = jax.jit(embedder.apply)
+    objector = (ObjectFeatureExtractor(img_size=256)
+                if use_objects else None)
+    cfg = gen_config or GenerationConfig(max_len=32)
+
+    MAX_FACES = 4
+
+    def predict(job):
+        out = {}
+        img = job.get("image_raw")
+        # Fixed-count NaN-padded face slots: a faces-context decoder
+        # needs the context every call; undetected slots are masked
+        # (parity: the NaN convention of transformer_faces_objects).
+        faces = np.full((MAX_FACES, 512), np.nan, np.float32)
+        if use_faces and img is not None:
+            boxes, _ = mtcnn.detect(img)
+            crops = mtcnn.extract_faces(img, boxes[:MAX_FACES])
+            if len(crops):
+                emb = np.asarray(embed_j(emb_params,
+                                         jnp.asarray(crops)))
+                faces[:len(emb)] = emb
+            out["n_faces"] = np.asarray(len(crops))
+        if use_objects and img is not None:
+            obj_boxes, obj_feats = objector(img)
+            out["n_objects"] = np.asarray(len(obj_feats))
+        if caption_model is not None and caption_params is not None:
+            batch = {k: jnp.asarray(v) for k, v in job.items()
+                     if k in ("image", "image_mask", "article",
+                              "article_mask")}
+            needs_faces = any(
+                name == "faces" for name, _ in getattr(
+                    caption_model.decoder, "extra_contexts", ()))
+            if needs_faces:
+                f, fm = nan_to_mask(jnp.asarray(faces)[None])
+                batch["faces"], batch["faces_mask"] = f, fm
+            tokens, _ = caption_model.generate(caption_params, batch,
+                                               cfg)
+            out["tokens"] = np.asarray(tokens)
+        return out
+
+    return predict

@@ -1,0 +1,97 @@
+"""FaceNet/MTCNN/YOLOv3: shapes, NMS, letterbox, detection flows."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.models.facenet import (MTCNN,
+                                                   InceptionResnetV1,
+                                                   nms)
+from news_image_caption_tpu.models.yolov3 import (ObjectFeatureExtractor,
+                                                  YoloV3SPP,
+                                                  decode_predictions,
+                                                  letterbox,
+                                                  non_max_suppression,
+                                                  scale_coords)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = nms(boxes, scores, threshold=0.5)
+    assert keep == [0, 2]
+
+
+def test_inception_resnet_embeds():
+    m = InceptionResnetV1()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 160, 160, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    emb = m.apply(params, x)
+    assert emb.shape == (2, 512)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
+
+
+def test_mtcnn_detect_runs():
+    mt = MTCNN(min_face=40)
+    img = np.random.default_rng(0).integers(
+        0, 255, (120, 160, 3), dtype=np.uint8)
+    boxes, probs = mt.detect(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    faces = mt.extract_faces(img, boxes[:2])
+    if len(boxes):
+        assert faces.shape[1:] == (160, 160, 3)
+
+
+def test_yolo_heads_and_decode():
+    m = YoloV3SPP(num_classes=80)
+    x = jnp.zeros((1, 128, 128, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    heads, neck = m.apply(params, x)
+    assert heads[0].shape == (1, 16, 16, 255)
+    assert heads[1].shape == (1, 8, 8, 255)
+    assert heads[2].shape == (1, 4, 4, 255)
+    assert neck.shape == (1, 4, 4, 1024)
+    pred = decode_predictions(heads)
+    n = (16 * 16 + 8 * 8 + 4 * 4) * 3
+    assert pred.shape == (1, n, 85)
+    p = np.asarray(pred)[0]
+    assert (p[:, 4] >= 0).all() and (p[:, 4] <= 1).all()
+    assert (p[:, 2:4] > 0).all()           # positive wh
+
+
+def test_letterbox_and_scale_coords():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, r, pad = letterbox(img, 128)
+    assert out.shape == (128, 128, 3)
+    assert r == pytest.approx(128 / 200)
+    # a box at letterboxed coords maps back into original space
+    boxes = np.array([[pad[0], pad[1], pad[0] + 64, pad[1] + 32]],
+                     np.float32)
+    back = scale_coords(boxes, r, pad)
+    np.testing.assert_allclose(back[0], [0, 0, 100, 50], atol=1e-3)
+
+
+def test_non_max_suppression_output_format():
+    pred = np.zeros((4, 85), np.float32)
+    pred[:, :4] = [[50, 50, 20, 20], [52, 52, 20, 20],
+                   [200, 200, 30, 30], [10, 10, 5, 5]]
+    pred[:, 4] = [0.9, 0.8, 0.9, 0.1]       # last below conf
+    pred[0, 5] = 0.9
+    pred[1, 5] = 0.9                          # same class -> suppressed
+    pred[2, 6] = 0.9                          # other class survives
+    pred[3, 5] = 0.9
+    out = non_max_suppression(pred, conf_thres=0.3, iou_thres=0.5)
+    assert out.shape == (2, 6)
+    assert set(out[:, 5].astype(int)) == {0, 1}
+
+
+def test_object_feature_extractor():
+    ex = ObjectFeatureExtractor(img_size=128)
+    img = np.random.default_rng(1).integers(
+        0, 255, (96, 160, 3), dtype=np.uint8)
+    boxes, feats = ex(img, conf_thres=0.2)
+    assert boxes.shape[1] == 4 if len(boxes) else True
+    assert feats.shape[1] == 1024 if len(feats) else True
