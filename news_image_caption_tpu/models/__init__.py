@@ -7,6 +7,8 @@ from news_image_caption_tpu.models.pipeline import Gen3Pipeline
 from news_image_caption_tpu.models.pointer import TransformerPointer
 from news_image_caption_tpu.models import variants  # noqa: F401
 from news_image_caption_tpu.models import tgnc  # noqa: F401
+from news_image_caption_tpu.models.decoder_lstm import (  # noqa: F401
+    LSTMDecoder, LSTMFlattenedModel)
 from news_image_caption_tpu.models.resnet import ResNetTrunk
 from news_image_caption_tpu.models.roberta import RobertaEncoder
 

@@ -317,6 +317,25 @@ class AdaAttCore(nn.Module):
         return out, Gen1State(h[None], c[None])
 
 
+class _INSResBlock(nn.Module):
+    """Instance-norm residual block over [B, L, C] (misc/utils.py:74-92)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.channels, name="conv1")(x)
+        y = nn.GroupNorm(num_groups=None, group_size=1,
+                         use_bias=False, use_scale=False,
+                         name="in1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, name="conv2")(y)
+        y = nn.GroupNorm(num_groups=None, group_size=1,
+                         use_bias=False, use_scale=False,
+                         name="in2")(y)
+        return x + y
+
+
 class ShowAttendTellCore(nn.Module):
     """OldModel core: LSTM over [xt, att_res (, sentence extras)].
 
@@ -336,10 +355,37 @@ class ShowAttendTellCore(nn.Module):
         self.ctx2att = Dense(self.att_hid_size, name="ctx2att")
         self.h2att = Dense(self.att_hid_size, name="h2att")
         self.alpha_net = Dense(1, name="alpha_net")
-        if self.sentence_embed_method in ("fc", "fc_max"):
+        m = self.sentence_embed_method
+        if m in ("fc", "fc_max"):
             self.sentence_att = Dense(self.att_hid_size,
                                       name="sentence_att")
             self.h2att_sen = Dense(self.att_hid_size, name="h2att_sen")
+        elif m == "conv":
+            # LeakyReLUConv2d(1, 32, [E, 5]) over [B, 1, E, L]
+            # (misc/utils.py:60-70; OldModel.py:242-251): in NHWC this
+            # is a conv with kernel (E, 5) collapsing the embed axis.
+            self.sen_conv = nn.Conv(32, (1, 5), padding=((0, 0), (2, 2)),
+                                    name="sen_conv")
+            self.sen_embed_proj = Dense(32, use_bias=False,
+                                        name="sen_embed_proj")
+            self.h2att_sen = Dense(32, name="h2att_sen")
+            self.ch_embed = Dense(1, name="ch_embed")
+        elif m == "conv_deep":
+            self.sen_conv = nn.Conv(128, (1, 5),
+                                    padding=((0, 0), (2, 2)),
+                                    name="sen_conv")
+            self.sen_embed_proj = Dense(128, use_bias=False,
+                                        name="sen_embed_proj")
+            self.res1 = _INSResBlock(128, name="res1")
+            self.res2 = _INSResBlock(128, name="res2")
+            self.h2att_sen = Dense(1, name="h2att_sen")
+            self.ch_embed = Dense(1, name="ch_embed")
+        elif m == "bnews":
+            self.sen_conv = nn.Conv(256, (1, 5), padding="VALID",
+                                    name="sen_conv")
+            self.sen_embed_proj = Dense(256, use_bias=False,
+                                        name="sen_embed_proj")
+            self.sen_lin = Dense(64, name="sen_lin")
 
     def prepare(self, fc_feats, att_feats, sen_embed=None):
         feats = {"att": att_feats, "p_att": self.ctx2att(att_feats)}
@@ -357,7 +403,42 @@ class ShowAttendTellCore(nn.Module):
         att_res = jnp.einsum("bp,bpd->bd", alpha, feats["att"])
 
         parts = [xt]
-        if self.sentence_embed_method in ("fc", "fc_max"):
+        m = self.sentence_embed_method
+        if m in ("conv", "conv_deep", "bnews"):
+            # Treat the sentence sequence [B, L, E] as a 1-wide image:
+            # project E -> channels then depthwise-ish temporal conv
+            # (the reference's Conv2d([E, 5]) collapses E into the
+            # output channels; an E->C projection + (1,5) temporal
+            # conv computes the same family of functions).
+            sen = feats["sen"]                        # [B, L, E]
+            proj = self.sen_embed_proj(sen)           # [B, L, C]
+            conv_in = proj[:, None, :, :]             # [B, 1, L, C]
+            conv = self.sen_conv(conv_in)[:, 0]       # [B, L', C]
+            if m == "conv":
+                att_h_sen = self.h2att_sen(h_last)    # [B, 32]
+                dot = jnp.tanh(conv + att_h_sen[:, None, :])
+                w_sen = jax.nn.softmax(
+                    self.ch_embed(dot)[:, :, 0], axis=-1)
+                sen_res = jnp.einsum("bl,ble->be", w_sen, sen)
+                parts += [att_res, sen_res]
+            elif m == "conv_deep":
+                conv = jax.nn.leaky_relu(conv, 0.01)
+                conv = self.res2(self.res1(conv))
+                att_h_sen = self.h2att_sen(h_last)    # [B, 1]
+                combined = conv + att_h_sen[:, None, :]
+                dot = jnp.tanh(self.ch_embed(combined)[:, :, 0])
+                w_sen = jax.nn.softmax(dot, axis=-1)
+                sen_res = jnp.einsum("bl,blc->bc", w_sen, conv)
+                parts += [att_res, sen_res]           # 128-d context
+            else:  # bnews: conv + global max pool + MLP, no attention
+                pooled = jnp.max(jax.nn.leaky_relu(conv, 0.01), axis=1)
+                final = nn.relu(self.sen_lin(pooled))
+                parts += [final, att_res]
+            out, (h, c) = self.rnn(
+                jnp.concatenate(parts, axis=-1),
+                (state.h, state.c), deterministic)
+            return out, Gen1State(h, c)
+        if m in ("fc", "fc_max"):
             att_h_sen = self.h2att_sen(h_last)
             dot_s = jnp.tanh(feats["p_sen"] + att_h_sen[:, None, :])
             # quirk: the reference reuses alpha_net for sentences
@@ -557,6 +638,11 @@ def masked_nll_loss(log_probs: jax.Array, targets: jax.Array,
 
 
 @MODELS.register("gen1")
+def gen1_factory(**kw) -> "Gen1Model":
+    """Registry factory: config dict -> Gen-1 model wrapper."""
+    return Gen1Model(Gen1Captioner(**kw))
+
+
 class Gen1Model:
     """Functional wrapper with the Gen-1 train/sample API.
 
@@ -567,7 +653,27 @@ class Gen1Model:
     def __init__(self, module: Optional[Gen1Captioner] = None, **kwargs):
         self.module = module or Gen1Captioner(**kwargs)
 
+    @staticmethod
+    def adapt_batch(batch):
+        """Accept news-style batches (caption_ids/image/article) by
+        mapping them onto the Gen-1 contract (seq/mask/fc/att/sen)."""
+        if "seq" in batch:
+            return {k: (jnp.asarray(v) if hasattr(v, "shape") else v)
+                    for k, v in batch.items()}
+        seq = jnp.asarray(batch["caption_ids"])
+        image = jnp.asarray(batch["image"])
+        out = {
+            "seq": seq,
+            "mask": (seq != 1).astype(jnp.float32),
+            "fc_feats": image.mean(axis=1),
+            "att_feats": image,
+        }
+        if "article" in batch:
+            out["sen_embed"] = jnp.asarray(batch["article"])
+        return out
+
     def init(self, rng, batch):
+        batch = self.adapt_batch(batch)
         B = batch["fc_feats"].shape[0]
         p_rng, _ = jax.random.split(rng)
         # Initialize every submodule by tracing prepare + one step
@@ -603,6 +709,7 @@ class Gen1Model:
 
     def forward(self, params, batch, dropout_rng=None, ss_prob=0.0):
         """Teacher-forced log-probs [B, T-1, V+1]."""
+        batch = self.adapt_batch(batch)
         seq = batch["seq"]
         B, T = seq.shape
         deterministic = dropout_rng is None
@@ -632,12 +739,14 @@ class Gen1Model:
         return jnp.transpose(lps, (1, 0, 2))
 
     def loss_fn(self, params, batch, dropout_rng=None, ss_prob=0.0):
+        batch = self.adapt_batch(batch)
         lps = self.forward(params, batch, dropout_rng, ss_prob)
         loss, ntokens = masked_nll_loss(
             lps, batch["seq"][:, 1:], batch["mask"][:, 1:])
         return loss, {"loss_sum": loss * ntokens, "sample_size": ntokens}
 
     def _setup_decode(self, params, batch, beam: int = 1):
+        batch = self.adapt_batch(batch)
         fc = batch["fc_feats"]
         B = fc.shape[0]
         if beam > 1:

@@ -198,7 +198,6 @@ class Gen2DecoderLayer(nn.Module):
         return x, (k_cache, v_cache)
 
 
-@MODELS.register("gen2_transformer")
 class Gen2Transformer(nn.Module):
     """OnlyDecoder captioner over image+article memory."""
 
@@ -310,6 +309,12 @@ def label_smoothing_loss(log_probs: jax.Array, targets: jax.Array,
     mask = tgt != pad_id
     loss = jnp.sum(jnp.where(mask, loss_tok, 0.0))
     return loss, jnp.sum(mask.astype(jnp.int32))
+
+
+@MODELS.register("gen2_transformer")
+def gen2_transformer(smoothing: float = 0.0, **kw) -> "Gen2Captioner":
+    """Registry factory: config dict -> trainable Gen-2 captioner."""
+    return Gen2Captioner(Gen2Transformer(**kw), smoothing=smoothing)
 
 
 class Gen2Captioner:

@@ -98,7 +98,8 @@ def test_sample_and_beam(model_type):
 
 
 def test_show_attend_tell_sentence_variants():
-    for method in ["fc", "fc_max", "concat"]:
+    for method in ["fc", "fc_max", "concat", "conv", "conv_deep",
+                   "bnews"]:
         model = make_model("show_attend_tell",
                            sentence_embed_method=method)
         batch = make_batch(sen=True)
