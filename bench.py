@@ -26,7 +26,7 @@ import numpy as np
 # (see BASELINE.md). Updated whenever the baseline script reruns.
 REFERENCE_CPU_CAPTIONS_PER_SEC = 0.068  # greedy, batch 16, 2026-08-16
 
-BATCH = 16
+BATCH = 64
 MAX_LEN = 100
 BEAM = 5
 

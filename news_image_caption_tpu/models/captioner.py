@@ -120,15 +120,22 @@ class TransformerFlattened:
 
     def generate_beam(self, params, batch: Dict[str, jax.Array],
                       config: GenerationConfig = GenerationConfig()):
-        """Beam-searched captions [B, beam, max_len+1] + scores."""
+        """Beam-searched captions [B, beam, max_len+1] + scores.
+
+        Context K/V stay UNtiled and are shared across beams inside
+        the attention (attend_flat_beam) — replicating them `beam`
+        times is the dominant HBM traffic of beam decoding.
+        """
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         K = config.beam_size
         kvs, _ = self._decode_setup(params, contexts, B)
-        # Tile precomputed KV (cheaper than re-projecting tiled contexts).
-        kvs = jax.tree.map(
-            lambda x: jnp.repeat(x, K, axis=0) if x is not None else None,
-            kvs)
         caches = self.decoder.init_cache(B * K)
+
+        def step(tok, i, caches):
+            return self.decoder.apply(
+                params, tok, i, kvs, caches, beam=K,
+                method=DynamicConvDecoder.step)
+
         seed = jnp.full((B,), config.bos_id, jnp.int32)
-        return beam_search(self._step_fn(params, kvs), caches, seed, config)
+        return beam_search(step, caches, seed, config)

@@ -215,16 +215,38 @@ class DynamicConvDecoderLayer(nn.Module):
         return self.conv.init_cache(batch_size, dtype)
 
     def step(self, x_t: jax.Array, kv: LayerKV, conv_cache: jax.Array,
-             deterministic: bool = True):
-        """Single-token decode. x_t: [B, D]."""
+             deterministic: bool = True, beam: int = 1):
+        """Single-token decode. x_t: [B, D] (or [B*beam, D] with
+        beam > 1 and kv precomputed for the UNtiled batch — context
+        K/V are then shared across beams instead of replicated)."""
         residual = x_t[:, None, :]
         h = self._conv_block_pre(x_t[:, None, :], deterministic)
         h_t, new_cache = self.conv.step(h[:, 0, :], conv_cache,
                                         deterministic=deterministic)
         x = self._conv_block_post(h_t[:, None, :], residual, deterministic)
-        x, _ = self._contexts_block(x, kv, deterministic)
+        if beam > 1:
+            x = self._contexts_block_beam(x[:, 0, :], kv, beam,
+                                          deterministic)[:, None, :]
+        else:
+            x, _ = self._contexts_block(x, kv, deterministic)
         x = self._ffn_block(x, deterministic)
         return x[:, 0, :], new_cache
+
+    def _contexts_block_beam(self, x: jax.Array, kv: LayerKV,
+                             beam: int, deterministic):
+        """[B*beam, D] single-step context fusion with shared K/V."""
+        residual = x
+        parts = []
+        for cname, _ in self.context_specs:
+            ln = self.context_attn_lns[cname]
+            xc = self._maybe_ln(ln, x, before=True)
+            xc = self.context_attns[cname].attend_flat_beam(
+                xc, kv[cname], beam, deterministic=deterministic)
+            xc = self._drop(xc, self.dropout, deterministic)
+            xc = residual + xc
+            xc = self._maybe_ln(ln, xc, before=False)
+            parts.append(xc)
+        return self.context_fc(jnp.concatenate(parts, axis=-1))
 
 
 @DECODERS.register("dynamic_conv_decoder_flattened")
@@ -361,7 +383,8 @@ class DynamicConvDecoder(nn.Module):
                 for k in self.kernel_sizes]
 
     def step(self, token_t: jax.Array, step_idx: jax.Array | int,
-             kvs: List[LayerKV], caches: List[jax.Array]):
+             kvs: List[LayerKV], caches: List[jax.Array],
+             beam: int = 1):
         """One decode step.
 
         token_t: [B] current input token; step_idx: number of tokens
@@ -369,18 +392,20 @@ class DynamicConvDecoder(nn.Module):
         (log_probs [B, V], new_caches).
         """
         lp, _, new_caches = self.step_with_hidden(token_t, step_idx,
-                                                  kvs, caches)
+                                                  kvs, caches, beam)
         return lp, new_caches
 
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,
-                         kvs: List[LayerKV], caches: List[jax.Array]):
+                         kvs: List[LayerKV], caches: List[jax.Array],
+                         beam: int = 1):
         """Like `step` but also returns the hidden state [B, D]
-        (needed by the pointer family's entity/copy heads)."""
+        (needed by the pointer family's entity/copy heads). With
+        beam > 1, kvs must be for the untiled batch (shared K/V)."""
         x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
         new_caches = []
         for layer, kv, cache in zip(self.layers, kvs, caches):
-            x, nc = layer.step(x, kv, cache)
+            x, nc = layer.step(x, kv, cache, beam=beam)
             new_caches.append(nc)
         if self.normalize_before and self.final_norm:
             x = self.layer_norm(x)

@@ -147,6 +147,35 @@ class MultiHeadAttention(nn.Module):
         weights = probs.mean(axis=1) if need_weights else None
         return out, weights
 
+    def attend_flat_beam(self, query: jax.Array, kv: AttentionKV,
+                         beam: int, deterministic: bool = True
+                         ) -> jax.Array:
+        """Beam-folded single-step attention with SHARED K/V.
+
+        query: [B*beam, E] (beam-major within each batch item);
+        kv: precomputed for the UNtiled batch B. Avoids replicating
+        the context K/V `beam` times — the dominant HBM traffic of
+        beam decoding (each step re-reads all context K/V).
+        Returns [B*beam, E].
+        """
+        BK, E = query.shape
+        B = BK // beam
+        H, hd = self.num_heads, self.head_dim
+        q = self.q_proj(query).reshape(B, beam, H, hd)
+        q = q * (hd ** -0.5)
+        scores = jnp.einsum("bkhd,bshd->bhks", q, kv.k,
+                            preferred_element_type=jnp.float32)
+        if kv.mask is not None:
+            scores = jnp.where(kv.mask[:, None, None, :], scores,
+                               NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = probs.astype(kv.v.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            probs = dropout(self, probs, self.dropout,
+                            deterministic=False)
+        out = jnp.einsum("bhks,bshd->bkhd", probs, kv.v)
+        return self.out_proj(out.reshape(BK, E))
+
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
                  key_padding_mask: Optional[jax.Array] = None,
                  attn_mask: Optional[jax.Array] = None,
