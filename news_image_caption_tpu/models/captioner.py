@@ -135,7 +135,7 @@ class TransformerFlattened:
         def step(tok, i, caches):
             return self.decoder.apply(
                 params, tok, i, kvs, caches, beam=K,
-                method=DynamicConvDecoder.step)
+                method=DynamicConvDecoder.step_shift)
 
         seed = jnp.full((B,), config.bos_id, jnp.int32)
         return beam_search(step, caches, seed, config)

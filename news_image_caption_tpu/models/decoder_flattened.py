@@ -215,14 +215,22 @@ class DynamicConvDecoderLayer(nn.Module):
         return self.conv.init_cache(batch_size, dtype)
 
     def step(self, x_t: jax.Array, kv: LayerKV, conv_cache: jax.Array,
-             deterministic: bool = True, beam: int = 1):
+             deterministic: bool = True, beam: int = 1,
+             step_idx=None):
         """Single-token decode. x_t: [B, D] (or [B*beam, D] with
         beam > 1 and kv precomputed for the UNtiled batch — context
-        K/V are then shared across beams instead of replicated)."""
+        K/V are then shared across beams instead of replicated).
+        With step_idx, the conv history uses the O(1)-write ring
+        buffer instead of a shifted copy."""
         residual = x_t[:, None, :]
         h = self._conv_block_pre(x_t[:, None, :], deterministic)
-        h_t, new_cache = self.conv.step(h[:, 0, :], conv_cache,
-                                        deterministic=deterministic)
+        if step_idx is not None:
+            h_t, new_cache = self.conv.step_ring(
+                h[:, 0, :], conv_cache, step_idx,
+                deterministic=deterministic)
+        else:
+            h_t, new_cache = self.conv.step(
+                h[:, 0, :], conv_cache, deterministic=deterministic)
         x = self._conv_block_post(h_t[:, None, :], residual, deterministic)
         if beam > 1:
             x = self._contexts_block_beam(x[:, 0, :], kv, beam,
@@ -395,17 +403,27 @@ class DynamicConvDecoder(nn.Module):
                                                   kvs, caches, beam)
         return lp, new_caches
 
+    def step_shift(self, token_t, step_idx, kvs, caches, beam: int = 1):
+        """step() with shifted-copy caches (beam-search path)."""
+        lp, _, new_caches = self.step_with_hidden(
+            token_t, step_idx, kvs, caches, beam, use_ring=False)
+        return lp, new_caches
+
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,
                          kvs: List[LayerKV], caches: List[jax.Array],
-                         beam: int = 1):
+                         beam: int = 1, use_ring: bool = True):
         """Like `step` but also returns the hidden state [B, D]
         (needed by the pointer family's entity/copy heads). With
-        beam > 1, kvs must be for the untiled batch (shared K/V)."""
+        beam > 1, kvs must be for the untiled batch (shared K/V).
+        use_ring=False keeps the shifted-copy conv caches (beam search
+        reorders caches every step, which already rewrites them — the
+        ring's O(1) writes buy nothing there)."""
         x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
         new_caches = []
         for layer, kv, cache in zip(self.layers, kvs, caches):
-            x, nc = layer.step(x, kv, cache, beam=beam)
+            x, nc = layer.step(x, kv, cache, beam=beam,
+                               step_idx=step_idx if use_ring else None)
             new_caches.append(nc)
         if self.normalize_before and self.final_norm:
             x = self.layer_norm(x)

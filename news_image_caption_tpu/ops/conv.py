@@ -155,6 +155,40 @@ class DynamicConv(nn.Module):
             out = out + self.conv_bias_param.astype(out.dtype)
         return out, hist[:, 1:, :]
 
+    def step_ring(self, x_t: jax.Array, cache: jax.Array,
+                  t: jax.Array | int, deterministic: bool = True):
+        """Ring-buffer decode step: O(1) cache writes.
+
+        `step` rewrites the whole [B, K-1, C] history every token
+        (shifted copy). Here slot (s mod K-1) permanently holds input
+        x_s; each step writes ONE row and permutes the tap WEIGHTS
+        instead of the data: input x_{t-K+1+k} lives in slot
+        (t+k+1) mod (K-1), so slot j takes weight index
+        (j - t - 1) mod (K-1). Zero-initialized slots represent
+        pre-start inputs and contribute nothing (same truncation
+        semantics as `step`).
+
+        Returns (out [B, C], cache with x_t written at slot t mod K-1).
+        """
+        B, C = x_t.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        Km1 = K - 1
+        w = self._weights(x_t, deterministic)          # [B, H, K]
+        t = jnp.asarray(t, jnp.int32)
+        slots = jnp.arange(Km1, dtype=jnp.int32)
+        k_for_slot = jnp.mod(slots - t, Km1)           # [K-1]
+        w_hist = jnp.take(w, k_for_slot, axis=-1)      # [B, H, K-1]
+        hh = cache.reshape(B, Km1, H, R)
+        out = jnp.einsum("bhk,bkhr->bhr", w_hist, hh).reshape(B, C)
+        out = out + w[:, :, K - 1:K].repeat(R, axis=-1).reshape(
+            B, C) * x_t
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, x_t[:, None, :], (0, jnp.mod(t, Km1), 0))
+        return out, new_cache
+
 
 class LightweightConv(nn.Module):
     """Depthwise conv with shared learned kernels per head."""
@@ -213,3 +247,24 @@ class LightweightConv(nn.Module):
         if self.conv_bias:
             out = out + self.conv_bias_param.astype(out.dtype)
         return out, hist[:, 1:, :]
+
+    def step_ring(self, x_t: jax.Array, cache: jax.Array,
+                  t: jax.Array | int, deterministic: bool = True):
+        """Ring-buffer step (see DynamicConv.step_ring)."""
+        B, C = x_t.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        Km1 = K - 1
+        w = self._weights(deterministic)               # [H, K]
+        t = jnp.asarray(t, jnp.int32)
+        slots = jnp.arange(Km1, dtype=jnp.int32)
+        k_for_slot = jnp.mod(slots - t, Km1)
+        w_hist = jnp.take(w, k_for_slot, axis=-1)      # [H, K-1]
+        hh = cache.reshape(B, Km1, H, R)
+        out = jnp.einsum("hk,bkhr->bhr", w_hist, hh).reshape(B, C)
+        out = out + jnp.repeat(w[:, K - 1], R) * x_t
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, x_t[:, None, :], (0, jnp.mod(t, Km1), 0))
+        return out, new_cache
