@@ -20,22 +20,28 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+CONTEXT_AXIS = "context"
 
 
 @dataclass(frozen=True)
 class MeshConfig:
     data: int = -1      # -1: all remaining devices
     model: int = 1
+    context: int = 1    # sequence-parallel axis (extension point)
 
 
 def make_mesh(config: MeshConfig = MeshConfig(),
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    model = config.model
-    data = config.data if config.data != -1 else n // model
-    if data * model != n:
+    model, context = config.model, config.context
+    data = (config.data if config.data != -1
+            else n // (model * context))
+    if data * model * context != n:
         raise ValueError(
-            f"mesh {data}x{model} does not cover {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+            f"mesh {data}x{model}x{context} does not cover {n} devices")
+    if context == 1:
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices).reshape(data, model, context)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS))

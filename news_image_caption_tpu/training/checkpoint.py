@@ -103,6 +103,23 @@ class CheckpointStore:
         with open(path, "rb") as f:
             return serialization.from_bytes(target, f.read())
 
+    def load_with_fallback(self, target: Any):
+        """Restore the newest readable checkpoint, falling back to
+        older ones on corruption (reference analog: the
+        .npy -> .pkl -> recompute cache chain,
+        final_roberta2/encoder.py:64-92). Returns (state, step)."""
+        steps = sorted((c["step"] for c in self.meta["checkpoints"]),
+                       reverse=True)
+        last_err: Optional[Exception] = None
+        for step in steps:
+            try:
+                return self.load(target, step), step
+            except Exception as e:  # corrupt/missing file
+                last_err = e
+                continue
+        raise FileNotFoundError(
+            f"no readable checkpoint in {self.dir}") from last_err
+
     def best_value(self) -> Optional[float]:
         b = self.meta.get("best")
         return None if b is None else b["value"]

@@ -43,9 +43,18 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh):
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    guard_nonfinite: bool = True) -> Callable:
     """loss_fn(params, batch, dropout_rng) -> (loss, aux).
-    Returns jitted step(state, batch, rng) -> (state, metrics)."""
+    Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    guard_nonfinite reproduces the reference's NaN-batch skip
+    (callback_apex_trainer.py:225-227) INSIDE the jitted step: when
+    the loss is not finite, parameters and optimizer state keep their
+    previous values (the reference skips before optimizer.step();
+    applying the guard post-update is equivalent and avoids a host
+    round trip). metrics["skipped"] reports it.
+    """
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):
@@ -54,10 +63,21 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
             state.params, batch, dropout_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if guard_nonfinite:
+            good = jnp.isfinite(loss)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(good, new, old),
+                params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(good, new, old),
+                opt_state, state.opt_state)
+            skipped = (~good).astype(jnp.int32)
+        else:
+            skipped = jnp.zeros((), jnp.int32)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                   **aux}
+                   "skipped": skipped, **aux}
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
