@@ -11,8 +11,6 @@ by tests and benchmarks.
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional
 

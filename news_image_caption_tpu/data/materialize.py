@@ -24,7 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

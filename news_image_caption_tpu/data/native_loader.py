@@ -18,7 +18,7 @@ import json
 import os
 import struct
 import subprocess
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

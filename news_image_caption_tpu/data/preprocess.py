@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from typing import Dict, List, Optional, Tuple
+from typing import List, Tuple
 
 from news_image_caption_tpu.evaluation.text_analysis import get_analyzer
 

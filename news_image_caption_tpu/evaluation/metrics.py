@@ -21,7 +21,7 @@ out in the reference's language_eval — intentionally out of scope.
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import Counter
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 

@@ -19,8 +19,7 @@ step is one big MXU-friendly batch.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,7 +103,6 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
     """
     B = seed.shape[0]
     K = config.beam_size
-    V = None  # discovered at first step
 
     flat_seed = jnp.repeat(seed, K)                       # [B*K]
     tokens0 = jnp.full((B * K, config.max_len + 1), config.pad_id,

@@ -24,9 +24,7 @@ Vocabulary convention (reference): token 0 is both <bos> as input and
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

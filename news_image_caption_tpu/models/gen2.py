@@ -28,7 +28,7 @@ whole prefix every step (final/custom_v3.py:566-581).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

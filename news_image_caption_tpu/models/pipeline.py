@@ -13,7 +13,7 @@ fastest production path; see data/dataset.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ distribution is one segment-sum scatter into [B, V] per step.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ checkpoint) into this module's params for weight-exact inference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

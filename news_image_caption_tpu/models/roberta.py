@@ -16,7 +16,7 @@ params can be kept in bf16. `port_hf_roberta` converts a HuggingFace
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Parity map (register name -> reference file):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 
@@ -77,6 +77,15 @@ def transformer_only_pointer(**kw) -> TransformerPointer:
 @MODELS.register("transformer_pointer_2")
 def transformer_pointer_2(**kw) -> TransformerPointer:
     kw.setdefault("loss_weights", (1.0, 1.0, 1.0))
+    return TransformerPointer(**kw)
+
+
+@MODELS.register("transformer_context_pointer")
+def transformer_context_pointer(**kw) -> TransformerPointer:
+    """Pointer copying from the FULL context: callers pass
+    context_proper_masks = (article_ids != pad) so every non-pad
+    article token is copyable (parity:
+    transformer_context_pointer.py:29)."""
     return TransformerPointer(**kw)
 
 

@@ -27,7 +27,7 @@ decoder constructs both and feeds `embed_tables` explicitly).
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ XLA's sharding propagation + collective insertion replaces NCCL/apex
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, List, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,15 +13,12 @@ worker's compute becomes a jitted JAX generate function (worker.py).
 from __future__ import annotations
 
 import multiprocessing
-import os
 import tempfile
 import threading
-import uuid
 from typing import Callable, List, Optional
 
 import zmq
 
-from news_image_caption_tpu.serving.messages import pack, unpack
 from news_image_caption_tpu.utils.logging import setup_logger
 
 

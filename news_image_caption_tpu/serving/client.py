@@ -7,9 +7,8 @@ UUID identity, job ids, timeout, result parsing.
 
 from __future__ import annotations
 
-import threading
 import uuid
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import zmq

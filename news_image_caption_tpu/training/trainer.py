@@ -16,11 +16,10 @@ import json
 import math
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
-import numpy as np
 
 from news_image_caption_tpu.training.checkpoint import CheckpointStore
 from news_image_caption_tpu.training.train_step import (

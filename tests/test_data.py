@@ -115,3 +115,19 @@ def test_device_loader_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_fixed_steps_loader_fast_forward():
+    from news_image_caption_tpu.data.loader import FixedStepsLoader
+
+    def make_batches(seed):
+        # 3 batches per "file pass", content depends on seed + index
+        return ({"id": seed * 100 + i} for i in range(3))
+
+    loader = FixedStepsLoader(make_batches, steps_per_epoch=4)
+    e0 = [b["id"] for b in loader.epoch(0)]
+    e1 = [b["id"] for b in loader.epoch(1)]
+    assert e0 == [0, 1, 2, 100]          # crosses the pass boundary
+    assert e1 == [101, 102, 200, 201]    # fast-forwarded past epoch 0
+    # resume determinism: same epoch twice = same batches
+    assert [b["id"] for b in loader.epoch(1)] == e1
