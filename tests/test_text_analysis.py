@@ -93,3 +93,30 @@ def test_compute_metrics_cli(tmp_path):
     assert rc == 0
     out = json.loads((tmp_path / "g_reported_metrics.json").read_text())
     assert "BLEU-4" in out and "CIDEr" in out
+
+
+def test_checkdiff_and_integrity(tmp_path):
+    import json as _json
+
+    from news_image_caption_tpu.evaluation.checkdiff import (
+        diff_runs, integrity_check)
+
+    a = tmp_path / "a.jsonl"
+    b = tmp_path / "b.jsonl"
+    recs_a = [{"caption": "c1", "generation": "x y z"},
+              {"caption": "c2", "generation": "same here"}]
+    recs_b = [{"caption": "c1", "generation": "different now"},
+              {"caption": "c2", "generation": "same here"}]
+    a.write_text("\n".join(_json.dumps(r) for r in recs_a))
+    b.write_text("\n".join(_json.dumps(r) for r in recs_b))
+    d = diff_runs(str(a), str(b))
+    assert d["same"] == 1 and d["different"] == 1
+    assert d["examples"][0]["caption"] == "c1"
+
+    chk = integrity_check(str(a))
+    assert chk["ok"] and chk["records"] == 2
+    # missing generation flagged
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(_json.dumps({"caption": "c", "generation": ""}))
+    chk2 = integrity_check(str(bad))
+    assert not chk2["ok"]
