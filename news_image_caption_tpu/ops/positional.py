@@ -33,10 +33,17 @@ def make_positions(token_ids: jax.Array, padding_idx: int,
     Pad positions get `padding_idx`. `start_pos` offsets non-pad positions
     (used during incremental decoding). Right-padding assumed (left_pad is
     never used by the reference configs).
+
+    Index-based like the vendored fairseq make_positions
+    (/root/reference/ttl/tell/modules/token_embedders/positional.py:255-268):
+    non-pad position = padding_idx + 1 + column index, NOT a cumsum over
+    the non-pad mask — the two differ only for interior pads, which no
+    live path produces, but index-based matches the reference bit-exactly.
     """
     mask = token_ids != padding_idx
-    positions = jnp.cumsum(mask.astype(jnp.int32), axis=1)
-    positions = (positions + padding_idx + jnp.asarray(start_pos, jnp.int32))
+    T = token_ids.shape[1]
+    positions = (jnp.arange(T, dtype=jnp.int32)[None, :] + padding_idx + 1
+                 + jnp.asarray(start_pos, jnp.int32))
     return jnp.where(mask, positions, padding_idx)
 
 
