@@ -75,6 +75,7 @@ def train_command(args) -> int:
         validation_metric=tcfg.get("validation_metric", "loss"),
         maximize_metric=tcfg.get("maximize_metric", False),
         serialization_dir=serialization_dir,
+        mixed_precision=tcfg.get("mixed_precision"),
         seed=tcfg.get("seed", 0)))
 
     def train_batches(epoch):

@@ -9,12 +9,16 @@ step's compute (double buffering).
 
 from __future__ import annotations
 
+import inspect
+import itertools
 import queue
 import threading
-from typing import Callable, Dict, Iterable, Iterator
+from typing import Callable, Dict, Iterable, Iterator, Optional
 
 import jax
 import numpy as np
+
+_EXHAUSTED = object()
 
 
 class DeviceLoader:
@@ -67,31 +71,130 @@ class FixedStepsLoader:
     "epoch" is exactly `steps_per_epoch` batches regardless of dataset
     size, and resuming at epoch E fast-forwards the underlying stream
     by E * steps_per_epoch batches (deterministic batch order).
+
+    Fast-forward is INDEX ARITHMETIC when the per-seed batch count is
+    known (the reference fast-forwards the dataset by
+    start_idx = epoch*steps*batch, final_roberta/dataloader.py:83,
+    104-105): with `batches_per_seed`, resuming at epoch E jumps
+    straight to (seed, offset) = divmod(E*steps, batches_per_seed)
+    instead of materializing every skipped batch. If `make_batches`
+    also accepts a `start` keyword, even the intra-seed offset is
+    skipped dataset-side and ZERO batches are materialized.
     """
 
-    def __init__(self, make_batches: Callable[[int], Iterable],
-                 steps_per_epoch: int):
-        """make_batches(seed) -> finite iterable of batches; the
-        stream chains seeds 0, 1, 2, ... endlessly."""
+    def __init__(self, make_batches: Callable[..., Iterable],
+                 steps_per_epoch: int,
+                 batches_per_seed: Optional[int] = None):
+        """make_batches(seed[, start]) -> finite iterable of batches;
+        the stream chains seeds 0, 1, 2, ... endlessly."""
         self.make_batches = make_batches
         self.steps_per_epoch = steps_per_epoch
+        self.batches_per_seed = batches_per_seed
+        self._accepts_start = self._check_accepts_start(make_batches)
 
-    def _endless(self):
-        seed = 0
+    @staticmethod
+    def _check_accepts_start(fn) -> bool:
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return False
+        return "start" in params or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD
+            for p in params.values())
+
+    def _stream_from(self, seed: int, offset: int):
+        consecutive_empty = 0
         while True:
+            used_start = False
+            consumed = 0
+            if offset and self._accepts_start:
+                it = iter(self.make_batches(seed, start=offset))
+                used_start = True
+                offset = 0
+            else:
+                it = iter(self.make_batches(seed))
+                while offset:                    # materializing skip
+                    if next(it, _EXHAUSTED) is _EXHAUSTED:
+                        break                    # seed shorter than skip
+                    offset -= 1
+                    consumed += 1
             yielded = False
-            for b in self.make_batches(seed):
+            for b in it:
                 yielded = True
                 yield b
-            if not yielded:
-                raise ValueError("make_batches produced no batches")
+            if yielded or used_start or consumed:
+                consecutive_empty = 0
+            else:
+                consecutive_empty += 1
+                if consecutive_empty >= 2:
+                    raise ValueError("make_batches produced no batches")
             seed += 1
 
     def epoch(self, epoch_index: int) -> Iterator:
         """Batches for one epoch, fast-forwarding past prior epochs."""
-        stream = self._endless()
         skip = epoch_index * self.steps_per_epoch
-        for _ in range(skip):
-            next(stream)
+        if self.batches_per_seed:
+            seed, offset = divmod(skip, self.batches_per_seed)
+        else:
+            seed, offset = 0, skip
+        stream = self._stream_from(seed, offset)
         for _ in range(self.steps_per_epoch):
             yield next(stream)
+
+
+class TokenBucketBatcher:
+    """Bucket-by-num-tokens batch shaping, static-shape friendly.
+
+    Capability parity target: AllenNLP's bucket iterator with
+    `maximum_samples_per_batch: ["num_tokens", 16384]`
+    (/root/reference/ttl/expt/goodnews/5_transformer_roberta/
+    config.yaml:97-113): sort a lookahead window by length, group into
+    batches capped by BOTH `batch_size` and padded-token budget
+    (batch_len * bucket_len <= max_tokens).
+
+    TPU-first: each batch pads to the smallest FIXED bucket length
+    that fits its longest instance, so XLA sees a handful of shapes
+    instead of one per batch.
+    """
+
+    def __init__(self, length_fn: Callable[[Dict], int],
+                 batch_size: int = 16,
+                 max_tokens: Optional[int] = 16384,
+                 bucket_lengths: Iterable[int] = (32, 64, 128, 256, 512),
+                 window: int = 6000):
+        self.length_fn = length_fn
+        self.batch_size = batch_size
+        self.max_tokens = max_tokens
+        self.bucket_lengths = sorted(bucket_lengths)
+        self.window = window
+
+    def bucket_for(self, length: int) -> int:
+        for b in self.bucket_lengths:
+            if length <= b:
+                return b
+        return self.bucket_lengths[-1]
+
+    def batches(self, instances: Iterable) -> Iterator[tuple]:
+        """Yields (list_of_instances, bucket_len)."""
+        it = iter(instances)
+        while True:
+            chunk = list(itertools.islice(it, self.window))
+            if not chunk:
+                return
+            chunk.sort(key=self.length_fn)
+            batch: list = []
+            bucket = self.bucket_lengths[0]
+            for inst in chunk:
+                blen = self.bucket_for(self.length_fn(inst))
+                grown = max(bucket, blen)
+                over_tokens = (self.max_tokens is not None and
+                               (len(batch) + 1) * grown > self.max_tokens)
+                if batch and (len(batch) >= self.batch_size
+                              or over_tokens):
+                    yield batch, bucket
+                    batch, bucket = [], self.bucket_lengths[0]
+                    grown = blen
+                batch.append(inst)
+                bucket = max(grown, blen)
+            if batch:
+                yield batch, bucket

@@ -42,9 +42,16 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh):
     return jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
                     donate: bool = True,
-                    guard_nonfinite: bool = True) -> Callable:
+                    guard_nonfinite: bool = True,
+                    compute_dtype: Optional[Any] = None) -> Callable:
     """loss_fn(params, batch, dropout_rng) -> (loss, aux).
     Returns jitted step(state, batch, rng) -> (state, metrics).
 
@@ -54,13 +61,28 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     previous values (the reference skips before optimizer.step();
     applying the guard post-update is equivalent and avoids a host
     round trip). metrics["skipped"] reports it.
+
+    compute_dtype=jnp.bfloat16 gives apex-O2-style mixed precision
+    (callback_apex_trainer.py:121-125,229-233) the TPU way: master
+    params and optimizer moments stay fp32; the forward/backward runs
+    with bf16 params and activations (softmaxes/losses stay fp32
+    internally); gradients come back fp32 through the cast transpose.
+    No loss scaling — bf16 has fp32's exponent range.
     """
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, dropout_rng)
+
+        def _loss(params):
+            if compute_dtype is not None:
+                return loss_fn(_cast_floats(params, compute_dtype),
+                               _cast_floats(batch, compute_dtype),
+                               dropout_rng)
+            return loss_fn(params, batch, dropout_rng)
+
+        (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if guard_nonfinite:

@@ -12,14 +12,15 @@ policy; the whole step is one fused XLA program.
 
 from __future__ import annotations
 
+import gc
 import json
-import math
 import os
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 
 from news_image_caption_tpu.training.checkpoint import CheckpointStore
 from news_image_caption_tpu.training.train_step import (
@@ -37,6 +38,13 @@ class TrainerConfig:
     log_every: int = 40
     serialization_dir: str = "runs/default"
     skip_nan_batches: bool = True           # ref: trainer :225-227
+    # "bf16" = apex-O2-style mixed precision (fp32 master params,
+    # bf16 compute); None/"fp32" = full precision.
+    mixed_precision: Optional[str] = None
+    # Reference OOM recovery (final_roberta2/custom_v4.py:286-363):
+    # skip the batch, collect garbage, keep training; give up after
+    # this many CONSECUTIVE out-of-memory batches.
+    max_consecutive_oom: int = 3
     seed: int = 0
 
 
@@ -45,7 +53,10 @@ class Trainer:
                  eval_loss_fn: Optional[Callable] = None):
         self.config = config
         self.tx = tx
-        self.train_step = make_train_step(loss_fn, tx, donate=False)
+        compute_dtype = (jnp.bfloat16
+                         if config.mixed_precision == "bf16" else None)
+        self.train_step = make_train_step(loss_fn, tx, donate=True,
+                                          compute_dtype=compute_dtype)
         self.eval_step = make_eval_step(eval_loss_fn or loss_fn)
         self.store = CheckpointStore(
             os.path.join(config.serialization_dir, "checkpoints"),
@@ -84,28 +95,56 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.num_epochs):
             t_epoch = time.time()
-            n_tokens = 0
             n_batches = 0
-            last_log = time.time()
+            total_tokens = 0
+            consecutive_oom = 0
+            # Device-side scalars accumulated between log points; the
+            # ONLY host syncs in the hot loop happen every `log_every`
+            # steps (the in-jit nonfinite guard already skips bad
+            # batches without a round trip).
+            window: list = []
             for batch in train_batches(epoch):
-                state, metrics = self.train_step(state, batch, rng)
-                loss = float(metrics["loss"])
-                if cfg.skip_nan_batches and not math.isfinite(loss):
-                    self.logger.warning("skipping NaN/inf loss batch at "
-                                        "step %d", int(state.step))
+                try:
+                    state, metrics = self.train_step(state, batch, rng)
+                except jax.errors.JaxRuntimeError as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    consecutive_oom += 1
+                    self.logger.warning(
+                        "OOM batch skipped (%d consecutive): %s",
+                        consecutive_oom, str(e).splitlines()[0])
+                    if consecutive_oom >= cfg.max_consecutive_oom:
+                        raise
+                    gc.collect()
+                    # The step donates the state; a failure mid-
+                    # execution can leave its buffers deleted. If so,
+                    # restore from the newest checkpoint.
+                    state = self._revive_if_donated(state)
                     continue
+                consecutive_oom = 0
                 n_batches += 1
-                n_tokens += int(metrics.get("sample_size", 0))
+                window.append((metrics["loss"],
+                               metrics.get("sample_size", 0),
+                               metrics["skipped"]))
                 if n_batches % cfg.log_every == 0:
-                    dt = time.time() - last_log
-                    last_log = time.time()
+                    losses, sizes, skips = zip(*window)
+                    window = []
+                    loss = float(losses[-1])          # host sync point
+                    total_tokens += int(sum(int(s) for s in sizes))
+                    n_skipped = int(sum(int(s) for s in skips))
+                    dt = time.time() - t_epoch
+                    if n_skipped and cfg.skip_nan_batches:
+                        self.logger.warning(
+                            "%d NaN/inf-loss batches guarded in-jit",
+                            n_skipped)
                     self.logger.info(
                         "epoch %d step %d loss %.4f (%.1f tok/s)",
                         epoch, int(state.step), loss,
-                        n_tokens / max(time.time() - t_epoch, 1e-9))
+                        total_tokens / max(dt, 1e-9))
                     self._log_metrics({
                         "epoch": epoch, "step": int(state.step),
-                        "loss": loss, "split": "train"})
+                        "loss": loss, "skipped": n_skipped,
+                        "split": "train"})
             # Validation.
             val_metrics: Dict[str, float] = {}
             if val_batches is not None:
@@ -133,6 +172,22 @@ class Trainer:
                             "early stop: no %s improvement in %d epochs",
                             cfg.validation_metric, cfg.patience)
                         break
+        return state
+
+    def _revive_if_donated(self, state: TrainState) -> TrainState:
+        """Recover state whose donated buffers died in a failed step."""
+        deleted = any(
+            leaf.is_deleted() for leaf in jax.tree.leaves(state)
+            if hasattr(leaf, "is_deleted"))
+        if not deleted:
+            return state
+        if self.store.latest_step() is None:
+            raise RuntimeError(
+                "train state lost to a failed donated step and no "
+                "checkpoint exists to restore from")
+        self.logger.warning("restoring train state from latest "
+                            "checkpoint after failed donated step")
+        state, _ = self.store.load_with_fallback(state)
         return state
 
     def evaluate(self, params, batches: Iterable) -> Dict[str, float]:

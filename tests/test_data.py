@@ -131,3 +131,61 @@ def test_fixed_steps_loader_fast_forward():
     assert e1 == [101, 102, 200, 201]    # fast-forwarded past epoch 0
     # resume determinism: same epoch twice = same batches
     assert [b["id"] for b in loader.epoch(1)] == e1
+
+
+def test_fixed_steps_loader_arithmetic_fast_forward():
+    """Resume at a late epoch must NOT materialize skipped batches
+    (reference fast-forwards by index, final_roberta/dataloader.py:83)."""
+    from news_image_caption_tpu.data.loader import FixedStepsLoader
+
+    made = []
+
+    def make_batches(seed, start=0):
+        made.append((seed, start))
+        return [(seed, i) for i in range(start, 10)]
+
+    loader = FixedStepsLoader(make_batches, steps_per_epoch=7,
+                              batches_per_seed=10)
+    # Epoch 13 starts at global batch 91 -> seed 9, offset 1, and the
+    # dataset-side `start` kwarg skips the offset without materializing.
+    got = list(loader.epoch(13))
+    assert got == [(9, i) for i in range(1, 8)]
+    assert made[0] == (9, 1)
+
+    # Same without start support: only the intra-seed offset batches
+    # are materialized (1 here), never the 91 skipped ones.
+    def make_batches_nostart(seed):
+        return [(seed, i) for i in range(10)]
+
+    loader2 = FixedStepsLoader(make_batches_nostart, steps_per_epoch=7,
+                               batches_per_seed=10)
+    assert list(loader2.epoch(13)) == got
+
+    # Continuity across the seed boundary.
+    assert list(loader.epoch(1))[:3] == [(0, 7), (0, 8), (0, 9)]
+
+
+def test_token_bucket_batcher_caps_and_buckets():
+    """AllenNLP bucket-iterator semantics: batches capped by size AND
+    padded-token budget (config.yaml:106 maximum_samples_per_batch)."""
+    from news_image_caption_tpu.data.loader import TokenBucketBatcher
+
+    rng = np.random.RandomState(0)
+    insts = [{"len": int(rng.randint(5, 500))} for _ in range(200)]
+    batcher = TokenBucketBatcher(lambda x: x["len"], batch_size=16,
+                                 max_tokens=2048,
+                                 bucket_lengths=(32, 64, 128, 256, 512),
+                                 window=100)
+    batches = list(batcher.batches(insts))
+    assert sum(len(b) for b, _ in batches) == 200
+    for batch, bucket in batches:
+        assert len(batch) <= 16
+        longest = max(x["len"] for x in batch)
+        assert longest <= bucket          # bucket fits every instance
+        assert len(batch) * bucket <= 2048  # padded-token budget
+    # Sorting within the window keeps batches length-homogeneous:
+    # several distinct buckets are in use (not everything padded to
+    # 512), and short instances land in short buckets.
+    assert len({b for _, b in batches}) >= 3
+    shortest_batch = min(batches, key=lambda x: x[1])
+    assert shortest_batch[1] <= 128

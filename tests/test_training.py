@@ -127,3 +127,100 @@ def test_cli_evaluate_writes_generations(tmp_path):
     assert "generation" in rec and "caption" in rec
     metrics = json.loads((ser / "evaluate-metrics.json").read_text())
     assert "bleu-4" in metrics and "cider" in metrics
+
+
+def test_bf16_mixed_precision_matches_fp32_trajectory():
+    """apex-O2 analog: bf16 compute + fp32 master params tracks the
+    fp32 loss curve (callback_apex_trainer.py:121-125 parity)."""
+    from news_image_caption_tpu.training.train_step import (
+        create_train_state, make_train_step)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    losses = {}
+    for name, dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
+        state = create_train_state(params, tx)
+        step = make_train_step(model.loss_fn, tx, donate=False,
+                               compute_dtype=dtype)
+        traj = []
+        for i, b in enumerate(ds.batches(4, seed=0)):
+            state, m = step(state, b, jax.random.PRNGKey(0))
+            traj.append(float(m["loss"]))
+            if i >= 7:
+                break
+        losses[name] = traj
+    # bf16 master params stay fp32.
+    assert all(np.isfinite(losses["bf16"]))
+    # Trajectories agree loosely (bf16 rounding) and both decrease.
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"], rtol=0.05)
+    assert losses["fp32"][-1] < losses["fp32"][0]
+    assert losses["bf16"][-1] < losses["bf16"][0]
+
+
+def test_trainer_oom_batches_are_skipped(tmp_path, monkeypatch):
+    """RESOURCE_EXHAUSTED batches are skipped with gc, like the
+    reference's OOM try/except (final_roberta2/custom_v4.py:286-363)."""
+    from news_image_caption_tpu.data.loader import DeviceLoader
+    from news_image_caption_tpu.training.train_step import \
+        create_train_state
+    from news_image_caption_tpu.training.trainer import (Trainer,
+                                                         TrainerConfig)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    state = create_train_state(params, tx)
+
+    tconf = TrainerConfig(num_epochs=1, serialization_dir=str(tmp_path),
+                          log_every=2)
+    trainer = Trainer(model.loss_fn, tx, tconf)
+
+    real_step = trainer.train_step
+    calls = {"n": 0}
+
+    def flaky_step(state, b, rng):
+        calls["n"] += 1
+        if calls["n"] in (2, 5):
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 1 bytes")
+        return real_step(state, b, rng)
+
+    trainer.train_step = flaky_step
+    state = trainer.train(state, lambda e: DeviceLoader(ds.batches(4)))
+    # 8 batches offered, 2 rejected with OOM -> 6 optimizer steps.
+    assert int(state.step) == 6
+
+
+def test_trainer_oom_gives_up_after_consecutive_failures(tmp_path):
+    from news_image_caption_tpu.data.loader import DeviceLoader
+    from news_image_caption_tpu.training.train_step import \
+        create_train_state
+    from news_image_caption_tpu.training.trainer import (Trainer,
+                                                         TrainerConfig)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    state = create_train_state(params, tx)
+
+    tconf = TrainerConfig(num_epochs=1, serialization_dir=str(tmp_path),
+                          max_consecutive_oom=2)
+    trainer = Trainer(model.loss_fn, tx, tconf)
+
+    def always_oom(state, b, rng):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: boom")
+
+    trainer.train_step = always_oom
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        trainer.train(state, lambda e: DeviceLoader(ds.batches(4)))
