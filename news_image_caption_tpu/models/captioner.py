@@ -118,6 +118,15 @@ class TransformerFlattened:
         return generate(self._step_fn(params, kvs), caches, seed, config,
                         rng)
 
+    def attention_maps(self, params, batch: Dict[str, jax.Array],
+                       token_ids: jax.Array):
+        """[L] list of {context: [B, T, S']} head-averaged attention
+        maps over `token_ids` (typically generated captions)."""
+        contexts = self._contexts(batch)
+        return self.decoder.apply(
+            params, token_ids, contexts,
+            method=DynamicConvDecoder.attention_maps)
+
     def generate_beam(self, params, batch: Dict[str, jax.Array],
                       config: GenerationConfig = GenerationConfig()):
         """Beam-searched captions [B, beam, max_len+1] + scores.

@@ -431,6 +431,24 @@ class DynamicConvDecoder(nn.Module):
         lp = self.adaptive_softmax.log_prob(x, tables)
         return lp, x, new_caches
 
+    def attention_maps(self, token_ids: jax.Array,
+                       contexts: Dict[str, jax.Array]):
+        """Per-layer, per-context attention maps for a token sequence.
+
+        Returns [num_layers] list of {context: [B, T, S']} arrays
+        (head-averaged, S' includes the bias/zero slots). Decoding is
+        deterministic given tokens, so a teacher-forced pass over
+        generated ids reproduces the attention the serving reference
+        collects step-by-step (transformer_faces_objects.py:142-190).
+        """
+        kvs = self.precompute_kv(contexts)
+        x = self.embedder(token_ids)
+        maps = []
+        for layer, kv in zip(self.layers, kvs):
+            x, attns = layer(x, kv, deterministic=True, need_attn=True)
+            maps.append(attns)
+        return maps
+
     def loss_from_hidden(self, x: jax.Array, target_ids: jax.Array,
                          deterministic: bool = True):
         """Adaptive CE on precomputed hidden states [B, T, D]."""

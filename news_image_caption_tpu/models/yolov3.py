@@ -231,6 +231,134 @@ def non_max_suppression(pred: np.ndarray, conf_thres: float = 0.3,
                            cls_id[keep, None].astype(np.float32)], 1)
 
 
+def _conv_order():
+    """(path-under-params, has_batchnorm) in darknet cfg file order.
+
+    Mirrors the conv sequence of ultralytics yolov3-spp.cfg — the only
+    cfg the reference ever loads (tasks/captioner.py:110). Detection
+    convs (linear activation) carry a bias and no BN; every other conv
+    is conv+BN+leaky.
+    """
+    order = [(("backbone", "stem"), True), (("backbone", "down1"), True),
+             (("backbone", "res1_0", "conv1"), True),
+             (("backbone", "res1_0", "conv2"), True),
+             (("backbone", "down2"), True)]
+    for i in range(2):
+        order += [(("backbone", f"res2_{i}", "conv1"), True),
+                  (("backbone", f"res2_{i}", "conv2"), True)]
+    order.append((("backbone", "down3"), True))
+    for i in range(8):
+        order += [(("backbone", f"res3_{i}", "conv1"), True),
+                  (("backbone", f"res3_{i}", "conv2"), True)]
+    order.append((("backbone", "down4"), True))
+    for i in range(8):
+        order += [(("backbone", f"res4_{i}", "conv1"), True),
+                  (("backbone", f"res4_{i}", "conv2"), True)]
+    order.append((("backbone", "down5"), True))
+    for i in range(4):
+        order += [(("backbone", f"res5_{i}", "conv1"), True),
+                  (("backbone", f"res5_{i}", "conv2"), True)]
+    # Large-object head (with SPP; pools/routes carry no weights),
+    # then detection conv, then the upsample lateral — file order.
+    order += [((f"h5_{i}",), True) for i in range(7)]
+    order += [(("det5",), False), (("up4_conv",), True)]
+    order += [((f"h4_{i}",), True) for i in range(6)]
+    order += [(("det4",), False), (("up3_conv",), True)]
+    order += [((f"h3_{i}",), True) for i in range(6)]
+    order += [(("det3",), False)]
+    return order
+
+
+def _get_path(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def port_darknet_weights(weights, template) -> dict:
+    """Load a darknet `.weights` binary into YoloV3SPP variables.
+
+    Format parity: /root/reference/ttl/tell/yolov3/models.py:384-443 —
+    header = 3x int32 version + 1x int64 seen; then, per conv in cfg
+    order: [bn_bias, bn_scale, bn_mean, bn_var] (or conv bias when the
+    conv has no BN), then the conv kernel as [out, in, kh, kw]
+    row-major float32.
+
+    `weights`: path or raw bytes. `template`: variables from
+    model.init (shapes drive the parse). Raises if the byte count
+    does not exactly match the architecture.
+    """
+    import jax
+
+    if isinstance(weights, (str, bytes)) and not isinstance(weights, bytes):
+        with open(weights, "rb") as f:
+            raw = f.read()
+    else:
+        raw = weights
+    header = np.frombuffer(raw[:20], dtype=np.int32)
+    version = header[:3]
+    del version  # informational only
+    data = np.frombuffer(raw[20:], dtype=np.float32)
+
+    from flax.core import unfreeze
+
+    # tree.map builds fresh (mutable) dict containers.
+    params = jax.tree.map(np.asarray, unfreeze(template["params"]))
+    ptr = 0
+
+    def take(n):
+        nonlocal ptr
+        if ptr + n > data.size:
+            raise ValueError(
+                f"darknet weights exhausted: need {ptr + n} floats, "
+                f"file has {data.size} — architecture mismatch")
+        out = data[ptr:ptr + n]
+        ptr += n
+        return out
+
+    for path, has_bn in _conv_order():
+        mod = _get_path(params, path)
+        if has_bn:
+            conv, bn = mod["conv"], mod["bn"]
+            c = bn["bias"].shape[0]
+            bn["bias"] = take(c).copy()
+            bn["scale"] = take(c).copy()
+            bn["mean"] = take(c).copy()
+            bn["var"] = take(c).copy()
+        else:
+            conv = mod
+            conv["bias"] = take(conv["bias"].shape[0]).copy()
+        kh, kw, cin, cout = conv["kernel"].shape
+        w = take(cout * cin * kh * kw).reshape(cout, cin, kh, kw)
+        conv["kernel"] = np.ascontiguousarray(
+            w.transpose(2, 3, 1, 0))
+    if ptr != data.size:
+        raise ValueError(
+            f"darknet weights not fully consumed: used {ptr} of "
+            f"{data.size} floats — architecture mismatch")
+    return {"params": params}
+
+
+def export_darknet_weights(variables) -> bytes:
+    """Inverse of `port_darknet_weights` (round-trip testing + interop)."""
+    chunks = [np.asarray([0, 2, 5], np.int32).tobytes(),
+              np.asarray([0], np.int64).tobytes()]
+    params = variables["params"]
+    for path, has_bn in _conv_order():
+        mod = _get_path(params, path)
+        if has_bn:
+            conv, bn = mod["conv"], mod["bn"]
+            for key in ("bias", "scale", "mean", "var"):
+                chunks.append(np.asarray(bn[key], np.float32).tobytes())
+        else:
+            conv = mod
+            chunks.append(np.asarray(conv["bias"], np.float32).tobytes())
+        k = np.asarray(conv["kernel"], np.float32)   # [kh, kw, in, out]
+        chunks.append(
+            np.ascontiguousarray(k.transpose(3, 2, 0, 1)).tobytes())
+    return b"".join(chunks)
+
+
 class ObjectFeatureExtractor:
     """Detect objects + pool per-region neck features (2048-d analog).
 

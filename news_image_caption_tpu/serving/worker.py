@@ -116,16 +116,25 @@ class CaptioningWorker(_MP.Process):
 
 def full_model_builder(caption_model=None, caption_params=None,
                        use_faces: bool = True, use_objects: bool = True,
-                       gen_config=None):
+                       gen_config=None, return_attns: bool = True,
+                       yolo_variables=None, facenet_variables=None,
+                       max_faces: int = 4, max_objects: int = 16,
+                       yolo_img_size: int = 256):
     """Builder composing detection + captioning like the reference
     CaptioningWorker (tasks/captioner.py:79-144): MTCNN face detect ->
-    InceptionResnetV1 embeddings, YOLOv3 object features, then the
-    faces/objects captioner over raw image + precomputed article
-    features. Returns a predict(job) closure.
+    InceptionResnetV1 embeddings, YOLOv3 object-region features, then
+    the faces/objects captioner over raw image + precomputed article
+    features. Returns a predict(job) closure whose result carries the
+    caption tokens AND the per-context attention maps the reference
+    serves (transformer_faces_objects.py:142-190).
 
     job keys: image_raw [H, W, 3] uint8, article [S, De],
     article_mask [S] (True = pad), image (precomputed patches) or
     image_raw for ResNet upstream.
+
+    yolo_variables: ported darknet weights (port_darknet_weights);
+    facenet_variables: ported facenet weights (port_facenet_pt).
+    Random init otherwise (smoke tests).
     """
     import jax
     import jax.numpy as jnp
@@ -141,25 +150,29 @@ def full_model_builder(caption_model=None, caption_params=None,
     mtcnn = MTCNN() if use_faces else None
     embedder = InceptionResnetV1() if use_faces else None
     if use_faces:
-        emb_params = embedder.init(jax.random.PRNGKey(0),
-                                   jnp.zeros((1, 160, 160, 3)))
+        emb_params = facenet_variables or embedder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)))
         embed_j = jax.jit(embedder.apply)
-    objector = (ObjectFeatureExtractor(img_size=256)
+    objector = (ObjectFeatureExtractor(variables=yolo_variables,
+                                       img_size=yolo_img_size)
                 if use_objects else None)
     cfg = gen_config or GenerationConfig(max_len=32)
 
-    MAX_FACES = 4
+    def _decoder_contexts(model):
+        return {name for name, _ in getattr(model.decoder,
+                                            "extra_contexts", ())}
 
     def predict(job):
         out = {}
         img = job.get("image_raw")
-        # Fixed-count NaN-padded face slots: a faces-context decoder
-        # needs the context every call; undetected slots are masked
+        # Fixed-count NaN-padded slots: a faces/objects decoder needs
+        # its context every call; undetected slots are NaN -> masked
         # (parity: the NaN convention of transformer_faces_objects).
-        faces = np.full((MAX_FACES, 512), np.nan, np.float32)
+        faces = np.full((max_faces, 512), np.nan, np.float32)
+        objs = np.full((max_objects, 1024), np.nan, np.float32)
         if use_faces and img is not None:
             boxes, _ = mtcnn.detect(img)
-            crops = mtcnn.extract_faces(img, boxes[:MAX_FACES])
+            crops = mtcnn.extract_faces(img, boxes[:max_faces])
             if len(crops):
                 emb = np.asarray(embed_j(emb_params,
                                          jnp.asarray(crops)))
@@ -167,20 +180,33 @@ def full_model_builder(caption_model=None, caption_params=None,
             out["n_faces"] = np.asarray(len(crops))
         if use_objects and img is not None:
             obj_boxes, obj_feats = objector(img)
-            out["n_objects"] = np.asarray(len(obj_feats))
+            n = min(len(obj_feats), max_objects)
+            objs[:n] = obj_feats[:n]
+            out["n_objects"] = np.asarray(n)
+            out["obj_boxes"] = np.asarray(obj_boxes[:n], np.float32)
         if caption_model is not None and caption_params is not None:
             batch = {k: jnp.asarray(v) for k, v in job.items()
                      if k in ("image", "image_mask", "article",
                               "article_mask")}
-            needs_faces = any(
-                name == "faces" for name, _ in getattr(
-                    caption_model.decoder, "extra_contexts", ()))
-            if needs_faces:
+            extra = _decoder_contexts(caption_model)
+            if "faces" in extra:
                 f, fm = nan_to_mask(jnp.asarray(faces)[None])
                 batch["faces"], batch["faces_mask"] = f, fm
+            if "obj" in extra:
+                o, om = nan_to_mask(jnp.asarray(objs)[None])
+                batch["obj"], batch["obj_mask"] = o, om
             tokens, _ = caption_model.generate(caption_params, batch,
                                                cfg)
             out["tokens"] = np.asarray(tokens)
+            if return_attns and hasattr(caption_model,
+                                        "attention_maps"):
+                # Attention of every generated position over each
+                # context (head-averaged), served like the reference.
+                maps = caption_model.attention_maps(
+                    caption_params, batch, tokens[:, :-1])
+                for li, layer_maps in enumerate(maps):
+                    for cname, attn in layer_maps.items():
+                        out[f"attn_l{li}_{cname}"] = np.asarray(attn)
         return out
 
     return predict

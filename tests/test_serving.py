@@ -93,3 +93,63 @@ def test_http_proxy(server_and_client):
         assert len(result["tokens"][0]) == 17
     finally:
         httpd.shutdown()
+
+
+def test_full_model_builder_objects_and_attention_maps():
+    """Objects context is attached to the caption batch and attention
+    maps are returned (ref: tasks/captioner.py + faces_objects
+    generate, transformer_faces_objects.py:142-190)."""
+    import jax
+
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    from news_image_caption_tpu.models.captioner import \
+        TransformerFlattened
+    from news_image_caption_tpu.serving.worker import full_model_builder
+
+    model = TransformerFlattened(
+        vocab_size=64, cutoff=(16, 32, 64), embed_dim=32, ffn_dim=64,
+        num_heads=4, num_layers=2, kernel_sizes=(3, 5), image_dim=16,
+        article_dim=24, max_positions=64,
+        extra_contexts=(("faces", 512), ("obj", 1024)))
+    rng = np.random.default_rng(0)
+    B, P, S, MAXF, MAXO = 1, 4, 6, 4, 16
+    init_batch = {
+        "caption_ids": np.zeros((B, 8), np.int32),
+        "image": rng.standard_normal((B, P, 16)).astype(np.float32),
+        "image_mask": np.zeros((B, P), bool),
+        "article": rng.standard_normal((B, S, 24)).astype(np.float32),
+        "article_mask": np.zeros((B, S), bool),
+        "faces": np.zeros((B, MAXF, 512), np.float32),
+        "faces_mask": np.zeros((B, MAXF), bool),
+        "obj": np.zeros((B, MAXO, 1024), np.float32),
+        "obj_mask": np.zeros((B, MAXO), bool),
+    }
+    params = model.init(jax.random.PRNGKey(0), init_batch)
+
+    predict = full_model_builder(
+        caption_model=model, caption_params=params,
+        use_faces=False, use_objects=True, yolo_img_size=64,
+        max_faces=MAXF, max_objects=MAXO,
+        gen_config=GenerationConfig(max_len=6))
+    job = {
+        "image_raw": rng.integers(0, 255, (80, 60, 3)).astype(np.uint8),
+        "image": init_batch["image"],
+        "image_mask": init_batch["image_mask"],
+        "article": init_batch["article"],
+        "article_mask": init_batch["article_mask"],
+    }
+    out = predict(job)
+    assert "tokens" in out and out["tokens"].shape[0] == B
+    assert "n_objects" in out
+    # Attention maps for every layer and every context, incl. obj.
+    T = out["tokens"].shape[1] - 1
+    for li in range(2):
+        for cname, src in (("image", P), ("article", S),
+                           ("faces", MAXF), ("obj", MAXO)):
+            key = f"attn_l{li}_{cname}"
+            assert key in out, key
+            # S' = src + bias_kv + zero_attn slots
+            assert out[key].shape == (B, T, src + 2)
+            s = out[key].sum(-1)
+            np.testing.assert_allclose(s, np.ones_like(s), rtol=1e-3)

@@ -95,3 +95,95 @@ def test_object_feature_extractor():
     boxes, feats = ex(img, conf_thres=0.2)
     assert boxes.shape[1] == 4 if len(boxes) else True
     assert feats.shape[1] == 1024 if len(feats) else True
+
+
+def test_darknet_weights_port_roundtrip():
+    """Darknet .weights binary parse: exact consumption, layout
+    round-trip (models.py:384-443 format)."""
+    import jax
+    import jax.numpy as jnp
+
+    from news_image_caption_tpu.models.yolov3 import (
+        YoloV3SPP, export_darknet_weights, port_darknet_weights)
+
+    model = YoloV3SPP()
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3))))
+    # Fill with distinct values host-side (no XLA compile of the
+    # 76-conv graph needed for a layout test).
+    rng = np.random.RandomState(0)
+    leaves, treedef = jax.tree.flatten(shapes)
+    template = jax.tree.unflatten(
+        treedef, [rng.randn(*l.shape).astype(np.float32)
+                  for l in leaves])
+    blob = export_darknet_weights(template)
+    # yolov3-spp has 63M params; the binary must match exactly.
+    n_floats = (len(blob) - 20) // 4
+    n_params = sum(x.size for x in jax.tree.leaves(template))
+    assert n_floats == n_params
+
+    ported = port_darknet_weights(blob, template)
+    flat_a = jax.tree.leaves(jax.tree.map(np.asarray, template))
+    flat_b = jax.tree.leaves(ported)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+    # Corrupt length -> loud failure, not silent drift.
+    import pytest
+    with pytest.raises(ValueError, match="mismatch"):
+        port_darknet_weights(blob[:-40], template)
+    with pytest.raises(ValueError, match="mismatch"):
+        port_darknet_weights(blob + b"\x00" * 40, template)
+
+
+def test_darknet_total_param_count_matches_canonical_cfg():
+    """The Flax model must consume exactly the float count of the
+    canonical yolov3-spp.cfg conv sequence — computed here
+    independently (a missing/misshapen layer would shift the total
+    and the porter would mis-slice everything after it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from news_image_caption_tpu.models.yolov3 import YoloV3SPP
+
+    convs = []
+
+    def C(cin, cout, k, bn=True):
+        convs.append((cin, cout, k, bn))
+
+    C(3, 32, 3); C(32, 64, 3); C(64, 32, 1); C(32, 64, 3)
+    C(64, 128, 3)
+    for _ in range(2):
+        C(128, 64, 1); C(64, 128, 3)
+    C(128, 256, 3)
+    for _ in range(8):
+        C(256, 128, 1); C(128, 256, 3)
+    C(256, 512, 3)
+    for _ in range(8):
+        C(512, 256, 1); C(256, 512, 3)
+    C(512, 1024, 3)
+    for _ in range(4):
+        C(1024, 512, 1); C(512, 1024, 3)
+    C(1024, 512, 1); C(512, 1024, 3); C(1024, 512, 1)     # pre-SPP
+    C(2048, 512, 1); C(512, 1024, 3); C(1024, 512, 1)     # post-SPP
+    C(512, 1024, 3); C(1024, 255, 1, bn=False)            # det5
+    C(512, 256, 1)                                        # lateral 4
+    C(768, 256, 1); C(256, 512, 3); C(512, 256, 1)
+    C(256, 512, 3); C(512, 256, 1); C(256, 512, 3)
+    C(512, 255, 1, bn=False)                              # det4
+    C(256, 128, 1)                                        # lateral 3
+    C(384, 128, 1); C(128, 256, 3); C(256, 128, 1)
+    C(128, 256, 3); C(256, 128, 1); C(128, 256, 3)
+    C(256, 255, 1, bn=False)                              # det3
+    expected = sum(co * ci * k * k + (4 * co if bn else co)
+                   for ci, co, k, bn in convs)
+
+    model = YoloV3SPP()
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3))))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(template))
+    assert len(convs) == 76
+    assert n_params == expected == 63_052_381
