@@ -279,6 +279,9 @@ class DynamicConvDecoder(nn.Module):
     # Additional attended contexts, e.g. (("faces", 512), ("obj", 1024))
     # for the faces/objects variants (decoder_faces_objects.py:252-276).
     extra_contexts: Tuple[Tuple[str, int], ...] = ()
+    # False = article-only attention (parity:
+    # decoder_flattened_no_image.py:22, expt 4_no_image).
+    include_image: bool = True
     conv_type: str = "dynamic"
     decoder_glu: bool = True
     weight_softmax: bool = True
@@ -306,8 +309,10 @@ class DynamicConvDecoder(nn.Module):
             max_positions=self.max_positions,
             param_dtype=self.param_dtype, dtype=self.dtype, name="embedder")
         cdim = self.conv_dim or self.embed_dim
-        specs = (("image", self.image_dim), ("article", self.article_dim)
-                 ) + tuple(self.extra_contexts)
+        base = ((("image", self.image_dim),) if self.include_image
+                else ())
+        specs = base + (("article", self.article_dim),) \
+            + tuple(self.extra_contexts)
         self.layers = [
             DynamicConvDecoderLayer(
                 embed_dim=self.embed_dim, conv_dim=cdim,

@@ -68,6 +68,14 @@ def transformer_glove(**kw) -> TransformerFlattened:
     return TransformerFlattened(decoder=_decoder(**kw))
 
 
+@MODELS.register("transformer_no_image")
+def transformer_no_image(**kw) -> TransformerFlattened:
+    """Article-only ablation (ref decoder_flattened_no_image.py:22,
+    expt {goodnews,nytimes}/4_no_image)."""
+    kw.setdefault("include_image", False)
+    return TransformerFlattened(decoder=_decoder(**kw))
+
+
 @MODELS.register("transformer_only_pointer")
 def transformer_only_pointer(**kw) -> TransformerPointer:
     kw.setdefault("use_entity_head", False)
@@ -89,10 +97,28 @@ def transformer_context_pointer(**kw) -> TransformerPointer:
     return TransformerPointer(**kw)
 
 
+_DECODER_KEYS = ("vocab_size", "embed_dim", "ffn_dim", "num_heads",
+                 "num_layers", "kernel_sizes", "cutoff", "image_dim",
+                 "article_dim", "max_positions")
+# shared between TransformerPointer's own heads and the decoder
+_SHARED_KEYS = ("embed_dim", "num_heads", "article_dim")
+
+
+def _split_pointer_kwargs(kw):
+    """Route decoder dims given at the top level into the decoder
+    config (pointer params like loss_weights stay in kw)."""
+    dec_kw = dict(kw.pop("decoder_kwargs", {}))
+    for k in _DECODER_KEYS:
+        if k in kw:
+            v = kw[k] if k in _SHARED_KEYS else kw.pop(k)
+            dec_kw.setdefault(k, v)
+    return kw, dec_kw
+
+
 @MODELS.register("transformer_faces_pointer")
 def transformer_faces_pointer(**kw) -> TransformerPointer:
     face_dim = kw.pop("face_dim", FACE_DIM)
-    dec_kw = kw.pop("decoder_kwargs", {})
+    kw, dec_kw = _split_pointer_kwargs(kw)
     cap = TransformerFlattened(
         decoder=_decoder((("faces", face_dim),), **dec_kw))
     return TransformerPointer(captioner=cap, **kw)
@@ -101,7 +127,7 @@ def transformer_faces_pointer(**kw) -> TransformerPointer:
 @MODELS.register("transformer_objects_pointer")
 def transformer_objects_pointer(**kw) -> TransformerPointer:
     obj_dim = kw.pop("obj_dim", OBJ_DIM)
-    dec_kw = kw.pop("decoder_kwargs", {})
+    kw, dec_kw = _split_pointer_kwargs(kw)
     cap = TransformerFlattened(
         decoder=_decoder((("obj", obj_dim),), **dec_kw))
     return TransformerPointer(captioner=cap, **kw)

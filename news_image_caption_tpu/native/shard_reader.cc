@@ -9,9 +9,11 @@
 // consumer, and Python hands the filled buffer straight to
 // jax.device_put. No GIL, no pickling, no per-batch process spawns.
 //
-// File format ("NICS1"): 24-byte header
-//   [magic u64 = 0x3153_4349_4Eul][n_records u64][record_bytes u64]
-// followed by n_records * record_bytes raw bytes.
+// File format ("NICS", version 1): 24-byte header
+//   [magic u64 = 0x31453434950][n_records u64][record_bytes u64]
+// followed by n_records * record_bytes raw bytes. The magic is an
+// arbitrary tag shared with the Python writer
+// (data/native_loader.py MAGIC) — NOT ASCII bytes.
 
 #include <algorithm>
 #include <atomic>
@@ -31,7 +33,8 @@
 
 namespace {
 
-constexpr uint64_t kMagic = 0x31453434950ull;  // "PICS1" little-endian-ish
+// Arbitrary tag; must equal data/native_loader.py's MAGIC.
+constexpr uint64_t kMagic = 0x31453434950ull;
 
 struct Shard {
   const uint8_t* data = nullptr;   // mmap base
@@ -115,25 +118,43 @@ void worker_loop(Reader* rd) {
 
 extern "C" {
 
+static void release_shards(Reader* rd) {
+  for (auto& sh : rd->shards) {
+    if (sh.data) munmap(const_cast<uint8_t*>(sh.data), sh.size);
+    if (sh.fd >= 0) ::close(sh.fd);
+  }
+  rd->shards.clear();
+}
+
 void* shard_open(const char** paths, int n_paths) {
   auto* rd = new Reader();
+  // On any failure, every shard opened so far (including the one in
+  // flight) must release its mmap and fd before the Reader dies.
+  auto fail = [&](Shard& sh) -> void* {
+    rd->shards.push_back(sh);  // include the partial shard in cleanup
+    release_shards(rd);
+    delete rd;
+    return nullptr;
+  };
   for (int i = 0; i < n_paths; ++i) {
     Shard sh;
     sh.fd = ::open(paths[i], O_RDONLY);
-    if (sh.fd < 0) { delete rd; return nullptr; }
+    if (sh.fd < 0) return fail(sh);
     struct stat st;
-    if (fstat(sh.fd, &st) != 0) { delete rd; return nullptr; }
+    if (fstat(sh.fd, &st) != 0 ||
+        st.st_size < 24) return fail(sh);
     sh.size = static_cast<size_t>(st.st_size);
     void* p = mmap(nullptr, sh.size, PROT_READ, MAP_PRIVATE, sh.fd, 0);
-    if (p == MAP_FAILED) { delete rd; return nullptr; }
+    if (p == MAP_FAILED) return fail(sh);
     sh.data = static_cast<const uint8_t*>(p);
     uint64_t magic, n, rb;
     std::memcpy(&magic, sh.data, 8);
     std::memcpy(&n, sh.data + 8, 8);
     std::memcpy(&rb, sh.data + 16, 8);
-    if (magic != kMagic) { delete rd; return nullptr; }
+    if (magic != kMagic) return fail(sh);
     if (rd->record_bytes == 0) rd->record_bytes = rb;
-    if (rb != rd->record_bytes) { delete rd; return nullptr; }
+    if (rb != rd->record_bytes || rb == 0 ||
+        sh.size < 24 + n * rb) return fail(sh);
     sh.n_records = n;
     sh.record_bytes = rb;
     rd->total_records += n;
@@ -222,10 +243,7 @@ void shard_stop(void* h) {
 void shard_close(void* h) {
   auto* rd = static_cast<Reader*>(h);
   shard_stop(h);
-  for (auto& sh : rd->shards) {
-    if (sh.data) munmap(const_cast<uint8_t*>(sh.data), sh.size);
-    if (sh.fd >= 0) ::close(sh.fd);
-  }
+  release_shards(rd);
   delete rd;
 }
 

@@ -80,3 +80,42 @@ def test_bad_magic_rejected(tmp_path):
         f.write('{"record_bytes": 8, "fields": []}')
     with pytest.raises(OSError):
         NativeShardLoader([path], batch_size=2)
+
+
+def test_shard_open_rejects_corrupt_files(tmp_path):
+    """Failure paths must not leak: bad magic, truncated header, and
+    short payload all return null (and valgrind-clean cleanup)."""
+    import struct
+
+    from news_image_caption_tpu.data.native_loader import (MAGIC,
+                                                           get_lib)
+    import ctypes
+
+    lib = get_lib()
+
+    def try_open(paths):
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        return lib.shard_open(arr, len(paths))
+
+    bad_magic = tmp_path / "bad_magic.nics"
+    bad_magic.write_bytes(struct.pack("<QQQ", 0xdead, 1, 8) + b"x" * 8)
+    assert not try_open([str(bad_magic)])
+
+    truncated = tmp_path / "trunc.nics"
+    truncated.write_bytes(b"\x00" * 10)
+    assert not try_open([str(truncated)])
+
+    short_payload = tmp_path / "short.nics"
+    short_payload.write_bytes(struct.pack("<QQQ", MAGIC, 4, 8) + b"x" * 8)
+    assert not try_open([str(short_payload)])
+
+    # A good shard + a bad shard -> fail (good one's fd/mmap released).
+    good = tmp_path / "good.nics"
+    good.write_bytes(struct.pack("<QQQ", MAGIC, 1, 8) + b"y" * 8)
+    assert not try_open([str(good), str(bad_magic)])
+    # The good shard alone still opens.
+    h = try_open([str(good)])
+    assert h
+    assert lib.shard_num_records(ctypes.c_void_p(h)) == 1
+    lib.shard_close(ctypes.c_void_p(h))

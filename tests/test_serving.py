@@ -95,6 +95,7 @@ def test_http_proxy(server_and_client):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_full_model_builder_objects_and_attention_maps():
     """Objects context is attached to the caption batch and attention
     maps are returned (ref: tasks/captioner.py + faces_objects

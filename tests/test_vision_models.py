@@ -34,6 +34,7 @@ def test_inception_resnet_embeds():
         np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mtcnn_detect_runs():
     mt = MTCNN(min_face=40)
     img = np.random.default_rng(0).integers(
@@ -88,6 +89,7 @@ def test_non_max_suppression_output_format():
     assert set(out[:, 5].astype(int)) == {0, 1}
 
 
+@pytest.mark.slow
 def test_object_feature_extractor():
     ex = ObjectFeatureExtractor(img_size=128)
     img = np.random.default_rng(1).integers(
@@ -97,6 +99,7 @@ def test_object_feature_extractor():
     assert feats.shape[1] == 1024 if len(feats) else True
 
 
+@pytest.mark.slow
 def test_darknet_weights_port_roundtrip():
     """Darknet .weights binary parse: exact consumption, layout
     round-trip (models.py:384-443 format)."""
@@ -187,3 +190,86 @@ def test_darknet_total_param_count_matches_canonical_cfg():
                    for x in jax.tree.leaves(template))
     assert len(convs) == 76
     assert n_params == expected == 63_052_381
+
+
+@pytest.mark.slow
+def test_port_facenet_pt_covers_flax_tree():
+    """port_facenet_pt must produce exactly the InceptionResnetV1
+    param tree (every leaf, right shapes, transposes inverted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from news_image_caption_tpu.models.facenet import (InceptionResnetV1,
+                                                       port_facenet_pt)
+
+    model = InceptionResnetV1()
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 160, 160, 3))))["params"]
+
+    # Build a synthetic facenet-pytorch state dict by inverting the
+    # porter's documented layout (conv HWIO<->OIHW, linear T).
+    sd = {}
+    counter = [0.0]
+
+    def fresh(shape):
+        counter[0] += 1.0
+        return np.full(shape, counter[0], np.float32)
+
+    def add_conv(torch_prefix, flax_entry):
+        k = flax_entry["conv"]["kernel"].shape       # HWIO
+        sd[f"{torch_prefix}.conv.weight"] = fresh(
+            (k[3], k[2], k[0], k[1]))                # OIHW
+        c = flax_entry["bn"]["scale"].shape
+        for t, f in (("weight", "scale"), ("bias", "bias"),
+                     ("running_mean", "mean"), ("running_var", "var")):
+            sd[f"{torch_prefix}.bn.{t}"] = fresh(c)
+
+    def walk(flax_name, entry):
+        """Map flax module name back to the torch prefix."""
+        torch_name = flax_name
+        for rep in ("repeat_1", "repeat_2", "repeat_3"):
+            if flax_name.startswith(rep + "_"):
+                torch_name = rep + "." + flax_name[len(rep) + 1:]
+        return torch_name
+
+    for name, entry in shapes.items():
+        if name in ("last_linear", "last_bn"):
+            continue
+        tname = walk(name, entry)
+        if "conv" in entry and "bn" in entry:        # plain stem conv
+            add_conv(tname, entry)
+            continue
+        for sub, sube in entry.items():              # block branches
+            if sub == "conv2d":
+                k = sube["kernel"].shape
+                sd[f"{tname}.conv2d.weight"] = fresh(
+                    (k[3], k[2], k[0], k[1]))
+                sd[f"{tname}.conv2d.bias"] = fresh(sube["bias"].shape)
+            else:
+                tsub = sub.replace("branch0_", "branch0.").replace(
+                    "branch1_", "branch1.").replace(
+                    "branch2_", "branch2.")
+                add_conv(f"{tname}.{tsub}", sube)
+    ll = shapes["last_linear"]["kernel"].shape
+    sd["last_linear.weight"] = fresh((ll[1], ll[0]))
+    for t, f in (("weight", "scale"), ("bias", "bias"),
+                 ("running_mean", "mean"), ("running_var", "var")):
+        sd[f"last_bn.{t}"] = fresh(shapes["last_bn"][f].shape)
+
+    ported = port_facenet_pt(sd)["params"]
+
+    flat_t, tree_t = jax.tree.flatten_with_path(shapes)
+    flat_p = dict(jax.tree.flatten_with_path(ported)[0])
+    assert {str(k) for k, _ in flat_t} == {str(k) for k in flat_p}
+    for path, spec in flat_t:
+        got = flat_p[path]
+        assert tuple(got.shape) == tuple(spec.shape), (path, got.shape,
+                                                       spec.shape)
+    # Spot-check a transpose inversion: conv kernel values land HWIO.
+    w_t = sd["conv2d_1a.conv.weight"]                # OIHW
+    w_f = np.asarray(ported["conv2d_1a"]["conv"]["kernel"])
+    np.testing.assert_array_equal(w_f, w_t.transpose(2, 3, 1, 0))
+    np.testing.assert_array_equal(
+        np.asarray(ported["last_linear"]["kernel"]),
+        sd["last_linear.weight"].T)
