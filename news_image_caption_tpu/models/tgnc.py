@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from news_image_caption_tpu.models.captioner import TransformerFlattened
-from news_image_caption_tpu.models.decoder_flattened import \
-    DynamicConvDecoder
+from news_image_caption_tpu.models.captioner import (LN2,
+                                                     TransformerFlattened,
+                                                     shift_caption)
+from news_image_caption_tpu.models.decoder_flattened import (
+    DynamicConvDecoder, DynamicConvDecoderLayer, SumEmbedder)
 from news_image_caption_tpu.models.pointer import TransformerPointer
+from news_image_caption_tpu.ops.adaptive import AdaptiveSoftmax
 from news_image_caption_tpu.ops.dropout import dropout
-from news_image_caption_tpu.utils.registry import MODELS
+from news_image_caption_tpu.utils.registry import DECODERS, MODELS
 
 
 class ClassificationHead(nn.Module):
@@ -52,6 +55,125 @@ class ClassificationHead(nn.Module):
         return nn.Dense(self.n_classes, name="out_proj")(x)
 
 
+@DECODERS.register("decoder_tgnc")
+class TemplateGuidedDecoder(nn.Module):
+    """Trunk layers + one extra decoder layer per template; outputs
+    mixed by sigmoid(template_logits).
+
+    Capability parity target: DecoderTGNC
+    (/root/reference/ttl/tell/models/decoder_tgnc.py:20-244): N shared
+    DynamicConv layers, then 5 per-template head layers (kernel 31);
+    the 5 head outputs are stacked, weighted elementwise by
+    sigmoid(template_logits) and mean-reduced before the adaptive
+    softmax.
+
+    TPU-first: heads run as a batched vmap-free loop of identical
+    layers (XLA fuses the stack/mix); the decode path threads trunk
+    AND head conv caches through one fixed-shape pytree.
+    """
+
+    vocab_size: int = 50265
+    embed_dim: int = 1024
+    ffn_dim: int = 4096
+    num_heads: int = 16
+    num_layers: int = 4
+    kernel_sizes: tuple = (3, 7, 15, 31)
+    cutoff: tuple = (5000, 20000, 50265)
+    image_dim: int = 2048
+    article_dim: int = 1024
+    n_templates: int = 5
+    head_kernel: int = 31            # decoder_tgnc.py:62-107
+    dropout: float = 0.1
+    padding_idx: int = 0
+    target_padding_idx: int = 1
+    max_positions: int = 512
+
+    def setup(self):
+        self.embedder = SumEmbedder(
+            vocab_size=self.vocab_size, embed_dim=self.embed_dim,
+            cutoff=tuple(self.cutoff), padding_idx=self.padding_idx,
+            pos_padding_idx=self.target_padding_idx,
+            max_positions=self.max_positions, name="embedder")
+        specs = (("image", self.image_dim),
+                 ("article", self.article_dim))
+
+        def layer(kernel, name):
+            return DynamicConvDecoderLayer(
+                embed_dim=self.embed_dim, conv_dim=self.embed_dim,
+                kernel_size=kernel, num_heads=self.num_heads,
+                ffn_dim=self.ffn_dim, context_specs=specs,
+                dropout=self.dropout, name=name)
+
+        self.layers = [layer(self.kernel_sizes[i], f"layers_{i}")
+                       for i in range(self.num_layers)]
+        self.heads = [layer(self.head_kernel, f"head_{i}")
+                      for i in range(self.n_templates)]
+        self.adaptive_softmax = AdaptiveSoftmax(
+            vocab_size=self.vocab_size, input_dim=self.embed_dim,
+            cutoff=tuple(self.cutoff), tied=True,
+            name="adaptive_softmax")
+
+    def precompute_kv(self, contexts):
+        return ([layer.precompute_kv(contexts) for layer in self.layers]
+                + [head.precompute_kv(contexts) for head in self.heads])
+
+    def _mix(self, head_outs, template_logits):
+        """Stack head outputs and weight by sigmoid(logits)
+        (decoder_tgnc.py:239-243: X * prob -> mean over heads)."""
+        X = jnp.stack(head_outs, axis=2)          # [B, T, n, D]
+        prob = jax.nn.sigmoid(
+            template_logits.astype(X.dtype))      # [B, n]
+        return (X * prob[:, None, :, None]).mean(axis=2)
+
+    def hidden(self, token_ids, contexts, template_logits,
+               deterministic: bool = True):
+        kvs = self.precompute_kv(contexts)
+        x = self.embedder(token_ids)
+        for layer, kv in zip(self.layers, kvs[:self.num_layers]):
+            x, _ = layer(x, kv, deterministic=deterministic)
+        outs = [head(x, kv, deterministic=deterministic)[0]
+                for head, kv in zip(self.heads,
+                                    kvs[self.num_layers:])]
+        return self._mix(outs, template_logits)
+
+    def loss(self, token_ids, contexts, template_logits, target_ids,
+             deterministic: bool = True):
+        x = self.hidden(token_ids, contexts, template_logits,
+                        deterministic)
+        tables = self.embedder.embed_tables()
+        return self.adaptive_softmax.loss_sum(
+            x.reshape(-1, x.shape[-1]), target_ids.reshape(-1),
+            padding_idx=self.target_padding_idx, embed_tables=tables,
+            deterministic=deterministic)
+
+    # -- incremental decode -------------------------------------------
+    def init_cache(self, batch_size: int):
+        trunk = [jnp.zeros((batch_size, k - 1, self.embed_dim))
+                 for k in self.kernel_sizes]
+        heads = [jnp.zeros((batch_size, self.head_kernel - 1,
+                            self.embed_dim))
+                 for _ in range(self.n_templates)]
+        return trunk + heads
+
+    def step(self, token_t, step_idx, kvs, caches, template_logits):
+        x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
+        new_caches = []
+        for layer, kv, cache in zip(self.layers, kvs[:self.num_layers],
+                                    caches[:self.num_layers]):
+            x, nc = layer.step(x, kv, cache, step_idx=step_idx)
+            new_caches.append(nc)
+        outs = []
+        for head, kv, cache in zip(self.heads, kvs[self.num_layers:],
+                                   caches[self.num_layers:]):
+            h, nc = head.step(x, kv, cache, step_idx=step_idx)
+            outs.append(h[:, None, :])
+            new_caches.append(nc)
+        mixed = self._mix(outs, template_logits)[:, 0, :]
+        tables = self.embedder.embed_tables()
+        lp = self.adaptive_softmax.log_prob(mixed, tables)
+        return lp, new_caches
+
+
 @MODELS.register("tgnc")
 class TGNC:
     """Caption decoder + template classifier."""
@@ -59,24 +181,48 @@ class TGNC:
     def __init__(self, captioner: Optional[TransformerFlattened] = None,
                  n_templates: int = 5, image_dim: int = 2048,
                  article_dim: int = 1024, template_loss_weight: float = 0.0,
+                 use_template_decoder: bool = False,
                  **decoder_kwargs):
         decoder_kwargs.setdefault("image_dim", image_dim)
         decoder_kwargs.setdefault("article_dim", article_dim)
-        self.captioner = captioner or TransformerFlattened(
-            **decoder_kwargs)
-        d = self.captioner.decoder
+        self.use_template_decoder = use_template_decoder
+        if use_template_decoder:
+            self.tg_decoder = TemplateGuidedDecoder(
+                n_templates=n_templates, **decoder_kwargs)
+            self.captioner = None
+            embed_dim = self.tg_decoder.embed_dim
+            img_dim = self.tg_decoder.image_dim
+        else:
+            self.tg_decoder = None
+            self.captioner = captioner or TransformerFlattened(
+                **decoder_kwargs)
+            d = self.captioner.decoder
+            embed_dim, img_dim = d.embed_dim, d.image_dim
         self.classifier = ClassificationHead(
-            hidden=d.embed_dim, image_dim=d.image_dim,
-            n_classes=n_templates)
+            hidden=embed_dim, image_dim=img_dim, n_classes=n_templates)
         self.template_loss_weight = template_loss_weight
+
+    @staticmethod
+    def _contexts(batch):
+        return {"image": batch["image"],
+                "image_mask": batch.get("image_mask"),
+                "article": batch["article"],
+                "article_mask": batch.get("article_mask")}
 
     def init(self, rng, batch):
         r1, r2 = jax.random.split(rng)
-        return {
-            "captioner": self.captioner.init(r1, batch),
-            "classifier": self.classifier.init(
-                r2, batch["article"], batch["image"]),
-        }
+        out = {"classifier": self.classifier.init(
+            r2, batch["article"], batch["image"])}
+        if self.use_template_decoder:
+            inp, tgt = shift_caption(batch["caption_ids"])
+            B = inp.shape[0]
+            logits0 = jnp.zeros((B, self.tg_decoder.n_templates))
+            out["decoder"] = self.tg_decoder.init(
+                r1, inp, self._contexts(batch), logits0, tgt,
+                method=TemplateGuidedDecoder.loss)
+        else:
+            out["captioner"] = self.captioner.init(r1, batch)
+        return out
 
     def template_probs(self, variables, batch,
                        deterministic: bool = True) -> jax.Array:
@@ -89,9 +235,31 @@ class TGNC:
         """Caption loss (bits/token) + optional BCE template loss.
 
         Optional batch key `template_label` [B, n_templates] (multi-hot).
+        With use_template_decoder, the caption loss flows through the
+        sigmoid(template_logits)-mixed heads so the classifier trains
+        from the caption objective alone (decoder_tgnc.py:239-243).
         """
-        cap_loss, aux = self.captioner.loss_fn(
-            variables["captioner"], batch, dropout_rng)
+        if self.use_template_decoder:
+            deterministic0 = dropout_rng is None
+            crngs = {} if deterministic0 else {
+                "dropout": jax.random.fold_in(dropout_rng, 2)}
+            template_logits = self.classifier.apply(
+                variables["classifier"], batch["article"],
+                batch["image"], deterministic=deterministic0,
+                rngs=crngs)
+            inp, tgt = shift_caption(batch["caption_ids"])
+            drngs = {} if deterministic0 else {
+                "dropout": jax.random.fold_in(dropout_rng, 3)}
+            loss_sum, ntokens = self.tg_decoder.apply(
+                variables["decoder"], inp, self._contexts(batch),
+                template_logits, tgt, deterministic=deterministic0,
+                rngs=drngs, method=TemplateGuidedDecoder.loss)
+            sample = jnp.maximum(ntokens, 1)
+            cap_loss = (loss_sum / LN2) / sample
+            aux = {"loss_sum": loss_sum / LN2, "sample_size": ntokens}
+        else:
+            cap_loss, aux = self.captioner.loss_fn(
+                variables["captioner"], batch, dropout_rng)
         loss = cap_loss
         if (self.template_loss_weight > 0.0
                 and "template_label" in batch):
@@ -112,11 +280,28 @@ class TGNC:
         return loss, aux
 
     def generate(self, variables, batch, config=None, rng=None):
-        from news_image_caption_tpu.generation.generator import \
-            GenerationConfig
-        return self.captioner.generate(
-            variables["captioner"], batch,
-            config or GenerationConfig(), rng)
+        from news_image_caption_tpu.generation.generator import (
+            GenerationConfig, generate)
+        config = config or GenerationConfig()
+        if not self.use_template_decoder:
+            return self.captioner.generate(
+                variables["captioner"], batch, config, rng)
+        contexts = self._contexts(batch)
+        B = contexts["image"].shape[0]
+        template_logits = self.classifier.apply(
+            variables["classifier"], batch["article"], batch["image"])
+        kvs = self.tg_decoder.apply(
+            variables["decoder"], contexts,
+            method=TemplateGuidedDecoder.precompute_kv)
+        caches = self.tg_decoder.init_cache(B)
+
+        def step(tok, i, c):
+            return self.tg_decoder.apply(
+                variables["decoder"], tok, i, kvs, c, template_logits,
+                method=TemplateGuidedDecoder.step)
+
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        return generate(step, caches, seed, config, rng)
 
 
 @MODELS.register("transformer_entity")
