@@ -91,18 +91,30 @@ def generate(step_fn: Callable, init_caches, seed: jax.Array,
 
 def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
                 config: GenerationConfig,
-                cache_batch_axis: int = 0) -> Tuple[jax.Array, jax.Array]:
+                cache_batch_axis: int = 0,
+                reorder_fn: Optional[Callable] = None
+                ) -> Tuple[jax.Array, jax.Array]:
     """Batched beam search with the beam folded into the batch dim.
 
     step_fn operates on a flat [B*beam] batch; `init_caches` must
     already be sized for B*beam (tile the contexts/KV before calling).
     `cache_batch_axis` is the axis of every cache leaf that carries the
     flat batch (Gen-1 LSTM states are [layers, B, H] -> axis 1).
+
+    reorder_fn(caches, flat_src) -> caches overrides the default
+    gather-every-leaf ancestry reorder; the flagship decoder passes a
+    slot-map composition (O(K·B) index ints instead of re-gathering
+    the whole conv history per step — the dominant reorder traffic).
     Returns (tokens [B, beam, max_len+1], scores [B, beam]) sorted
     best-first.
     """
     B = seed.shape[0]
     K = config.beam_size
+    if reorder_fn is None:
+        def reorder_fn(caches, flat_src):
+            return jax.tree.map(
+                lambda c: jnp.take(c, flat_src, axis=cache_batch_axis),
+                caches)
 
     flat_seed = jnp.repeat(seed, K)                       # [B*K]
     tokens0 = jnp.full((B * K, config.max_len + 1), config.pad_id,
@@ -129,9 +141,7 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
         # Gather beam state from source beams.
         flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
         tokens = tokens[flat_src]
-        caches = jax.tree.map(
-            lambda c: jnp.take(c, flat_src, axis=cache_batch_axis),
-            caches)
+        caches = reorder_fn(caches, flat_src)
         finished = finished[flat_src]
         tok_flat = tok.reshape(-1)
         tokens = tokens.at[:, i + 1].set(tok_flat)

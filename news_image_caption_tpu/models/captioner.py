@@ -131,20 +131,31 @@ class TransformerFlattened:
                       config: GenerationConfig = GenerationConfig()):
         """Beam-searched captions [B, beam, max_len+1] + scores.
 
-        Context K/V stay UNtiled and are shared across beams inside
-        the attention (attend_flat_beam) — replicating them `beam`
-        times is the dominant HBM traffic of beam decoding.
+        Two beam-specific traffic optimizations:
+        - context K/V stay UNtiled and are shared across beams inside
+          the attention (attend_flat_beam);
+        - conv caches stay in physical row order; the beam-ancestry
+          reorder composes int slot maps instead of gathering every
+          [B*beam, K-1, C] history leaf per step (step_beam_lazy).
         """
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         K = config.beam_size
         kvs, _ = self._decode_setup(params, contexts, B)
         caches = self.decoder.init_cache(B * K)
+        slot_maps = self.decoder.init_slot_maps(B * K)
 
-        def step(tok, i, caches):
-            return self.decoder.apply(
-                params, tok, i, kvs, caches, beam=K,
-                method=DynamicConvDecoder.step_shift)
+        def step(tok, i, state):
+            conv_caches, maps = state
+            lp, nc, nm = self.decoder.apply(
+                params, tok, i, kvs, conv_caches, maps, beam=K,
+                method=DynamicConvDecoder.step_beam_lazy)
+            return lp, (nc, nm)
+
+        def reorder(state, flat_src):
+            conv_caches, maps = state
+            return conv_caches, [m[:, flat_src] for m in maps]
 
         seed = jnp.full((B,), config.bos_id, jnp.int32)
-        return beam_search(step, caches, seed, config)
+        return beam_search(step, (caches, slot_maps), seed, config,
+                           reorder_fn=reorder)

@@ -240,6 +240,24 @@ class DynamicConvDecoderLayer(nn.Module):
         x = self._ffn_block(x, deterministic)
         return x[:, 0, :], new_cache
 
+    def step_lazy_beam(self, x_t: jax.Array, kv: LayerKV,
+                       conv_cache: jax.Array, slot_map: jax.Array,
+                       step_idx, beam: int,
+                       deterministic: bool = True):
+        """Beam decode step with lazily-permuted conv cache (see
+        DynamicConv.step_ring_lazy) and shared context K/V."""
+        residual = x_t[:, None, :]
+        h = self._conv_block_pre(x_t[:, None, :], deterministic)
+        h_t, new_cache, new_map = self.conv.step_ring_lazy(
+            h[:, 0, :], conv_cache, slot_map, step_idx,
+            deterministic=deterministic)
+        x = self._conv_block_post(h_t[:, None, :], residual,
+                                  deterministic)
+        x = self._contexts_block_beam(x[:, 0, :], kv, beam,
+                                      deterministic)[:, None, :]
+        x = self._ffn_block(x, deterministic)
+        return x[:, 0, :], new_cache, new_map
+
     def _contexts_block_beam(self, x: jax.Array, kv: LayerKV,
                              beam: int, deterministic):
         """[B*beam, D] single-step context fusion with shared K/V."""
@@ -413,6 +431,37 @@ class DynamicConvDecoder(nn.Module):
         lp, _, new_caches = self.step_with_hidden(
             token_t, step_idx, kvs, caches, beam, use_ring=False)
         return lp, new_caches
+
+    def init_slot_maps(self, batch_size: int) -> List[jax.Array]:
+        """Identity slot->physical-row maps for lazy beam caches."""
+        return [jnp.tile(jnp.arange(batch_size, dtype=jnp.int32),
+                         (k - 1, 1))
+                for k in self.kernel_sizes]
+
+    def step_beam_lazy(self, token_t: jax.Array, step_idx,
+                       kvs: List[LayerKV], caches: List[jax.Array],
+                       slot_maps: List[jax.Array], beam: int):
+        """One beam decode step over physically-stationary conv caches.
+
+        The generator composes `slot_maps` with the beam-ancestry
+        permutation instead of gathering every cache leaf
+        (the reference gathers its whole incremental state per step,
+        decoder_flattened.py:205-207 filter_incremental_state).
+        Returns (log_probs, new_caches, new_slot_maps).
+        """
+        x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
+        new_caches, new_maps = [], []
+        for layer, kv, cache, smap in zip(self.layers, kvs, caches,
+                                          slot_maps):
+            x, nc, nm = layer.step_lazy_beam(x, kv, cache, smap,
+                                             step_idx, beam)
+            new_caches.append(nc)
+            new_maps.append(nm)
+        if self.normalize_before and self.final_norm:
+            x = self.layer_norm(x)
+        tables = self.embedder.embed_tables()
+        lp = self.adaptive_softmax.log_prob(x, tables)
+        return lp, new_caches, new_maps
 
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,

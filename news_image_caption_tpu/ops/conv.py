@@ -189,6 +189,45 @@ class DynamicConv(nn.Module):
             cache, x_t[:, None, :], (0, jnp.mod(t, Km1), 0))
         return out, new_cache
 
+    def step_ring_lazy(self, x_t: jax.Array, cache: jax.Array,
+                       slot_map: jax.Array, t: jax.Array | int,
+                       deterministic: bool = True):
+        """Ring step with LAZY beam permutation: the cache stays in
+        physical row order across beam reorders; `slot_map`
+        [K-1, B] gives, per ring slot, the physical row holding each
+        logical beam's history. Beam search composes slot_map with
+        its beam-ancestry permutation each step (O(K·B) ints) instead
+        of gathering the whole [B, K-1, C] history.
+
+        Returns (out [B, C], new_cache, new_slot_map) — the new slot
+        (t mod K-1) holds x_t in logical order, so its map resets to
+        identity.
+        """
+        B, C = x_t.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        Km1 = K - 1
+        w = self._weights(x_t, deterministic)          # [B, H, K]
+        t = jnp.asarray(t, jnp.int32)
+        slots = jnp.arange(Km1, dtype=jnp.int32)
+        k_for_slot = jnp.mod(slots - t, Km1)           # [K-1]
+        w_hist = jnp.take(w, k_for_slot, axis=-1)      # [B, H, K-1]
+        hist = jnp.take_along_axis(
+            cache, slot_map.T[:, :, None], axis=0)     # [B, K-1, C]
+        hh = hist.reshape(B, Km1, H, R)
+        out = jnp.einsum("bhk,bkhr->bhr", w_hist, hh).reshape(B, C)
+        out = out + w[:, :, K - 1:K].repeat(R, axis=-1).reshape(
+            B, C) * x_t
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        j = jnp.mod(t, Km1)
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, x_t[:, None, :], (0, j, 0))
+        new_map = jax.lax.dynamic_update_slice(
+            slot_map, jnp.arange(B, dtype=slot_map.dtype)[None, :],
+            (j, 0))
+        return out, new_cache, new_map
+
 
 class LightweightConv(nn.Module):
     """Depthwise conv with shared learned kernels per head."""

@@ -140,3 +140,33 @@ def test_train_step_decreases_loss(model_and_params):
         p, opt_state, loss = step(p, opt_state, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_lazy_beam_matches_shifted_copy_beam(model_and_params):
+    """The lazy slot-map beam (physical caches + composed ancestry
+    maps) must produce EXACTLY the tokens/scores of the reference
+    gather-everything beam over step_shift."""
+    from news_image_caption_tpu.generation.generator import beam_search
+
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=10, beam_size=3)
+    toks_lazy, scores_lazy = model.generate_beam(params, batch, cfg)
+
+    contexts = model._contexts(batch)
+    B = contexts["image"].shape[0]
+    kvs, _ = model._decode_setup(params, contexts, B)
+    caches = model.decoder.init_cache(B * cfg.beam_size)
+
+    def step(tok, i, c):
+        return model.decoder.apply(
+            params, tok, i, kvs, c, beam=cfg.beam_size,
+            method=DynamicConvDecoder.step_shift)
+
+    seed = jnp.full((B,), cfg.bos_id, jnp.int32)
+    toks_ref, scores_ref = beam_search(step, caches, seed, cfg)
+
+    np.testing.assert_array_equal(np.asarray(toks_lazy),
+                                  np.asarray(toks_ref))
+    np.testing.assert_allclose(np.asarray(scores_lazy),
+                               np.asarray(scores_ref), rtol=1e-5,
+                               atol=1e-6)
