@@ -93,9 +93,11 @@ def compute_metrics(jsonl_path: str,
     full_counter_keys = set(cap_counter) | set(
         (counters or {}).get("context", {}))
 
+    ner_backend = "unknown"
     with open(jsonl_path) as f:
         for line in f:
             obj = json.loads(line)
+            ner_backend = obj.get("ner_backend", ner_backend)
             caption = (obj["caption"] if use_processed
                        else obj.get("raw_caption", obj["caption"]))
             generation = obj["generation"]
@@ -206,6 +208,11 @@ def compute_metrics(jsonl_path: str,
         "Generation TTR": mean(gen_ttrs),
         "Caption Flesch Reading Ease": mean(cap_flesch),
         "Generation Flesch Reading Ease": mean(gen_flesch),
+        # Caveat (recorded so downstream readers can't miss it): the
+        # entity metrics depend on the NER backend used at enrichment
+        # time; "heuristic" diverges from the reference's spaCy-based
+        # entity precision/recall and rare-name recall.
+        "NER backend": ner_backend,
     }
     for label, key in ENTITY_LABELS:
         name = "all" if not label else label

@@ -44,6 +44,12 @@ def enrich_record(caption: str, generation: str,
     ctx = cache.analyze(analyzer, context)
     return {
         "caption": caption,
+        # Which NER produced the entity fields: "spacy" matches the
+        # reference's numbers; "heuristic" (capitalization-based,
+        # used when spaCy is absent) will diverge on entity
+        # precision/recall and rare-name recall.
+        "ner_backend": type(analyzer).__name__.replace(
+            "Analyzer", "").lower(),
         "raw_caption": m.get("caption", caption),
         "generation": generation,
         "copied_texts": copied_text,

@@ -119,6 +119,7 @@ def test_beam_search_beats_or_equals_greedy_score(model_and_params):
     assert (s[:, 0] >= gscore - 1e-4).all()
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(model_and_params):
     import optax
     model, params, batch = model_and_params
@@ -142,6 +143,7 @@ def test_train_step_decreases_loss(model_and_params):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_lazy_beam_matches_shifted_copy_beam(model_and_params):
     """The lazy slot-map beam (physical caches + composed ancestry
     maps) must produce EXACTLY the tokens/scores of the reference

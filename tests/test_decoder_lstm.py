@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from news_image_caption_tpu.generation.generator import GenerationConfig
 from news_image_caption_tpu.models.decoder_lstm import (LSTMDecoder,
@@ -29,6 +30,7 @@ def tiny_batch(B=2, T=7, P=4, S=6, key=0):
     }
 
 
+@pytest.mark.slow
 def test_loss_and_training():
     import optax
     model = tiny()

@@ -97,6 +97,7 @@ def test_sample_and_beam(model_type):
     assert np.isfinite(np.asarray(bscores)).all()
 
 
+@pytest.mark.slow
 def test_show_attend_tell_sentence_variants():
     for method in ["fc", "fc_max", "concat", "conv", "conv_deep",
                    "bnews"]:

@@ -62,6 +62,7 @@ def test_label_smoothing_loss_zero_smoothing_is_ce():
     assert int(n) == 3
 
 
+@pytest.mark.slow
 def test_loss_and_train_decreases():
     import optax
     model = tiny_model()

@@ -47,6 +47,7 @@ def test_sharded_loss_matches_unsharded(mesh_cfg):
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_decreases():
     model = TransformerFlattened(tiny_decoder())
     batch = tiny_batch(B=8)

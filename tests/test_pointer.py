@@ -112,6 +112,7 @@ def test_pointer_loss_components():
         rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pointer_training_reduces_copy_loss():
     import optax
     model = make_pointer()

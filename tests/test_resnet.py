@@ -10,6 +10,7 @@ from news_image_caption_tpu.models.resnet import (ResNetTrunk,
                                                   preprocess_image)
 
 
+@pytest.mark.slow
 def test_trunk_shapes_small_depth():
     # depth 50 with tiny input to keep CPU time low
     m = ResNetTrunk(depth=50, num_stages=4)

@@ -129,6 +129,7 @@ def test_cli_evaluate_writes_generations(tmp_path):
     assert "bleu-4" in metrics and "cider" in metrics
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_matches_fp32_trajectory():
     """apex-O2 analog: bf16 compute + fp32 master params tracks the
     fp32 loss curve (callback_apex_trainer.py:121-125 parity)."""
@@ -162,6 +163,7 @@ def test_bf16_mixed_precision_matches_fp32_trajectory():
     assert losses["bf16"][-1] < losses["bf16"][0]
 
 
+@pytest.mark.slow
 def test_trainer_oom_batches_are_skipped(tmp_path, monkeypatch):
     """RESOURCE_EXHAUSTED batches are skipped with gc, like the
     reference's OOM try/except (final_roberta2/custom_v4.py:286-363)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import news_image_caption_tpu.models.variants as V
 from news_image_caption_tpu.generation.generator import GenerationConfig
@@ -129,6 +130,7 @@ def test_entity_variant_and_tgnc():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_template_guided_decoder_tgnc():
     """decoder_tgnc parity: trunk + per-template heads mixed by
     sigmoid(template_logits) (decoder_tgnc.py:20-244); the caption

@@ -24,6 +24,7 @@ def test_nms_suppresses_overlaps():
     assert keep == [0, 2]
 
 
+@pytest.mark.slow
 def test_inception_resnet_embeds():
     m = InceptionResnetV1()
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 160, 160, 3))
@@ -46,6 +47,7 @@ def test_mtcnn_detect_runs():
         assert faces.shape[1:] == (160, 160, 3)
 
 
+@pytest.mark.slow
 def test_yolo_heads_and_decode():
     m = YoloV3SPP(num_classes=80)
     x = jnp.zeros((1, 128, 128, 3))
