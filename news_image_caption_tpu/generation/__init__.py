@@ -1,4 +1,6 @@
 from news_image_caption_tpu.generation.generator import (
-    GenerationConfig, generate, beam_search)
+    GenerationConfig, beam_search, beam_search_candidates, generate,
+    generate_candidates, permute_rows)
 
-__all__ = ["GenerationConfig", "generate", "beam_search"]
+__all__ = ["GenerationConfig", "beam_search", "beam_search_candidates",
+           "generate", "generate_candidates", "permute_rows"]

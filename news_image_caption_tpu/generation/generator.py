@@ -89,6 +89,145 @@ def generate(step_fn: Callable, init_caches, seed: jax.Array,
     return tokens, lps.T
 
 
+def permute_rows(x: jax.Array, flat_src: jax.Array) -> jax.Array:
+    """Row gather new[i] = x[flat_src[i]] as a one-hot matmul.
+
+    TPU row gathers of large 3-D arrays lower to slow scalar-indexed
+    DMA; a [N, N] one-hot matmul rides the MXU instead (measured the
+    dominant saving of the beam body at width 320). Exact for floats:
+    every product is v*1.0 or v*0.0 and each output row sums one
+    nonzero term (HIGHEST precision keeps fp32 operands unsplit).
+    """
+    N = x.shape[0]
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.take(x, flat_src, axis=0)
+    perm = jax.nn.one_hot(flat_src, N, dtype=x.dtype)
+    y = jax.lax.dot_general(
+        perm, x.reshape(N, -1), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=x.dtype)
+    return y.reshape(x.shape)
+
+
+def generate_candidates(step_fn: Callable, init_caches,
+                        seed: jax.Array, config: GenerationConfig,
+                        rng: Optional[jax.Array] = None
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """`generate` over a candidate-producing step_fn.
+
+    step_fn(token_t [B], step_idx, caches) ->
+        (cand_lp [B, k], cand_ids [B, k], caches)
+    where the k candidates are the EXACT top-k of the full-vocab
+    distribution (AdaptiveSoftmax.topk_log_prob) — sampling from them
+    is identical to top-k sampling over materialized [B, V] log-probs,
+    without the [B, V] matrix.
+    """
+    B = seed.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    tokens0 = jnp.full((B, config.max_len + 1), config.pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(seed)
+    if config.init_finished:
+        finished0 = seed == config.eos_id
+    else:
+        finished0 = jnp.zeros((B,), bool)
+
+    def body(carry, i):
+        cur, finished, caches, key = carry
+        topk_lp, topk_idx, caches = step_fn(cur, i, caches)
+        topk_lp = topk_lp / config.sampling_temp
+        key, sub = jax.random.split(key)
+        if config.sampling_topk == 1:
+            choice = jnp.zeros((B,), jnp.int32)
+        else:
+            choice = jax.random.categorical(sub, topk_lp, axis=-1)
+        sel_lp = jnp.take_along_axis(
+            topk_lp, choice[:, None], axis=1)[:, 0]
+        sel_idx = jnp.take_along_axis(
+            topk_idx, choice[:, None], axis=1)[:, 0]
+        next_tok = jnp.where(finished, config.pad_id, sel_idx)
+        out_lp = jnp.where(finished, 0.0, sel_lp)
+        finished = finished | (next_tok == config.eos_id)
+        return (next_tok, finished, caches, key), (next_tok, out_lp)
+
+    (_, _, _, _), (toks, lps) = jax.lax.scan(
+        body, (seed, finished0, init_caches, rng),
+        jnp.arange(config.max_len), unroll=config.scan_unroll)
+    tokens = tokens0.at[:, 1:].set(toks.T)
+    return tokens, lps.T
+
+
+def beam_search_candidates(step_fn: Callable, init_caches,
+                           seed: jax.Array, config: GenerationConfig,
+                           reorder_fn: Optional[Callable] = None
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Beam search over a candidate-producing step_fn.
+
+    step_fn(token_t [B*K], step_idx, caches) ->
+        (cand_lp [B*K, K], cand_ids [B*K, K], caches)
+    with the K candidates the EXACT per-row top-K. Two-stage exact
+    selection: the global top-K per batch item lives in the union of
+    its rows' top-K, so the combine stage is a K*K-wide top_k instead
+    of K*V — the flat [B, K*V] top_k was ~1.4 ms/step at width 320
+    (benchmarks/topk_bench.py). Cache reorders default to
+    `permute_rows` (one-hot matmul).
+
+    Returns (tokens [B, beam, max_len+1], scores [B, beam]),
+    best-first, identical (up to ties) to `beam_search`.
+    """
+    B = seed.shape[0]
+    K = config.beam_size
+    if reorder_fn is None:
+        def reorder_fn(caches, flat_src):
+            return jax.tree.map(
+                lambda c: permute_rows(c, flat_src), caches)
+
+    flat_seed = jnp.repeat(seed, K)
+    tokens0 = jnp.full((B * K, config.max_len + 1), config.pad_id,
+                       jnp.int32).at[:, 0].set(flat_seed)
+    neg_inf = jnp.float32(-1e9)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), neg_inf)]),
+        (B,))
+    finished0 = jnp.zeros((B * K,), bool)
+    # A finished row emits only pad (score += 0); its other candidate
+    # slots are dead.
+    pad_vals = jnp.full((K,), neg_inf).at[0].set(0.0)
+
+    def body(carry, i):
+        cur, scores, finished, tokens, caches = carry
+        rv, ri, caches = step_fn(cur, i, caches)       # [B*K, K] x2
+        rv = jnp.where(finished[:, None], pad_vals[None, :], rv)
+        ri = jnp.where(finished[:, None], config.pad_id, ri)
+        cand = (scores[:, None] + rv).reshape(B, K * K)
+        top_scores, top_flat = jax.lax.top_k(cand, K)  # [B, K]
+        src_beam = top_flat // K
+        tok = jnp.take_along_axis(
+            ri.reshape(B, K * K), top_flat, axis=1)    # [B, K]
+        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+        tokens = jnp.take(tokens, flat_src, axis=0)
+        caches = reorder_fn(caches, flat_src)
+        finished = finished[flat_src]
+        tok_flat = tok.reshape(-1)
+        tokens = tokens.at[:, i + 1].set(tok_flat)
+        scores = top_scores.reshape(-1)
+        finished = finished | (tok_flat == config.eos_id)
+        return (tok_flat, scores, finished, tokens, caches), None
+
+    init = (flat_seed, scores0, finished0, tokens0, init_caches)
+    (_, scores, _, tokens, _), _ = jax.lax.scan(
+        body, init, jnp.arange(config.max_len),
+        unroll=config.scan_unroll)
+    tokens = tokens.reshape(B, K, -1)
+    scores = scores.reshape(B, K)
+    lengths = jnp.sum(tokens != config.pad_id, axis=-1).astype(jnp.float32)
+    norm = scores / (lengths ** config.length_penalty)
+    order = jnp.argsort(-norm, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    scores = jnp.take_along_axis(norm, order, axis=1)
+    return tokens, scores
+
+
 def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
                 config: GenerationConfig,
                 cache_batch_axis: int = 0,

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from news_image_caption_tpu.generation.generator import (
-    GenerationConfig, beam_search, generate)
+    GenerationConfig, beam_search, beam_search_candidates,
+    generate_candidates)
 from news_image_caption_tpu.models.decoder_flattened import DynamicConvDecoder
 from news_image_caption_tpu.utils.registry import MODELS
 
@@ -110,13 +111,22 @@ class TransformerFlattened:
     def generate(self, params, batch: Dict[str, jax.Array],
                  config: GenerationConfig = GenerationConfig(),
                  rng: Optional[jax.Array] = None):
-        """Top-k / greedy sampled captions [B, max_len+1]."""
+        """Top-k / greedy sampled captions [B, max_len+1].
+
+        The step produces exact top-k candidates straight from the
+        adaptive-softmax bands (no [B, V] log-prob materialization).
+        """
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         kvs, caches = self._decode_setup(params, contexts, B)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
-        return generate(self._step_fn(params, kvs), caches, seed, config,
-                        rng)
+
+        def step(tok, i, caches):
+            return self.decoder.apply(
+                params, tok, i, kvs, caches, config.sampling_topk,
+                method=DynamicConvDecoder.step_topk)
+
+        return generate_candidates(step, caches, seed, config, rng)
 
     def attention_maps(self, params, batch: Dict[str, jax.Array],
                        token_ids: jax.Array):
@@ -128,34 +138,61 @@ class TransformerFlattened:
             method=DynamicConvDecoder.attention_maps)
 
     def generate_beam(self, params, batch: Dict[str, jax.Array],
-                      config: GenerationConfig = GenerationConfig()):
+                      config: GenerationConfig = GenerationConfig(),
+                      impl: str = "topk"):
         """Beam-searched captions [B, beam, max_len+1] + scores.
 
-        Two beam-specific traffic optimizations:
+        Beam-specific traffic optimizations (v5e measurements in
+        BASELINE.md):
         - context K/V stay UNtiled and are shared across beams inside
           the attention (attend_flat_beam);
-        - conv caches stay in physical row order; the beam-ancestry
-          reorder composes int slot maps instead of gathering every
-          [B*beam, K-1, C] history leaf per step (step_beam_lazy).
+        - impl="topk" (production): the step emits exact per-row top-K
+          candidates from the adaptive-softmax bands — no [B*K, V]
+          log-prob materialization, K*K-wide combine instead of the
+          K*V-wide top_k — and ancestry reorders run as one-hot
+          matmuls (permute_rows) over ring conv caches;
+        - impl="lazy": slot-map-composed cache permutations (kept for
+          ablation; the per-layer gather-through-map read regressed
+          vs shifted caches on v5e);
+        - impl="shift": shifted-copy caches + full-vocab flat top_k
+          (the r01 baseline path).
         """
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         K = config.beam_size
         kvs, _ = self._decode_setup(params, contexts, B)
         caches = self.decoder.init_cache(B * K)
-        slot_maps = self.decoder.init_slot_maps(B * K)
-
-        def step(tok, i, state):
-            conv_caches, maps = state
-            lp, nc, nm = self.decoder.apply(
-                params, tok, i, kvs, conv_caches, maps, beam=K,
-                method=DynamicConvDecoder.step_beam_lazy)
-            return lp, (nc, nm)
-
-        def reorder(state, flat_src):
-            conv_caches, maps = state
-            return conv_caches, [m[:, flat_src] for m in maps]
-
         seed = jnp.full((B,), config.bos_id, jnp.int32)
-        return beam_search(step, (caches, slot_maps), seed, config,
-                           reorder_fn=reorder)
+
+        if impl == "topk":
+            def step(tok, i, caches):
+                return self.decoder.apply(
+                    params, tok, i, kvs, caches, K, beam=K,
+                    method=DynamicConvDecoder.step_topk)
+            return beam_search_candidates(step, caches, seed, config)
+
+        if impl == "lazy":
+            slot_maps = self.decoder.init_slot_maps(B * K)
+
+            def step(tok, i, state):
+                conv_caches, maps = state
+                lp, nc, nm = self.decoder.apply(
+                    params, tok, i, kvs, conv_caches, maps, beam=K,
+                    method=DynamicConvDecoder.step_beam_lazy)
+                return lp, (nc, nm)
+
+            def reorder(state, flat_src):
+                conv_caches, maps = state
+                return conv_caches, [m[:, flat_src] for m in maps]
+
+            return beam_search(step, (caches, slot_maps), seed, config,
+                               reorder_fn=reorder)
+
+        if impl == "shift":
+            def step(tok, i, caches):
+                return self.decoder.apply(
+                    params, tok, i, kvs, caches, beam=K,
+                    method=DynamicConvDecoder.step_shift)
+            return beam_search(step, caches, seed, config)
+
+        raise ValueError(f"unknown beam impl: {impl!r}")

@@ -463,6 +463,30 @@ class DynamicConvDecoder(nn.Module):
         lp = self.adaptive_softmax.log_prob(x, tables)
         return lp, new_caches, new_maps
 
+    def step_topk(self, token_t: jax.Array, step_idx: jax.Array | int,
+                  kvs: List[LayerKV], caches: List[jax.Array],
+                  k: int, beam: int = 1):
+        """One decode step returning only the top-k candidates.
+
+        Like `step` but the head computes an EXACT banded top-k
+        (AdaptiveSoftmax.topk_log_prob) instead of materializing the
+        [B, V] log-prob matrix — the selection cost dominates wide
+        beam decode. Ring conv caches (O(1) writes).
+
+        Returns (cand_log_probs [B, k], cand_ids [B, k], new_caches).
+        """
+        x = self.embedder(token_t[:, None], start_pos=step_idx)[:, 0, :]
+        new_caches = []
+        for layer, kv, cache in zip(self.layers, kvs, caches):
+            x, nc = layer.step(x, kv, cache, beam=beam,
+                               step_idx=step_idx)
+            new_caches.append(nc)
+        if self.normalize_before and self.final_norm:
+            x = self.layer_norm(x)
+        tables = self.embedder.embed_tables()
+        v, ids = self.adaptive_softmax.topk_log_prob(x, k, tables)
+        return v, ids, new_caches
+
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,
                          kvs: List[LayerKV], caches: List[jax.Array],

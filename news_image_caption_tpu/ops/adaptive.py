@@ -219,6 +219,40 @@ class AdaptiveSoftmax(nn.Module):
         ntokens = jnp.sum((target != padding_idx).astype(jnp.int32))
         return loss, ntokens
 
+    def topk_log_prob(self, x: jax.Array, k: int, embed_tables=None
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """EXACT top-k full-vocab log-probs without materializing [N, V].
+
+        Decode-time selection (greedy/top-k sampling/beam) only needs
+        the k best tokens per row. The adaptive factorization makes
+        that cheap: the global top-k is contained in the union of the
+        per-band top-k (head words; each tail shifted by its class
+        prior), so one top_k per band (≤30k wide) plus a k·n_bands-wide
+        merge replaces the [N, V] concat + V-wide top_k — measured
+        ~1.4 ms/step for the flat top_k at beam width 320 on v5e
+        (benchmarks/topk_bench.py).
+
+        Returns (log_probs [N, k], token_ids [N, k]) sorted best-first.
+        """
+        c0 = self.cutoff[0]
+        hlog = jax.nn.log_softmax(
+            self.head_logits(x, embed_tables).astype(jnp.float32),
+            axis=-1)
+        hv, hi = jax.lax.top_k(hlog[:, :c0], k)
+        vals, ids = [hv], [hi.astype(jnp.int32)]
+        for i in range(1, len(self.cutoff)):
+            prior = hlog[:, c0 + i - 1][:, None]
+            tlog = jax.nn.log_softmax(
+                self.tail_logits(x, i, embed_tables).astype(jnp.float32),
+                axis=-1)
+            tv, ti = jax.lax.top_k(tlog, k)
+            vals.append(tv + prior)
+            ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
+        allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
+        alli = jnp.concatenate(ids, axis=-1)
+        v, j = jax.lax.top_k(allv, k)
+        return v, jnp.take_along_axis(alli, j, axis=-1)
+
     def log_prob(self, x: jax.Array, embed_tables=None) -> jax.Array:
         """Full-vocab log-probs for generation. x [N, D] -> [N, V]."""
         c0 = self.cutoff[0]

@@ -144,31 +144,36 @@ def test_train_step_decreases_loss(model_and_params):
 
 
 @pytest.mark.slow
-def test_lazy_beam_matches_shifted_copy_beam(model_and_params):
-    """The lazy slot-map beam (physical caches + composed ancestry
-    maps) must produce EXACTLY the tokens/scores of the reference
-    gather-everything beam over step_shift."""
-    from news_image_caption_tpu.generation.generator import beam_search
-
+@pytest.mark.parametrize("impl", ["topk", "lazy"])
+def test_beam_impls_match_shifted_copy_beam(model_and_params, impl):
+    """Every beam implementation (production candidate top-k over ring
+    caches + matmul reorders; lazy slot-map permutations) must produce
+    EXACTLY the tokens of the reference gather-everything beam over
+    step_shift with the flat [B, K*V] top_k."""
     model, params, batch = model_and_params
     cfg = GenerationConfig(max_len=10, beam_size=3)
-    toks_lazy, scores_lazy = model.generate_beam(params, batch, cfg)
-
-    contexts = model._contexts(batch)
-    B = contexts["image"].shape[0]
-    kvs, _ = model._decode_setup(params, contexts, B)
-    caches = model.decoder.init_cache(B * cfg.beam_size)
-
-    def step(tok, i, c):
-        return model.decoder.apply(
-            params, tok, i, kvs, c, beam=cfg.beam_size,
-            method=DynamicConvDecoder.step_shift)
-
-    seed = jnp.full((B,), cfg.bos_id, jnp.int32)
-    toks_ref, scores_ref = beam_search(step, caches, seed, cfg)
-
-    np.testing.assert_array_equal(np.asarray(toks_lazy),
-                                  np.asarray(toks_ref))
-    np.testing.assert_allclose(np.asarray(scores_lazy),
+    toks, scores = model.generate_beam(params, batch, cfg, impl=impl)
+    toks_ref, scores_ref = model.generate_beam(params, batch, cfg,
+                                               impl="shift")
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))
+    np.testing.assert_allclose(np.asarray(scores),
                                np.asarray(scores_ref), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_permute_rows_matches_take():
+    from news_image_caption_tpu.generation.generator import permute_rows
+
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (6, 3, 4))
+    src = jnp.array([2, 2, 0, 5, 4, 1], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(permute_rows(x32, src)),
+        np.asarray(jnp.take(x32, src, axis=0)))
+    xb = x32.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(permute_rows(xb, src)),
+        np.asarray(jnp.take(xb, src, axis=0)))
+    xi = jnp.arange(12, dtype=jnp.int32).reshape(6, 2)
+    np.testing.assert_array_equal(
+        np.asarray(permute_rows(xi, src)),
+        np.asarray(jnp.take(xi, src, axis=0)))

@@ -106,3 +106,25 @@ def test_loss_ignores_padding():
                          method=AdaptiveSoftmax.loss_sum)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
     assert int(n1) == 2
+
+
+def test_topk_log_prob_matches_dense_topk():
+    """Banded exact top-k == top_k over the materialized log_prob."""
+    emb, sm = make_embedder_and_softmax()
+    ids = jnp.arange(30).reshape(1, 30)
+    eparams = emb.init(jax.random.PRNGKey(0), ids)
+    tables = _tables(emb, eparams)
+
+    N, k = 7, 4
+    x = jax.random.normal(jax.random.PRNGKey(3), (N, DIM))
+    sparams = sm.init(jax.random.PRNGKey(2), x, embed_tables=tables,
+                      method=AdaptiveSoftmax.log_prob)
+    lp = sm.apply(sparams, x, embed_tables=tables,
+                  method=AdaptiveSoftmax.log_prob)
+    ref_v, ref_i = jax.lax.top_k(lp, k)
+    v, i = sm.apply(sparams, x, k, embed_tables=tables,
+                    method=AdaptiveSoftmax.topk_log_prob)
+    assert v.shape == (N, k) and i.shape == (N, k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-6, atol=1e-6)
