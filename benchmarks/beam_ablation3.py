@@ -24,7 +24,8 @@ from news_image_caption_tpu.models.decoder_flattened import \
     DynamicConvDecoder  # noqa: E402
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-MAX_LEN, BEAM, V = 50, 5, 50265
+WHICH = sys.argv[2] if len(sys.argv) > 2 else 'step,nore,rot,full'
+MAX_LEN, BEAM, V = 25, 5, 50265
 N = BATCH * BEAM
 
 
@@ -34,7 +35,7 @@ def _cast_bf16(t):
         if x.dtype == jnp.float32 else x, t)
 
 
-def timeit(name, fn, *args, iters=3):
+def timeit(name, fn, *args, iters=2):
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
@@ -85,7 +86,8 @@ def main():
             body, (flat_seed, caches), jnp.arange(MAX_LEN), unroll=1)
         return toks
 
-    timeit("step_topk", jax.jit(run_step_only), caches)
+    if "step" in WHICH:
+        timeit("step_topk", jax.jit(run_step_only), caches)
 
     def run_no_reorder(caches):
         def body(carry, i):
@@ -101,7 +103,8 @@ def main():
             unroll=1)
         return toks
 
-    timeit("no_reorder", jax.jit(run_no_reorder), caches)
+    if "nore" in WHICH:
+        timeit("no_reorder", jax.jit(run_no_reorder), caches)
 
     def run_reorder_only(caches):
         def body(carry, i):
@@ -114,10 +117,12 @@ def main():
             body, (flat_seed, caches), jnp.arange(MAX_LEN), unroll=1)
         return toks
 
-    timeit("rot_reorder", jax.jit(run_reorder_only), caches)
+    if "rot" in WHICH:
+        timeit("rot_reorder", jax.jit(run_reorder_only), caches)
 
-    gen = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))
-    timeit("full", gen, params, batch)
+    if "full" in WHICH:
+        gen = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))
+        timeit("full", gen, params, batch)
 
 
 if __name__ == "__main__":

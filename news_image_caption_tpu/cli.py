@@ -34,6 +34,11 @@ def main(argv: Optional[list] = None) -> int:
                     help="checkpoint to load (default: best)")
     pe.add_argument("-s", "--suffix", default="")
     pe.add_argument("--split", default="test")
+    pe.add_argument("--dump-attention", default=None, metavar="DIR",
+                    help="write per-batch attention maps (.npz) over "
+                         "the generated captions to DIR (parity: Gen-1 "
+                         "eval_utils attention dumping and the serving "
+                         "worker's attention-map response)")
 
     args = p.parse_args(argv)
     if args.command == "train":
@@ -134,15 +139,38 @@ def evaluate_command(args) -> int:
                   file=sys.stderr)
 
     gen = jax.jit(lambda p, b: model.generate(p, b, gcfg))
+    dump_attn = getattr(args, "dump_attention", None)
+    attn_fn = None
+    if dump_attn:
+        if not hasattr(model, "attention_maps"):
+            print("warning: model has no attention_maps; skipping dump",
+                  file=sys.stderr)
+            dump_attn = None
+        else:
+            os.makedirs(dump_attn, exist_ok=True)
+            attn_fn = jax.jit(lambda p, b, t:
+                              model.attention_maps(p, b, t))
     out_path = os.path.join(serialization_dir,
                             f"generations{args.suffix}.jsonl")
     os.makedirs(serialization_dir, exist_ok=True)
     bleu_s, cider_s, rouge_s = BleuScorer(4), CiderScorer(), RougeScorer()
     n = 0
+    batch_idx = 0
     with open(out_path, "w") as f:
         for batch in ds.batches(batch_size, shuffle=False):
             tokens, _ = gen(params, batch)
             tokens = np.asarray(tokens)
+            if dump_attn:
+                maps = attn_fn(params, batch, tokens)
+                arrays = {"tokens": tokens}
+                for li, layer_maps in enumerate(maps):
+                    for ctx, arr in layer_maps.items():
+                        if arr is not None:
+                            arrays[f"layer{li}_{ctx}"] = np.asarray(arr)
+                np.savez(os.path.join(dump_attn,
+                                      f"attn_{batch_idx:05d}.npz"),
+                         **arrays)
+            batch_idx += 1
             for b in range(tokens.shape[0]):
                 gen_ids = [int(t) for t in tokens[b]
                            if int(t) not in (0, 1)]

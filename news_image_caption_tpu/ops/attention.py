@@ -205,3 +205,165 @@ def causal_mask(T: int, dtype=jnp.float32) -> jax.Array:
     i = jnp.arange(T)[:, None]
     j = jnp.arange(T)[None, :]
     return jnp.where(j <= i, 0.0, NEG_INF).astype(dtype)
+
+
+class GatedLinear(nn.Module):
+    """Weight-normalized linear stack with interspersed GLU units.
+
+    Parity: GatedLinear at
+    /root/reference/ttl/tell/modules/attention/downsampled_single_head.py:236-244
+    (GehringLinear(in, 4*out) -> GLU -> GehringLinear(2*out, 2*out) ->
+    GLU -> GehringLinear(out, out)).
+    """
+
+    features: int
+    use_bias: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from news_image_caption_tpu.ops.linear import GehringLinear
+        x = GehringLinear(self.features * 4, use_bias=self.use_bias,
+                          dropout=self.dropout, name="fc1")(x)
+        x = nn.glu(x, axis=-1)
+        x = GehringLinear(self.features * 2, use_bias=self.use_bias,
+                          dropout=self.dropout, name="fc2")(x)
+        x = nn.glu(x, axis=-1)
+        return GehringLinear(self.features, use_bias=self.use_bias,
+                             dropout=self.dropout, name="fc3")(x)
+
+
+class DownsampledMultiHeadAttention(nn.Module):
+    """Strided-downsampled / gated multi-head self-attention.
+
+    Parity: DownsampledMultiHeadAttention + SingleHeadAttention
+    (/root/reference/ttl/tell/modules/attention/downsampled_multi_head.py:9-85,
+    downsampled_single_head.py:12-222), the fairseq fconv-style
+    self-attention kept registered by the reference. Semantics:
+
+    - head i (downsample=True) attends only to source positions
+      s ≡ 0 (mod i+1). The reference physically slices k/v per head
+      (``x[::i+1]``, ragged lengths); here every head sees the full
+      static-shape sequence and strided validity is applied as an
+      additive score mask — identical softmax support, TPU-friendly
+      fixed shapes and one batched einsum across heads.
+    - strict causal masking: position t may attend to s < t only
+      (the diagonal is excluded, unlike standard decoder attention).
+    - use_scalar_bias prepends an "attend to nothing" slot with score
+      0 and value 0 (scalar_bias.py:10-31).
+    - gated=True swaps the q/k/v projections for GLU stacks
+      (GatedLinear); project_input=False skips input projections.
+
+    Inputs are batch-first [B, T, E]; returns ([B, T, out_channels],
+    attention weights of head 0 [B, T, S(+1)]).
+    """
+
+    out_channels: int
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    project_input: bool = True
+    gated: bool = False
+    downsample: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    def setup(self):
+        from news_image_caption_tpu.ops.linear import GehringLinear
+        assert self.head_dim * self.num_heads == self.embed_dim
+        proj_cls = GatedLinear if self.gated else GehringLinear
+        if self.downsample:
+            # Per-head projections embed_dim -> head_dim (batched as a
+            # list of small modules; fused into one einsum at call).
+            if self.project_input:
+                self.q_projs = [proj_cls(self.head_dim, name=f"q{i}")
+                                for i in range(self.num_heads)]
+                self.k_projs = [proj_cls(self.head_dim, name=f"k{i}")
+                                for i in range(self.num_heads)]
+                self.v_projs = [proj_cls(self.head_dim, name=f"v{i}")
+                                for i in range(self.num_heads)]
+            self.head_out = [GehringLinear(self.head_dim, name=f"o{i}")
+                             for i in range(self.num_heads)]
+            self.out_proj = GehringLinear(self.out_channels,
+                                          name="out_proj")
+        else:
+            if self.project_input:
+                self.q_proj = proj_cls(self.embed_dim, name="q")
+                self.k_proj = proj_cls(self.embed_dim, name="k")
+                self.v_proj = proj_cls(self.embed_dim, name="v")
+            self.single_out = GehringLinear(self.out_channels,
+                                            name="out_proj")
+
+    def __call__(self, query: jax.Array, key: jax.Array,
+                 value: jax.Array,
+                 mask_future_timesteps: bool = False,
+                 key_padding_mask: Optional[jax.Array] = None,
+                 use_scalar_bias: bool = False,
+                 deterministic: bool = True):
+        B, T, E = query.shape
+        S = key.shape[1]
+        H, hd = self.num_heads, self.head_dim
+        scaling = hd ** -0.5
+
+        if self.downsample:
+            if self.project_input:
+                q = jnp.stack([p(query) for p in self.q_projs], axis=2)
+                k = jnp.stack([p(key) for p in self.k_projs], axis=2)
+                v = jnp.stack([p(value) for p in self.v_projs], axis=2)
+            else:
+                # Unprojected inputs replicated per head at head_dim
+                # slices (reference requires project_input when
+                # downsampling; mirror by slicing bands).
+                q = query.reshape(B, T, H, hd)
+                k = key.reshape(B, S, H, hd)
+                v = value.reshape(B, S, H, hd)
+        else:
+            if self.project_input:
+                q = self.q_proj(query).reshape(B, T, H, hd)
+                k = self.k_proj(key).reshape(B, S, H, hd)
+                v = self.v_proj(value).reshape(B, S, H, hd)
+            else:
+                q = query.reshape(B, T, H, hd)
+                k = key.reshape(B, S, H, hd)
+                v = value.reshape(B, S, H, hd)
+        q = q * scaling
+
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        s_pos = jnp.arange(S)
+        if self.downsample:
+            # Head i sees only source positions s % (i+1) == 0.
+            stride = jnp.arange(1, H + 1)[:, None]          # [H, 1]
+            valid = (s_pos[None, :] % stride) == 0          # [H, S]
+            scores = jnp.where(valid[None, :, None, :], scores, NEG_INF)
+        if mask_future_timesteps:
+            # Strict causal: attend to s < t only. In incremental
+            # mode (T < S) the query rows are the LAST T positions.
+            t_pos = jnp.arange(T) + (S - T)
+            strict = s_pos[None, :] < t_pos[:, None]        # [T, S]
+            scores = jnp.where(strict[None, None, :, :], scores, NEG_INF)
+        if key_padding_mask is not None:
+            scores = jnp.where(key_padding_mask[:, None, None, :],
+                               NEG_INF, scores)
+        if use_scalar_bias:
+            zero_col = jnp.zeros((B, H, T, 1), scores.dtype)
+            scores = jnp.concatenate([zero_col, scores], axis=-1)
+            v = jnp.concatenate(
+                [jnp.zeros((B, 1, H, hd), v.dtype), v], axis=1)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        probs = probs.astype(v.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            from news_image_caption_tpu.ops.dropout import dropout
+            probs = dropout(self, probs, self.dropout,
+                            deterministic=False)
+        attn = jnp.einsum("bhts,bshd->bthd", probs, v)      # [B,T,H,hd]
+        if self.downsample:
+            heads = [self.head_out[i](attn[:, :, i, :])
+                     for i in range(H)]
+            out = self.out_proj(jnp.concatenate(heads, axis=-1))
+        else:
+            out = self.single_out(attn.reshape(B, T, E))
+        return out, probs[:, 0]

@@ -78,3 +78,55 @@ def test_extend_attn_mask():
     ext = extend_attn_mask(am, 2)
     assert ext.shape == (4, 6)
     np.testing.assert_allclose(np.asarray(ext[:, 4:]), 0.0)
+
+
+def test_downsampled_mha_matches_strided_slicing_reference():
+    """The static-shape masked formulation must equal the reference's
+    physical per-head slicing (k/v[::head+1], strict causal on the
+    strided columns, downsampled_single_head.py:88-140)."""
+    from news_image_caption_tpu.ops.attention import \
+        DownsampledMultiHeadAttention
+
+    B, T, E, H = 2, 7, 8, 4
+    hd = E // H
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, E))
+    m = DownsampledMultiHeadAttention(out_channels=E, embed_dim=E,
+                                      num_heads=H, downsample=True)
+    p = m.init(jax.random.PRNGKey(1), x, x, x,
+               mask_future_timesteps=True, use_scalar_bias=True)
+    out, _ = m.apply(p, x, x, x, mask_future_timesteps=True,
+                     use_scalar_bias=True)
+
+    # Naive reference: slice per head, project, strict causal.
+    def gehring(params, y):
+        v = params["kernel"]
+        g = params["scale"]
+        w = v * (g[None, :] / np.linalg.norm(v, axis=0, keepdims=True))
+        return y @ w + params["bias"]
+
+    pp = p["params"]
+    heads = []
+    xn = np.asarray(x)
+    for i in range(H):
+        stride = i + 1
+        src = np.arange(0, T, stride)                     # positions
+        q = gehring(pp[f"q{i}"], xn) * (hd ** -0.5)       # [B,T,hd]
+        k = gehring(pp[f"k{i}"], xn[:, src])              # [B,S',hd]
+        v = gehring(pp[f"v{i}"], xn[:, src])
+        scores = q @ k.transpose(0, 2, 1)                 # [B,T,S']
+        allowed = src[None, :] < np.arange(T)[:, None]    # strict
+        scores = np.where(allowed[None], scores, -1e9)
+        # Scalar-bias slot: score-0 column with value-0 row, so t=0
+        # (which attends to no real source) is well-defined
+        # (scalar_bias.py:10-31).
+        scores = np.concatenate(
+            [np.zeros_like(scores[:, :, :1]), scores], axis=-1)
+        v = np.concatenate([np.zeros_like(v[:, :1]), v], axis=1)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        attn = probs @ v                                  # [B,T,hd]
+        heads.append(gehring(pp[f"o{i}"], attn))
+    cat = np.concatenate(heads, axis=-1)
+    expected = gehring(pp["out_proj"], cat)
+    np.testing.assert_allclose(np.asarray(out), expected,
+                               rtol=1e-4, atol=1e-5)

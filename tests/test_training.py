@@ -129,6 +129,36 @@ def test_cli_evaluate_writes_generations(tmp_path):
     assert "bleu-4" in metrics and "cider" in metrics
 
 
+def test_cli_evaluate_dumps_attention_maps(tmp_path):
+    """--dump-attention writes per-batch npz with per-layer,
+    per-context attention over the generated captions (parity:
+    Gen-1 eval_utils attention dumping / serving attention maps)."""
+    import shutil
+
+    import numpy as np
+
+    from news_image_caption_tpu.cli import main
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    shutil.copy(TINY, cfg_path)
+    attn_dir = tmp_path / "attn"
+    rc = main(["evaluate", cfg_path, "--split", "test",
+               "--dump-attention", str(attn_dir)])
+    assert rc == 0
+    files = sorted(attn_dir.glob("attn_*.npz"))
+    assert files
+    data = np.load(files[0])
+    keys = set(data.keys())
+    assert "tokens" in keys
+    img_keys = [k for k in keys if k.endswith("_image")]
+    art_keys = [k for k in keys if k.endswith("_article")]
+    assert img_keys and art_keys
+    a = data[img_keys[0]]
+    # [B, T, S']: rows are attention distributions.
+    assert a.ndim == 3
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_bf16_mixed_precision_matches_fp32_trajectory():
     """apex-O2 analog: bf16 compute + fp32 master params tracks the
