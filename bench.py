@@ -41,7 +41,7 @@ def main():
     import __graft_entry__ as ge
     from news_image_caption_tpu.generation.generator import GenerationConfig
 
-    model = ge._flagship()
+    model = ge._flagship(dtype=jnp.bfloat16)
     init_batch = ge._batch(B=2, T=32, P=49, S=512, image_dim=2048,
                            article_dim=1024, vocab=50265)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), init_batch)

@@ -234,18 +234,19 @@ class AdaptiveSoftmax(nn.Module):
 
         Returns (log_probs [N, k], token_ids [N, k]) sorted best-first.
         """
+        from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]
         hlog = jax.nn.log_softmax(
             self.head_logits(x, embed_tables).astype(jnp.float32),
             axis=-1)
-        hv, hi = jax.lax.top_k(hlog[:, :c0], k)
+        hv, hi = exact_topk(hlog[:, :c0], k)
         vals, ids = [hv], [hi.astype(jnp.int32)]
         for i in range(1, len(self.cutoff)):
             prior = hlog[:, c0 + i - 1][:, None]
             tlog = jax.nn.log_softmax(
                 self.tail_logits(x, i, embed_tables).astype(jnp.float32),
                 axis=-1)
-            tv, ti = jax.lax.top_k(tlog, k)
+            tv, ti = exact_topk(tlog, k)
             vals.append(tv + prior)
             ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
         allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
