@@ -34,7 +34,7 @@ def _cast_bf16(t):
 
 
 def main():
-    model = ge._flagship()
+    model = ge._flagship(dtype=jnp.bfloat16)
     params = _cast_bf16(jax.jit(model.init)(
         jax.random.PRNGKey(0),
         ge._batch(B=2, T=32, P=49, S=512, image_dim=2048,

@@ -232,11 +232,11 @@ class DynamicConvDecoderLayer(nn.Module):
             h_t, new_cache = self.conv.step(
                 h[:, 0, :], conv_cache, deterministic=deterministic)
         x = self._conv_block_post(h_t[:, None, :], residual, deterministic)
-        if beam > 1:
-            x = self._contexts_block_beam(x[:, 0, :], kv, beam,
-                                          deterministic)[:, None, :]
-        else:
-            x, _ = self._contexts_block(x, kv, deterministic)
+        # Single-token context attention always goes through the
+        # flat-beam path (beam=1 degenerates to per-row KV): it hits
+        # the fused decode_cross_attention kernel on TPU.
+        x = self._contexts_block_beam(x[:, 0, :], kv, beam,
+                                      deterministic)[:, None, :]
         x = self._ffn_block(x, deterministic)
         return x[:, 0, :], new_cache
 

@@ -47,6 +47,30 @@ class AttentionKV(NamedTuple):
     mask: Optional[jax.Array]
 
 
+class DecodeKV(NamedTuple):
+    """Decode-layout K/V: head-major, matmul-ready.
+
+    kT: [B, H, D, S'], vT: [B, H, S', D], mask: [B, S'].
+    The per-step score/out einsums over this layout are clean batched
+    matmuls with no transposing contractions — the [B, S', H, D]
+    layout's score fusion streams K at ~half HBM roofline on v5e
+    (0.175 ms per 67 MB; benchmarks/beam_profile.py). Convert ONCE per
+    generation with `to_decode_kv` (outside the decode scan), never
+    per step.
+    """
+
+    kT: jax.Array
+    vT: jax.Array
+    mask: Optional[jax.Array]
+
+
+def to_decode_kv(kv: AttentionKV) -> DecodeKV:
+    """One-time layout conversion for the incremental-decode path."""
+    return DecodeKV(kT=jnp.transpose(kv.k, (0, 2, 3, 1)),
+                    vT=jnp.transpose(kv.v, (0, 2, 1, 3)),
+                    mask=kv.mask)
+
+
 class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
@@ -163,6 +187,22 @@ class MultiHeadAttention(nn.Module):
         H, hd = self.num_heads, self.head_dim
         q = self.q_proj(query).reshape(B, beam, H, hd)
         q = q * (hd ** -0.5)
+        if isinstance(kv, DecodeKV):
+            # Head-major layout: both einsums are straight batched
+            # matmuls (contraction on the minor dims), no transposing
+            # reductions in the per-step fusions.
+            scores = jnp.einsum("bkhd,bhds->bhks", q, kv.kT,
+                                preferred_element_type=jnp.float32)
+            if kv.mask is not None:
+                scores = jnp.where(kv.mask[:, None, None, :], scores,
+                                   NEG_INF)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = probs.astype(kv.vT.dtype)
+            if self.dropout > 0.0 and not deterministic:
+                probs = dropout(self, probs, self.dropout,
+                                deterministic=False)
+            out = jnp.einsum("bhks,bhsd->bkhd", probs, kv.vT)
+            return self.out_proj(out.reshape(BK, E))
         scores = jnp.einsum("bkhd,bshd->bhks", q, kv.k,
                             preferred_element_type=jnp.float32)
         if kv.mask is not None:

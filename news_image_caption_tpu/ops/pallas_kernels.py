@@ -7,6 +7,14 @@ form). Each (batch, time-tile) grid cell DMAs its x tile plus a K-1
 halo from HBM into VMEM once, then accumulates the K tap products on
 the VPU — no K-times re-read of x and no [B,H,T,T] band matrix.
 
+decode_cross_attention: fused single-step (few-query) cross-attention
+for incremental decoding. Per batch item, the precomputed context K/V
+([S, E]) are DMA'd into VMEM ONCE and the whole per-head
+scores->softmax->weighted-sum chain runs tile-resident — the XLA
+einsum path reads K and V in separate fusions at ~half roofline
+(measured 0.175 ms per 67 MB read on v5e; benchmarks/beam_profile.py),
+making the article K/V streams the dominant cost of beam decode.
+
 Layout notes (TPU tiling): channels C = H * R stay as the 128-lane
 minor dimension; per-head tap weights [T, H] are expanded to channel
 lanes with `pltpu.repeat` (heads are contiguous blocks of R channels,
@@ -99,3 +107,72 @@ def dynamic_conv_pallas(x: jax.Array, w: jax.Array, num_heads: int,
         ],
         interpret=interpret,
     )(x_pad, w_flat)
+
+
+def _decode_xattn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                         num_heads: int, head_dim: int):
+    """One batch item: q [1, Q, E], k/v [1, S, E], bias [1, 1, S] fp32.
+
+    Per head (static unroll): scores = q_h @ k_h^T (fp32 accumulate),
+    + additive key bias, fp32 softmax over S, then probs @ v_h. Heads
+    are 64-lane column bands of the 1024-lane E dimension; slicing is
+    VPU lane work on VMEM-resident data — the HBM traffic is exactly
+    one read of K and V.
+    """
+    q = q_ref[0]                 # [Q, E]
+    k = k_ref[0]                 # [S, E]
+    v = v_ref[0]                 # [S, E]
+    bias = bias_ref[0]           # [1, S] fp32
+    dh = head_dim
+    outs = []
+    for h in range(num_heads):
+        qh = q[:, h * dh:(h + 1) * dh]
+        kh = k[:, h * dh:(h + 1) * dh]
+        vh = v[:, h * dh:(h + 1) * dh]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [Q, S]
+        s = s + bias                                 # [1, S] bcast
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))     # [Q, dh]
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def decode_cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                           bias: jax.Array, num_heads: int,
+                           interpret: bool = False) -> jax.Array:
+    """Fused few-query attention over per-item shared K/V.
+
+    q: [B, Q, E] (already scaled by head_dim**-0.5); k, v: [B, S, E];
+    bias: [B, S] fp32 additive key mask (0 attendable / -1e9 padded).
+    Returns [B, Q, E] — softmax(q_h k_h^T + bias) v_h per head, fp32
+    softmax, matching MultiHeadAttention.attend_flat_beam numerics.
+    """
+    B, Q, E = q.shape
+    S = k.shape[1]
+    assert E % num_heads == 0
+    grid = (B,)
+    return pl.pallas_call(
+        functools.partial(_decode_xattn_kernel, num_heads=num_heads,
+                          head_dim=E // num_heads),
+        out_shape=jax.ShapeDtypeStruct((B, Q, E), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Q, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, E), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q, E), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v, bias.reshape(B, 1, S).astype(jnp.float32))
