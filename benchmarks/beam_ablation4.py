@@ -55,3 +55,13 @@ if __name__ == "__main__":
     base = run("baseline", 512, 100)
     run("short-article", 64, 100)
     run("short-scan", 512, 25)
+
+
+def run_batch(B, n=3):
+    global BATCH
+    old = BATCH
+    BATCH = B
+    try:
+        run(f"batch-{B}", 512, 100, n)
+    finally:
+        BATCH = old

@@ -96,13 +96,12 @@ class TransformerFlattened:
     # -- generation ----------------------------------------------------
     def _decode_setup(self, params, contexts: Dict[str, jax.Array],
                       batch_size: int):
-        from news_image_caption_tpu.ops.attention import to_decode_kv
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
         kvs = self.decoder.apply(
             params, contexts, method=DynamicConvDecoder.precompute_kv)
         # One-time head-major relayout (outside the decode scan): the
         # per-step attention einsums become clean batched matmuls.
-        kvs = [{name: to_decode_kv(kv) for name, kv in layer_kv.items()}
-               for layer_kv in kvs]
+        kvs = decode_kv_tree(kvs)
         caches = self.decoder.init_cache(batch_size)
         return kvs, caches
 

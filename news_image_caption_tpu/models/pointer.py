@@ -366,6 +366,8 @@ class TransformerPointer:
         B = ctx["image"].shape[0]
         kvs = dec.apply(params, ctx,
                         method=DynamicConvDecoder.precompute_kv)
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        kvs = decode_kv_tree(kvs)   # one-time head-major relayout
         caches = dec.init_cache(B)
         e_cache = self.entity_attn.init_cache(B, config.max_len + 1)
         relevant = (batch["context_proper_masks"] >= 1).astype(

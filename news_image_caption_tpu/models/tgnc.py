@@ -293,6 +293,8 @@ class TGNC:
         kvs = self.tg_decoder.apply(
             variables["decoder"], contexts,
             method=TemplateGuidedDecoder.precompute_kv)
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        kvs = decode_kv_tree(kvs)   # one-time head-major relayout
         caches = self.tg_decoder.init_cache(B)
 
         def step(tok, i, c):

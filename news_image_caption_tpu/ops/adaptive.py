@@ -153,9 +153,10 @@ class AdaptiveSoftmax(nn.Module):
                     self.param_dtype))
             self.untied_tails = untied_tails
 
-    def head_logits(self, x: jax.Array, embed_tables=None) -> jax.Array:
+    def head_logits(self, x: jax.Array, embed_tables=None,
+                    out_dtype=None) -> jax.Array:
         """x [N, D] -> [N, cutoff0 + n_tails]."""
-        dtype = self.dtype
+        dtype = out_dtype or self.dtype
         if embed_tables is not None:
             table0, _ = embed_tables[0]   # [c0, D]
             word = jnp.dot(x, table0.T.astype(x.dtype),
@@ -168,8 +169,10 @@ class AdaptiveSoftmax(nn.Module):
         return jnp.concatenate([word, cls], axis=-1)
 
     def tail_logits(self, x: jax.Array, i: int, embed_tables=None,
-                    deterministic: bool = True) -> jax.Array:
+                    deterministic: bool = True,
+                    out_dtype=None) -> jax.Array:
         """x [N, D] -> logits over band i's words. i is 1-based tail index."""
+        dtype = out_dtype or self.dtype
         h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
                     preferred_element_type=self.dtype)
         if self.dropout > 0.0 and not deterministic:
@@ -177,9 +180,9 @@ class AdaptiveSoftmax(nn.Module):
         if embed_tables is not None:
             table_i, _ = embed_tables[i]  # [band_v, d]
             return jnp.dot(h, table_i.T.astype(h.dtype),
-                           preferred_element_type=self.dtype)
+                           preferred_element_type=dtype)
         return jnp.dot(h, self.untied_tails[i - 1].astype(h.dtype),
-                       preferred_element_type=self.dtype)
+                       preferred_element_type=dtype)
 
     def loss_sum(self, x: jax.Array, target: jax.Array,
                  padding_idx: int = 1, embed_tables=None,
@@ -236,18 +239,22 @@ class AdaptiveSoftmax(nn.Module):
         """
         from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]
-        hlog = jax.nn.log_softmax(
-            self.head_logits(x, embed_tables).astype(jnp.float32),
-            axis=-1)
-        hv, hi = exact_topk(hlog[:, :c0], k)
-        vals, ids = [hv], [hi.astype(jnp.int32)]
+        # Raw fp32 logits straight off the MXU (fp32 accumulate): the
+        # in-band top-k ORDER is softmax-invariant, so the band-wide
+        # log_softmax materializations are replaced by one logsumexp
+        # reduction per band, normalizing only the k winners.
+        hl = self.head_logits(x, embed_tables, out_dtype=jnp.float32)
+        lse_h = jax.scipy.special.logsumexp(hl, axis=-1, keepdims=True)
+        hv, hi = exact_topk(hl[:, :c0], k)
+        vals, ids = [hv - lse_h], [hi.astype(jnp.int32)]
         for i in range(1, len(self.cutoff)):
-            prior = hlog[:, c0 + i - 1][:, None]
-            tlog = jax.nn.log_softmax(
-                self.tail_logits(x, i, embed_tables).astype(jnp.float32),
-                axis=-1)
-            tv, ti = exact_topk(tlog, k)
-            vals.append(tv + prior)
+            prior = hl[:, c0 + i - 1][:, None] - lse_h
+            tl = self.tail_logits(x, i, embed_tables,
+                                  out_dtype=jnp.float32)
+            lse_t = jax.scipy.special.logsumexp(tl, axis=-1,
+                                                keepdims=True)
+            tv, ti = exact_topk(tl, k)
+            vals.append(tv - lse_t + prior)
             ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
         allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
         alli = jnp.concatenate(ids, axis=-1)

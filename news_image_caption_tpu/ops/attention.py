@@ -71,6 +71,12 @@ def to_decode_kv(kv: AttentionKV) -> DecodeKV:
                     mask=kv.mask)
 
 
+def decode_kv_tree(kvs):
+    """`to_decode_kv` over any nesting of AttentionKV leaves."""
+    return jax.tree.map(to_decode_kv, kvs,
+                        is_leaf=lambda x: isinstance(x, AttentionKV))
+
+
 class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
