@@ -69,7 +69,7 @@ def main():
         dur = ev.get("dur", 0) / 1e3  # us -> ms
         totals[name] += dur
         counts[name] += 1
-    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:40]
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:70]
     total = sum(totals.values())
     print(f"total traced op-time {total:.1f} ms over {MAX_LEN} steps")
     for name, ms in ranked:

@@ -1,0 +1,98 @@
+"""Microbenchmark: adaptive-softmax decode selection variants.
+
+Isolates the per-step head cost at beam width 320: candidate top-k
+over (a) band log_softmax outputs (r01 style), (b) raw logits +
+logsumexp normalizers, with bf16 vs fp32 logit accumulators.
+
+Run: python benchmarks/head_bench.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from news_image_caption_tpu.ops.topk import exact_topk  # noqa: E402
+
+N, D, K = 320, 1024, 5
+CUTOFF = (5000, 20000, 50265)
+
+
+def make_inputs(dtype):
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(ks[0], (N, D), dtype)
+    t0 = jax.random.normal(ks[1], (CUTOFF[0], D), dtype) * 0.02
+    cls = jax.random.normal(ks[2], (D, 2), dtype) * 0.02
+    p1 = jax.random.normal(ks[3], (D, D), dtype) * 0.02
+    t1 = jax.random.normal(ks[4], (CUTOFF[1] - CUTOFF[0], D),
+                           dtype) * 0.02
+    p2 = jax.random.normal(ks[5], (D, D), dtype) * 0.02
+    t2 = jax.random.normal(ks[6], (CUTOFF[2] - CUTOFF[1], D),
+                           dtype) * 0.02
+    return x, t0, cls, p1, t1, p2, t2
+
+
+def variant_logsoftmax(x, t0, cls, p1, t1, p2, t2):
+    hl = jnp.concatenate(
+        [jnp.dot(x, t0.T, preferred_element_type=jnp.float32),
+         jnp.dot(x, cls, preferred_element_type=jnp.float32)], -1)
+    hlog = jax.nn.log_softmax(hl, axis=-1)
+    hv, hi = exact_topk(hlog[:, :CUTOFF[0]], K)
+    vals, ids = [hv], [hi]
+    for i, (proj, tab, lo) in enumerate(
+            [(p1, t1, CUTOFF[0]), (p2, t2, CUTOFF[1])]):
+        prior = hlog[:, CUTOFF[0] + i][:, None]
+        tl = jnp.dot(jnp.dot(x, proj), tab.T,
+                     preferred_element_type=jnp.float32)
+        tlog = jax.nn.log_softmax(tl, axis=-1)
+        tv, ti = exact_topk(tlog, K)
+        vals.append(tv + prior)
+        ids.append(ti + lo)
+    allv = jnp.concatenate(vals, -1)
+    alli = jnp.concatenate(ids, -1)
+    v, j = jax.lax.top_k(allv, K)
+    return v, jnp.take_along_axis(alli, j, axis=-1)
+
+
+def variant_lse(x, t0, cls, p1, t1, p2, t2):
+    hl = jnp.concatenate(
+        [jnp.dot(x, t0.T, preferred_element_type=jnp.float32),
+         jnp.dot(x, cls, preferred_element_type=jnp.float32)], -1)
+    lse_h = jax.scipy.special.logsumexp(hl, axis=-1, keepdims=True)
+    hv, hi = exact_topk(hl[:, :CUTOFF[0]], K)
+    vals, ids = [hv - lse_h], [hi]
+    for i, (proj, tab, lo) in enumerate(
+            [(p1, t1, CUTOFF[0]), (p2, t2, CUTOFF[1])]):
+        prior = hl[:, CUTOFF[0] + i][:, None] - lse_h
+        tl = jnp.dot(jnp.dot(x, proj), tab.T,
+                     preferred_element_type=jnp.float32)
+        lse_t = jax.scipy.special.logsumexp(tl, axis=-1, keepdims=True)
+        tv, ti = exact_topk(tl, K)
+        vals.append(tv - lse_t + prior)
+        ids.append(ti + lo)
+    allv = jnp.concatenate(vals, -1)
+    alli = jnp.concatenate(ids, -1)
+    v, j = jax.lax.top_k(allv, K)
+    return v, jnp.take_along_axis(alli, j, axis=-1)
+
+
+def bench(fn, args, tag, iters=200):
+    f = jax.jit(fn)
+    np.asarray(f(*args)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{tag:28s}: {dt*1e3:7.3f} ms/step")
+
+
+if __name__ == "__main__":
+    for dtype in (jnp.bfloat16,):
+        args = make_inputs(dtype)
+        bench(variant_logsoftmax, args, f"log_softmax bands {dtype.__name__}")
+        bench(variant_lse, args, f"raw+logsumexp {dtype.__name__}")

@@ -237,24 +237,27 @@ class AdaptiveSoftmax(nn.Module):
 
         Returns (log_probs [N, k], token_ids [N, k]) sorted best-first.
         """
+        # NOTE (v5e, 2026-08-16): a "raw logits + per-band logsumexp"
+        # variant (normalize only the k winners, skip the band-wide
+        # log_softmax) measured SLOWER end-to-end than this form
+        # (148.6 vs 159.7 captions/s at beam width 320): the fp32
+        # matmul outputs double the logits write traffic and XLA fuses
+        # the log_softmax into the matmul epilogue anyway. Kept the
+        # fused-log_softmax form; see benchmarks/head_bench.py.
         from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]
-        # Raw fp32 logits straight off the MXU (fp32 accumulate): the
-        # in-band top-k ORDER is softmax-invariant, so the band-wide
-        # log_softmax materializations are replaced by one logsumexp
-        # reduction per band, normalizing only the k winners.
-        hl = self.head_logits(x, embed_tables, out_dtype=jnp.float32)
-        lse_h = jax.scipy.special.logsumexp(hl, axis=-1, keepdims=True)
-        hv, hi = exact_topk(hl[:, :c0], k)
-        vals, ids = [hv - lse_h], [hi.astype(jnp.int32)]
+        hlog = jax.nn.log_softmax(
+            self.head_logits(x, embed_tables).astype(jnp.float32),
+            axis=-1)
+        hv, hi = exact_topk(hlog[:, :c0], k)
+        vals, ids = [hv], [hi.astype(jnp.int32)]
         for i in range(1, len(self.cutoff)):
-            prior = hl[:, c0 + i - 1][:, None] - lse_h
-            tl = self.tail_logits(x, i, embed_tables,
-                                  out_dtype=jnp.float32)
-            lse_t = jax.scipy.special.logsumexp(tl, axis=-1,
-                                                keepdims=True)
-            tv, ti = exact_topk(tl, k)
-            vals.append(tv - lse_t + prior)
+            prior = hlog[:, c0 + i - 1][:, None]
+            tlog = jax.nn.log_softmax(
+                self.tail_logits(x, i, embed_tables).astype(jnp.float32),
+                axis=-1)
+            tv, ti = exact_topk(tlog, k)
+            vals.append(tv + prior)
             ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
         allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
         alli = jnp.concatenate(ids, axis=-1)
