@@ -80,6 +80,50 @@ def variant_lse(x, t0, cls, p1, t1, p2, t2):
     return v, jnp.take_along_axis(alli, j, axis=-1)
 
 
+def variant_lse_bf16(x, t0, cls, p1, t1, p2, t2):
+    """bf16 logits (same rounding point as the log_softmax path, so
+    identical selection AND values) + logsumexp normalizers: no fp32
+    band materialization anywhere."""
+    hl = jnp.concatenate([jnp.dot(x, t0.T), jnp.dot(x, cls)], -1)
+    lse_h = jax.scipy.special.logsumexp(
+        hl.astype(jnp.float32), axis=-1, keepdims=True)
+    hv, hi = exact_topk(hl[:, :CUTOFF[0]], K)
+    vals, ids = [hv.astype(jnp.float32) - lse_h], [hi]
+    for i, (proj, tab, lo) in enumerate(
+            [(p1, t1, CUTOFF[0]), (p2, t2, CUTOFF[1])]):
+        prior = hl[:, CUTOFF[0] + i][:, None].astype(jnp.float32) - lse_h
+        tl = jnp.dot(jnp.dot(x, proj), tab.T)
+        lse_t = jax.scipy.special.logsumexp(
+            tl.astype(jnp.float32), axis=-1, keepdims=True)
+        tv, ti = exact_topk(tl, K)
+        vals.append(tv.astype(jnp.float32) - lse_t + prior)
+        ids.append(ti + lo)
+    allv = jnp.concatenate(vals, -1)
+    alli = jnp.concatenate(ids, -1)
+    v, j = jax.lax.top_k(allv, K)
+    return v, jnp.take_along_axis(alli, j, axis=-1)
+
+
+def variant_pallas(x, t0, cls, p1, t1, p2, t2):
+    """Fused band-streaming kernel (ops/pallas_topk.py)."""
+    from news_image_caption_tpu.ops.pallas_topk import band_topk_lse
+    c0 = CUTOFF[0]
+    head_tab = jnp.concatenate([t0, cls.T], axis=0)   # [c0+2, D]
+    hv, hi, lse_h = band_topk_lse(x, head_tab, K, sel_limit=c0)
+    cls_l = jnp.dot(x, cls).astype(jnp.float32)       # [N, 2]
+    vals, ids = [hv - lse_h], [hi]
+    for i, (proj, tab, lo) in enumerate(
+            [(p1, t1, CUTOFF[0]), (p2, t2, CUTOFF[1])]):
+        prior = cls_l[:, i][:, None] - lse_h
+        tv, ti, lse_t = band_topk_lse(jnp.dot(x, proj), tab, K)
+        vals.append(tv - lse_t + prior)
+        ids.append(ti + lo)
+    allv = jnp.concatenate(vals, -1)
+    alli = jnp.concatenate(ids, -1)
+    v, j = jax.lax.top_k(allv, K)
+    return v, jnp.take_along_axis(alli, j, axis=-1)
+
+
 def bench(fn, args, tag, iters=200):
     f = jax.jit(fn)
     np.asarray(f(*args)[0])
@@ -95,4 +139,13 @@ if __name__ == "__main__":
     for dtype in (jnp.bfloat16,):
         args = make_inputs(dtype)
         bench(variant_logsoftmax, args, f"log_softmax bands {dtype.__name__}")
-        bench(variant_lse, args, f"raw+logsumexp {dtype.__name__}")
+        bench(variant_lse, args, f"raw fp32+logsumexp {dtype.__name__}")
+        bench(variant_lse_bf16, args, f"raw bf16+logsumexp {dtype.__name__}")
+        bench(variant_pallas, args, f"pallas band kernel {dtype.__name__}")
+        # cross-check vs the bf16-rounded reference (variant_lse_bf16
+        # rounds at the same point as the kernel)
+        a = variant_lse_bf16(*args)
+        b = variant_pallas(*args)
+        same = bool(jnp.all(a[1] == b[1]))
+        dv = float(jnp.max(jnp.abs(a[0] - b[0])))
+        print(f"pallas ids match bf16 path: {same}, max val diff: {dv:.2e}")

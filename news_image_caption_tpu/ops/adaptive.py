@@ -242,8 +242,12 @@ class AdaptiveSoftmax(nn.Module):
         # log_softmax) measured SLOWER end-to-end than this form
         # (148.6 vs 159.7 captions/s at beam width 320): the fp32
         # matmul outputs double the logits write traffic and XLA fuses
-        # the log_softmax into the matmul epilogue anyway. Kept the
-        # fused-log_softmax form; see benchmarks/head_bench.py.
+        # the band log_softmax into the matmul epilogue anyway. Kept
+        # the fused-log_softmax form as the XLA path; on TPU the fused
+        # band-streaming Pallas kernel wins (0.764 vs 0.885 ms/step,
+        # benchmarks/head_bench.py) and band logits never touch HBM.
+        if jax.default_backend() == "tpu" and embed_tables is not None:
+            return self._topk_log_prob_pallas(x, k, embed_tables)
         from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]
         hlog = jax.nn.log_softmax(
@@ -260,6 +264,36 @@ class AdaptiveSoftmax(nn.Module):
             vals.append(tv + prior)
             ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
         allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
+        alli = jnp.concatenate(ids, axis=-1)
+        v, j = jax.lax.top_k(allv, k)
+        return v, jnp.take_along_axis(alli, j, axis=-1)
+
+    def _topk_log_prob_pallas(self, x: jax.Array, k: int,
+                              embed_tables):
+        """TPU path: fused band-streaming topk+lse kernel per band
+        (ops/pallas_topk.py). Band logits stay in VMEM; HBM traffic is
+        one read of each band's table."""
+        from news_image_caption_tpu.ops.pallas_topk import band_topk_lse
+        c0 = self.cutoff[0]
+        table0, _ = embed_tables[0]
+        t0 = table0.astype(x.dtype)
+        clsw = self.class_proj.astype(x.dtype)         # [D, n_tails]
+        head_tab = jnp.concatenate([t0, clsw.T], axis=0)
+        hv, hi, lse_h = band_topk_lse(x, head_tab, k, sel_limit=c0)
+        # Class-slot logits for the tail priors (same bf16 rounding
+        # point as the kernel's in-band rows).
+        cls_l = jnp.dot(x, clsw).astype(jnp.float32)   # [N, n_tails]
+        vals, ids = [hv - lse_h], [hi]
+        for i in range(1, len(self.cutoff)):
+            h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
+                        preferred_element_type=self.dtype)
+            table_i, _ = embed_tables[i]
+            tv, ti, lse_t = band_topk_lse(h, table_i.astype(h.dtype),
+                                          k)
+            prior = cls_l[:, i - 1][:, None] - lse_h
+            vals.append(tv - lse_t + prior)
+            ids.append(ti + self.cutoff[i - 1])
+        allv = jnp.concatenate(vals, axis=-1)
         alli = jnp.concatenate(ids, axis=-1)
         v, j = jax.lax.top_k(allv, k)
         return v, jnp.take_along_axis(alli, j, axis=-1)

@@ -43,3 +43,54 @@ def test_neg_inf_rows():
     v, i = exact_topk(x, 5)
     rv, ri = jax.lax.top_k(x, 5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+class TestBandTopkLse:
+    """Fused band-streaming topk+lse kernel (ops/pallas_topk.py),
+    interpret mode (real-TPU execution exercised by
+    benchmarks/head_bench.py)."""
+
+    def _ref(self, x, t):
+        logits = jnp.dot(x, t.T).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1,
+                                          keepdims=True)
+        return logits, lse
+
+    def test_matches_lax_topk_and_lse(self):
+        from news_image_caption_tpu.ops.pallas_topk import band_topk_lse
+        kx, kt = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(kx, (6, 32), jnp.bfloat16)
+        t = jax.random.normal(kt, (300, 32), jnp.bfloat16) * 0.2
+        tv, ti, lse = band_topk_lse(x, t, 5, tile=128, interpret=True)
+        logits, rlse = self._ref(x, t)
+        rv, ri = jax.lax.top_k(logits, 5)
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(tv), np.asarray(rv),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(rlse),
+                                   rtol=1e-5)
+
+    def test_sel_limit_excludes_class_slots_from_topk_not_lse(self):
+        from news_image_caption_tpu.ops.pallas_topk import band_topk_lse
+        kx, kt = jax.random.split(jax.random.PRNGKey(1))
+        x = jax.random.normal(kx, (4, 32), jnp.bfloat16)
+        t = jax.random.normal(kt, (260, 32), jnp.bfloat16) * 0.2
+        tv, ti, lse = band_topk_lse(x, t, 4, sel_limit=200, tile=128,
+                                    interpret=True)
+        logits, rlse = self._ref(x, t)
+        rv, ri = jax.lax.top_k(logits[:, :200], 4)
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(rlse),
+                                   rtol=1e-5)
+
+    def test_tie_break_lowest_id(self):
+        from news_image_caption_tpu.ops.pallas_topk import band_topk_lse
+        kx, kt = jax.random.split(jax.random.PRNGKey(2))
+        x = jax.random.normal(kx, (5, 32), jnp.bfloat16)
+        t = jax.random.normal(kt, (300, 32), jnp.bfloat16) * 0.2
+        # exact duplicate rows across tiles force cross-tile ties
+        t = t.at[40].set(t[10]).at[270].set(t[10])
+        logits, _ = self._ref(x, t)
+        rv, ri = jax.lax.top_k(logits, 5)
+        tv, ti, _ = band_topk_lse(x, t, 5, tile=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
