@@ -109,6 +109,20 @@ def permute_rows(x: jax.Array, flat_src: jax.Array) -> jax.Array:
     return y.reshape(x.shape)
 
 
+def permute_ring_rows(x: jax.Array, flat_src: jax.Array) -> jax.Array:
+    """`permute_rows` over AXIS 1 of a ring-major [K-1, N, C] cache:
+    new[k, n, :] = x[k, flat_src[n], :], as one batched one-hot
+    matmul on the MXU (exact for floats, like permute_rows)."""
+    N = x.shape[1]
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.take(x, flat_src, axis=1)
+    perm = jax.nn.one_hot(flat_src, N, dtype=x.dtype)     # [N, M]
+    y = jnp.einsum("nm,kmc->knc", perm, x,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=x.dtype)
+    return y
+
+
 def generate_candidates(step_fn: Callable, init_caches,
                         seed: jax.Array, config: GenerationConfig,
                         rng: Optional[jax.Array] = None

@@ -122,12 +122,15 @@ class TransformerFlattened:
         """
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
-        kvs, caches = self._decode_setup(params, contexts, B)
+        ring_major = self.decoder.fused_decode_ok()
+        kvs, _ = self._decode_setup(params, contexts, B)
+        caches = self.decoder.init_cache(B, ring_major=ring_major)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
 
         def step(tok, i, caches):
             return self.decoder.apply(
                 params, tok, i, kvs, caches, config.sampling_topk,
+                ring_major=ring_major,
                 method=DynamicConvDecoder.step_topk)
 
         return generate_candidates(step, caches, seed, config, rng)
@@ -165,15 +168,31 @@ class TransformerFlattened:
         B = contexts["image"].shape[0]
         K = config.beam_size
         kvs, _ = self._decode_setup(params, contexts, B)
-        caches = self.decoder.init_cache(B * K)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
 
         if impl == "topk":
+            ring_major = self.decoder.fused_decode_ok()
+            caches = self.decoder.init_cache(B * K,
+                                             ring_major=ring_major)
+
             def step(tok, i, caches):
                 return self.decoder.apply(
                     params, tok, i, kvs, caches, K, beam=K,
+                    ring_major=ring_major,
                     method=DynamicConvDecoder.step_topk)
-            return beam_search_candidates(step, caches, seed, config)
+
+            reorder = None
+            if ring_major:
+                from news_image_caption_tpu.generation.generator import \
+                    permute_ring_rows
+
+                def reorder(caches, flat_src):
+                    return [permute_ring_rows(c, flat_src)
+                            for c in caches]
+
+            return beam_search_candidates(step, caches, seed, config,
+                                          reorder_fn=reorder)
+        caches = self.decoder.init_cache(B * K)
 
         if impl == "lazy":
             slot_maps = self.decoder.init_slot_maps(B * K)

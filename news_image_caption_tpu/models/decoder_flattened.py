@@ -103,6 +103,9 @@ class DynamicConvDecoderLayer(nn.Module):
     input_dropout: float = 0.1
     attention_dropout: float = 0.1
     param_dtype: Dtype = jnp.float32
+    # Opt-in fused Pallas step kernels (see
+    # DynamicConvDecoder.fused_decode_ok for the measured tradeoff).
+    use_fused_decode: bool = False
 
     def setup(self):
         out_mult = 2 if self.decoder_glu else 1
@@ -191,6 +194,30 @@ class DynamicConvDecoderLayer(nn.Module):
         return x, attns
 
     def _ffn_block(self, x, deterministic):
+        if (self.use_fused_decode and deterministic
+                and not self.normalize_before
+                and x.ndim == 3 and x.shape[1] == 1
+                and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            # Fused single-token FFN (ops/pallas_decode.py); the
+            # weight-norm folds are loop-invariant and hoisted.
+            from news_image_caption_tpu.ops.pallas_decode import \
+                decode_ffn_block
+            p1 = self.fc1.variables["params"]
+            p2 = self.fc2.variables["params"]
+
+            def eff(p):
+                v = p["kernel"]
+                g = p["scale"]
+                norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0,
+                                        keepdims=True))
+                return (v * (g[None, :] / jnp.maximum(norm, 1e-12))
+                        ).astype(x.dtype)
+
+            y = decode_ffn_block(
+                x[:, 0, :], eff(p1), p1["bias"].astype(x.dtype),
+                eff(p2), p2["bias"].astype(x.dtype))[:, None, :]
+            return self.final_layer_norm(y)
         residual = x
         x = self._maybe_ln(self.final_layer_norm, x, before=True)
         x = nn.relu(self.fc1(x))
@@ -214,28 +241,68 @@ class DynamicConvDecoderLayer(nn.Module):
     def init_cache(self, batch_size: int, dtype=jnp.float32) -> jax.Array:
         return self.conv.init_cache(batch_size, dtype)
 
+    def _fused_conv_block(self, x_t, conv_cache, step_idx):
+        """Fused linear1+GLU+dynamic-conv+linear2 step
+        (ops/pallas_decode.py) — one kernel instead of ~10 fusions.
+        The weight-norm folds and the tap-major relayout below are
+        loop-invariant: XLA hoists them out of the decode scan."""
+        from news_image_caption_tpu.ops.pallas_decode import \
+            decode_conv_block
+        p1 = self.linear1.variables["params"]
+        p2 = self.linear2.variables["params"]
+        pw = self.conv.variables["params"]["weight_linear"]
+
+        def eff(p):
+            v = p["kernel"]
+            g = p["scale"]
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0,
+                                    keepdims=True))
+            return (v * (g[None, :] / jnp.maximum(norm, 1e-12))
+                    ).astype(x_t.dtype)
+
+        H, K = self.num_heads, self.kernel_size
+        wl = pw["kernel"].astype(x_t.dtype)            # [C, H*K]
+        wl_tap = (wl.reshape(-1, H, K).transpose(0, 2, 1)
+                  .reshape(-1, H * K))
+        y_pre, h_glu = decode_conv_block(
+            x_t, conv_cache, step_idx, eff(p1),
+            p1["bias"].astype(x_t.dtype), wl_tap, eff(p2),
+            p2["bias"].astype(x_t.dtype), num_heads=H)
+        x = self.conv_layer_norm(y_pre)
+        new_cache = jax.lax.dynamic_update_slice(
+            conv_cache, h_glu[None, :, :],
+            (jnp.mod(jnp.asarray(step_idx, jnp.int32), K - 1), 0, 0))
+        return x, new_cache
+
     def step(self, x_t: jax.Array, kv: LayerKV, conv_cache: jax.Array,
              deterministic: bool = True, beam: int = 1,
-             step_idx=None):
+             step_idx=None, ring_major: bool = False):
         """Single-token decode. x_t: [B, D] (or [B*beam, D] with
         beam > 1 and kv precomputed for the UNtiled batch — context
         K/V are then shared across beams instead of replicated).
         With step_idx, the conv history uses the O(1)-write ring
-        buffer instead of a shifted copy."""
-        residual = x_t[:, None, :]
-        h = self._conv_block_pre(x_t[:, None, :], deterministic)
-        if step_idx is not None:
-            h_t, new_cache = self.conv.step_ring(
-                h[:, 0, :], conv_cache, step_idx,
-                deterministic=deterministic)
+        buffer instead of a shifted copy. ring_major=True means the
+        cache is [K-1, B, C] and the fused Pallas conv-block kernel
+        runs (caller guarantees eligibility via fused_decode_ok)."""
+        if ring_major:
+            x, new_cache = self._fused_conv_block(x_t, conv_cache,
+                                                  step_idx)
         else:
-            h_t, new_cache = self.conv.step(
-                h[:, 0, :], conv_cache, deterministic=deterministic)
-        x = self._conv_block_post(h_t[:, None, :], residual, deterministic)
+            residual = x_t[:, None, :]
+            h = self._conv_block_pre(x_t[:, None, :], deterministic)
+            if step_idx is not None:
+                h_t, new_cache = self.conv.step_ring(
+                    h[:, 0, :], conv_cache, step_idx,
+                    deterministic=deterministic)
+            else:
+                h_t, new_cache = self.conv.step(
+                    h[:, 0, :], conv_cache, deterministic=deterministic)
+            x = self._conv_block_post(h_t[:, None, :], residual,
+                                      deterministic)[:, 0, :]
         # Single-token context attention always goes through the
         # flat-beam path (beam=1 degenerates to per-row KV): it hits
         # the fused decode_cross_attention kernel on TPU.
-        x = self._contexts_block_beam(x[:, 0, :], kv, beam,
+        x = self._contexts_block_beam(x, kv, beam,
                                       deterministic)[:, None, :]
         x = self._ffn_block(x, deterministic)
         return x[:, 0, :], new_cache
@@ -316,6 +383,8 @@ class DynamicConvDecoder(nn.Module):
     max_positions: int = 512
     param_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
+    # Opt-in fused Pallas decode-step kernels (see fused_decode_ok).
+    use_fused_decode: bool = False
 
     def setup(self):
         assert len(self.kernel_sizes) == self.num_layers
@@ -344,7 +413,9 @@ class DynamicConvDecoder(nn.Module):
                 relu_dropout=self.relu_dropout,
                 input_dropout=self.input_dropout,
                 attention_dropout=self.attention_dropout,
-                param_dtype=self.param_dtype, name=f"layers_{i}")
+                param_dtype=self.param_dtype,
+                use_fused_decode=self.use_fused_decode,
+                name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
         self.adaptive_softmax = AdaptiveSoftmax(
@@ -407,11 +478,33 @@ class DynamicConvDecoder(nn.Module):
     # ------------------------------------------------------------------
     # incremental decode path
     # ------------------------------------------------------------------
-    def init_cache(self, batch_size: int) -> List[jax.Array]:
+    def init_cache(self, batch_size: int,
+                   ring_major: bool = False) -> List[jax.Array]:
         # Pure config-derived shapes: usable outside init/apply.
+        # ring_major=True: [K-1, B, C] leaves for the fused Pallas
+        # conv-block step (slot dim outermost).
         cdim = self.conv_dim or self.embed_dim
+        if ring_major:
+            return [jnp.zeros((k - 1, batch_size, cdim), self.dtype)
+                    for k in self.kernel_sizes]
         return [jnp.zeros((batch_size, k - 1, cdim), self.dtype)
                 for k in self.kernel_sizes]
+
+    def fused_decode_ok(self) -> bool:
+        """Whether the fused Pallas conv-block step applies (TPU,
+        bf16 activations, flagship structure, opted in).
+
+        Default OFF: on v5e the fused kernels win in isolation
+        (benchmarks/head_bench.py) but LOSE end-to-end (152.4 vs
+        159.7 captions/s at beam 5) — every pallas_call is a fusion
+        barrier, so the surrounding XLA fusions fragment and the
+        op-count saving is offset. Kept as an opt-in for hardware /
+        compiler versions where the tradeoff flips."""
+        return (self.use_fused_decode
+                and jax.default_backend() == "tpu"
+                and self.dtype == jnp.bfloat16
+                and self.conv_type == "dynamic" and self.decoder_glu
+                and self.weight_softmax and not self.normalize_before)
 
     def step(self, token_t: jax.Array, step_idx: jax.Array | int,
              kvs: List[LayerKV], caches: List[jax.Array],
@@ -465,13 +558,14 @@ class DynamicConvDecoder(nn.Module):
 
     def step_topk(self, token_t: jax.Array, step_idx: jax.Array | int,
                   kvs: List[LayerKV], caches: List[jax.Array],
-                  k: int, beam: int = 1):
+                  k: int, beam: int = 1, ring_major: bool = False):
         """One decode step returning only the top-k candidates.
 
         Like `step` but the head computes an EXACT banded top-k
         (AdaptiveSoftmax.topk_log_prob) instead of materializing the
         [B, V] log-prob matrix — the selection cost dominates wide
-        beam decode. Ring conv caches (O(1) writes).
+        beam decode. Ring conv caches (O(1) writes); ring_major=True
+        uses the [K-1, B, C] layout + fused Pallas conv block.
 
         Returns (cand_log_probs [B, k], cand_ids [B, k], new_caches).
         """
@@ -479,7 +573,8 @@ class DynamicConvDecoder(nn.Module):
         new_caches = []
         for layer, kv, cache in zip(self.layers, kvs, caches):
             x, nc = layer.step(x, kv, cache, beam=beam,
-                               step_idx=step_idx)
+                               step_idx=step_idx,
+                               ring_major=ring_major)
             new_caches.append(nc)
         if self.normalize_before and self.final_norm:
             x = self.layer_norm(x)

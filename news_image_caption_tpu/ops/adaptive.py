@@ -119,6 +119,8 @@ class AdaptiveSoftmax(nn.Module):
     tie_proj: bool = False
     param_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
+    # Opt-in Pallas band-streaming decode head (see topk_log_prob).
+    use_pallas_head: bool = False
 
     @property
     def n_tails(self) -> int:
@@ -243,10 +245,13 @@ class AdaptiveSoftmax(nn.Module):
         # (148.6 vs 159.7 captions/s at beam width 320): the fp32
         # matmul outputs double the logits write traffic and XLA fuses
         # the band log_softmax into the matmul epilogue anyway. Kept
-        # the fused-log_softmax form as the XLA path; on TPU the fused
-        # band-streaming Pallas kernel wins (0.764 vs 0.885 ms/step,
-        # benchmarks/head_bench.py) and band logits never touch HBM.
-        if jax.default_backend() == "tpu" and embed_tables is not None:
+        # the fused-log_softmax form as the XLA path. The fused
+        # band-streaming Pallas kernel wins in ISOLATION (0.764 vs
+        # 0.885 ms/step, benchmarks/head_bench.py) but regresses the
+        # full decode loop (pallas_call is a fusion barrier — the
+        # neighboring XLA fusions fragment), so it is opt-in.
+        if (self.use_pallas_head and jax.default_backend() == "tpu"
+                and embed_tables is not None):
             return self._topk_log_prob_pallas(x, k, embed_tables)
         from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]

@@ -53,30 +53,50 @@ class GehringLinear(nn.Module):
     dropout: float = 0.0
     param_dtype: Dtype = jnp.float32
     dtype: Optional[Dtype] = None
+    # in_features is inferred lazily on first call by default; pass it
+    # explicitly to enable `effective_kernel()` access before a call
+    # (the fused decode kernels read weights without applying).
+    in_features: Optional[int] = None
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_features = x.shape[-1]
+    def _declare(self, in_features: int):
         v = self.param("kernel", gehring_normal(self.dropout),
                        (in_features, self.features), self.param_dtype)
+        g = None
         if self.weight_norm:
-            # At torch init, g = ||v|| so the effective weight equals the
-            # sampled v; we store g explicitly to train it separately.
+            # At torch init, g = ||v|| so the effective weight equals
+            # the sampled v; g is stored to train it separately.
             g = self.param(
                 "scale",
                 lambda key, shape, dtype: jnp.linalg.norm(
                     v, axis=0).astype(dtype),
                 (self.features,), self.param_dtype)
-            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0, keepdims=True))
-            kernel = v * (g[None, :] / jnp.maximum(norm, 1e-12))
-        else:
-            kernel = v
-        dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
-                    preferred_element_type=dtype)
+        b = None
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), self.param_dtype)
+        return v, g, b
+
+    def effective_kernel(self, in_features: Optional[int] = None):
+        """(kernel [in, out], bias [out] or None) with weight norm
+        applied — what the matmul actually uses."""
+        nf = in_features or self.in_features
+        assert nf is not None, "pass in_features for weight access"
+        v, g, b = self._declare(nf)
+        if self.weight_norm:
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0,
+                                    keepdims=True))
+            kernel = v * (g[None, :] / jnp.maximum(norm, 1e-12))
+        else:
+            kernel = v
+        return kernel, b
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel, b = self.effective_kernel(x.shape[-1])
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+                    preferred_element_type=dtype)
+        if b is not None:
             y = y + b.astype(dtype)
         return y
 

@@ -1,0 +1,134 @@
+"""Fused conv-block decode step kernel vs the XLA step_ring path.
+
+Interpret mode on CPU. Values may differ by ~1 bf16 ulp where the two
+paths round transcendentals differently (interpret-mode bf16 sigmoid
+vs the kernel's upcast-compute-round, which is what XLA:TPU itself
+does); real-TPU token-level parity is exercised by
+benchmarks/beam_profile.py and the bench harness.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from news_image_caption_tpu.ops.pallas_decode import \
+    decode_conv_block  # noqa: E402
+
+
+def _xla_reference(x, cache_nm, w1, b1, wl, w2, b2, H, K, t):
+    """The step_ring semantics with effective (pre-normalized)
+    weights, at the production rounding points."""
+    N, C = x.shape
+    dt = x.dtype
+    Km1 = K - 1
+    pre = (jnp.dot(x, w1, preferred_element_type=jnp.float32)
+           .astype(dt) + b1)
+    a, b = pre[:, :C], pre[:, C:]
+    h = a * jax.nn.sigmoid(b)
+    w = (jnp.dot(h, wl, preferred_element_type=jnp.float32)
+         .astype(dt)).reshape(N, H, K)
+    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(dt)
+    slots = jnp.arange(Km1)
+    k_for_slot = jnp.mod(slots - t, Km1)
+    w_hist = jnp.take(w, k_for_slot, axis=-1)
+    hh = cache_nm.reshape(N, Km1, H, C // H)
+    out = jnp.einsum("bhk,bkhr->bhr", w_hist, hh).reshape(N, C)
+    out = out + w[:, :, K - 1:K].repeat(C // H, axis=-1).reshape(N, C) * h
+    y = (jnp.dot(out.astype(dt), w2,
+                 preferred_element_type=jnp.float32).astype(dt) + b2)
+    return y + x, h
+
+
+def _tap_major(wl, H, K):
+    perm = np.array([[hh * K + k for hh in range(H)]
+                     for k in range(K)]).reshape(-1)
+    return wl[:, perm]
+
+
+@pytest.mark.parametrize("N,C,H,K,t", [
+    (8, 64, 4, 7, 11),
+    (4, 128, 8, 3, 0),
+    (8, 64, 4, 31, 99),
+])
+def test_conv_block_matches_step_ring(N, C, H, K, t):
+    ks = jax.random.split(jax.random.PRNGKey(K), 8)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (N, C), dt)
+    cache = jax.random.normal(ks[1], (K - 1, N, C), dt)  # ring-major
+    w1 = (jax.random.normal(ks[2], (C, 2 * C)) * 0.05).astype(dt)
+    b1 = (jax.random.normal(ks[3], (2 * C,)) * 0.05).astype(dt)
+    wl = (jax.random.normal(ks[4], (C, H * K)) * 0.05).astype(dt)
+    w2 = (jax.random.normal(ks[5], (C, C)) * 0.05).astype(dt)
+    b2 = (jax.random.normal(ks[6], (C,)) * 0.05).astype(dt)
+
+    y_ref, h_ref = _xla_reference(
+        x, jnp.transpose(cache, (1, 0, 2)), w1, b1, wl, w2, b2, H, K, t)
+    y, h = decode_conv_block(x, cache, t, w1, b1, _tap_major(wl, H, K),
+                             w2, b2, num_heads=H, tile_n=4,
+                             interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h, np.float32), np.asarray(h_ref, np.float32),
+        atol=0.02, rtol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        atol=0.05, rtol=0.05)
+
+
+def test_conv_block_ring_slot_semantics():
+    """Writing the GLU output at slot t mod (K-1) then stepping t+1
+    must reproduce a 2-step shifted-window conv exactly."""
+    N, C, H, K = 4, 64, 4, 5
+    Km1 = K - 1
+    dt = jnp.bfloat16
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    x1 = jax.random.normal(ks[0], (N, C), dt)
+    x2 = jax.random.normal(ks[1], (N, C), dt)
+    w1 = (jax.random.normal(ks[2], (C, 2 * C)) * 0.05).astype(dt)
+    b1 = jnp.zeros((2 * C,), dt)
+    wl = (jax.random.normal(ks[3], (C, H * K)) * 0.05).astype(dt)
+    w2 = (jax.random.normal(ks[4], (C, C)) * 0.05).astype(dt)
+    b2 = jnp.zeros((C,), dt)
+    wl_tap = _tap_major(wl, H, K)
+    cache = jnp.zeros((Km1, N, C), dt)
+    t = 0
+    y1, h1 = decode_conv_block(x1, cache, t, w1, b1, wl_tap, w2, b2,
+                               num_heads=H, tile_n=4, interpret=True)
+    cache = jax.lax.dynamic_update_slice(
+        cache, h1[None], (t % Km1, 0, 0))
+    y2, h2 = decode_conv_block(x2, cache, t + 1, w1, b1, wl_tap, w2,
+                               b2, num_heads=H, tile_n=4,
+                               interpret=True)
+    # Reference step 2 via the XLA path with the same history.
+    cache_nm = jnp.transpose(cache, (1, 0, 2))
+    y2_ref, _ = _xla_reference(x2, cache_nm, w1, b1, wl, w2, b2,
+                               H, K, t + 1)
+    np.testing.assert_allclose(
+        np.asarray(y2, np.float32), np.asarray(y2_ref, np.float32),
+        atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("N,C,F,chunk", [(8, 64, 256, 64),
+                                         (4, 128, 128, 128)])
+def test_ffn_block_matches_xla(N, C, F, chunk):
+    from news_image_caption_tpu.ops.pallas_decode import decode_ffn_block
+    ks = jax.random.split(jax.random.PRNGKey(F), 6)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (N, C), dt)
+    w1 = (jax.random.normal(ks[1], (C, F)) * 0.05).astype(dt)
+    b1 = (jax.random.normal(ks[2], (F,)) * 0.05).astype(dt)
+    w2 = (jax.random.normal(ks[3], (F, C)) * 0.05).astype(dt)
+    b2 = (jax.random.normal(ks[4], (C,)) * 0.05).astype(dt)
+    h = (jnp.dot(x, w1, preferred_element_type=jnp.float32)
+         .astype(dt) + b1)
+    h = jnp.maximum(h, 0)
+    y_ref = (jnp.dot(h, w2, preferred_element_type=jnp.float32)
+             .astype(dt) + b2) + x
+    y = decode_ffn_block(x, w1, b1, w2, b2, chunk=chunk,
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               atol=0.02, rtol=0.02)
