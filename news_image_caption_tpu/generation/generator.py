@@ -39,9 +39,11 @@ class GenerationConfig:
     # models use token 0 as both <bos> input and <eos> output, so they
     # set this False.
     init_finished: bool = True
-    # lax.scan unroll factor for the decode loop: unrolling lets XLA
-    # fuse/overlap across steps (+15-20% measured on v5e at 4).
-    scan_unroll: int = 4
+    # lax.scan unroll factor for the decode loop. Re-measured on v5e
+    # 2026-08-17 (bf16 + DecodeKV layout): unroll=1 beats 2 and 4 at
+    # beam 5 width 320 (162.2 / 149.5 / 159.7 captions/s) — the r01
+    # +17% for unroll=4 predated the layout/dtype fixes.
+    scan_unroll: int = 1
 
 
 def generate(step_fn: Callable, init_caches, seed: jax.Array,
