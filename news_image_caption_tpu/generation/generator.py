@@ -44,6 +44,10 @@ class GenerationConfig:
     # beam 5 width 320 (162.2 / 149.5 / 159.7 captions/s) — the r01
     # +17% for unroll=4 predated the layout/dtype fixes.
     scan_unroll: int = 1
+    # int8 context-K/V storage (QuantDecodeKV): halves the dominant
+    # HBM stream of decode at ~0.5% RMS K/V error — captions may
+    # differ from exact bf16 decoding (see ops/attention.py).
+    quantize_kv: bool = False
 
 
 def generate(step_fn: Callable, init_caches, seed: jax.Array,

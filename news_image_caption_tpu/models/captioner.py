@@ -95,13 +95,14 @@ class TransformerFlattened:
 
     # -- generation ----------------------------------------------------
     def _decode_setup(self, params, contexts: Dict[str, jax.Array],
-                      batch_size: int):
+                      batch_size: int, quantize_kv: bool = False):
         from news_image_caption_tpu.ops.attention import decode_kv_tree
         kvs = self.decoder.apply(
             params, contexts, method=DynamicConvDecoder.precompute_kv)
         # One-time head-major relayout (outside the decode scan): the
         # per-step attention einsums become clean batched matmuls.
-        kvs = decode_kv_tree(kvs)
+        # quantize_kv additionally stores K/V as int8 (+row scales).
+        kvs = decode_kv_tree(kvs, quantize=quantize_kv)
         caches = self.decoder.init_cache(batch_size)
         return kvs, caches
 
@@ -123,7 +124,8 @@ class TransformerFlattened:
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         ring_major = self.decoder.fused_decode_ok()
-        kvs, _ = self._decode_setup(params, contexts, B)
+        kvs, _ = self._decode_setup(params, contexts, B,
+                                    quantize_kv=config.quantize_kv)
         caches = self.decoder.init_cache(B, ring_major=ring_major)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
 
@@ -167,7 +169,8 @@ class TransformerFlattened:
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         K = config.beam_size
-        kvs, _ = self._decode_setup(params, contexts, B)
+        kvs, _ = self._decode_setup(params, contexts, B,
+                                    quantize_kv=config.quantize_kv)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
 
         if impl == "topk":

@@ -64,16 +64,54 @@ class DecodeKV(NamedTuple):
     mask: Optional[jax.Array]
 
 
-def to_decode_kv(kv: AttentionKV) -> DecodeKV:
+class QuantDecodeKV(NamedTuple):
+    """int8-quantized decode K/V (per-key-vector symmetric scales).
+
+    Decode is bound by the context K/V streams (~590 MB/step at batch
+    64; this chip's measured HBM bandwidth is ~390 GB/s — see
+    BASELINE.md). int8 storage halves that stream; the scales factor
+    OUT of both contractions (scale_k multiplies the scores, scale_v
+    multiplies the probs), so dequantization adds only two small
+    row-wise multiplies and the int8->bf16 convert fuses into the dot
+    operands. Accuracy: ~0.5% RMS on K/V rows — captions can differ
+    from exact bf16 decoding; opt-in (`GenerationConfig.quantize_kv`).
+
+    kT_q [B, H, D, S'] int8, k_scale [B, H, 1, S'];
+    vT_q [B, H, S', D] int8, v_scale [B, H, S', 1]; mask [B, S'].
+    """
+
+    kT_q: jax.Array
+    k_scale: jax.Array
+    vT_q: jax.Array
+    v_scale: jax.Array
+    mask: Optional[jax.Array]
+
+
+def _quantize_rows(x: jax.Array, axis: int):
+    """Symmetric int8 quantization along `axis` (the head_dim)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis,
+                   keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(x.dtype)
+
+
+def to_decode_kv(kv: AttentionKV, quantize: bool = False):
     """One-time layout conversion for the incremental-decode path."""
-    return DecodeKV(kT=jnp.transpose(kv.k, (0, 2, 3, 1)),
-                    vT=jnp.transpose(kv.v, (0, 2, 1, 3)),
-                    mask=kv.mask)
+    kT = jnp.transpose(kv.k, (0, 2, 3, 1))
+    vT = jnp.transpose(kv.v, (0, 2, 1, 3))
+    if not quantize:
+        return DecodeKV(kT=kT, vT=vT, mask=kv.mask)
+    kq, ks = _quantize_rows(kT, axis=2)
+    vq, vs = _quantize_rows(vT, axis=3)
+    return QuantDecodeKV(kT_q=kq, k_scale=ks, vT_q=vq, v_scale=vs,
+                         mask=kv.mask)
 
 
-def decode_kv_tree(kvs):
+def decode_kv_tree(kvs, quantize: bool = False):
     """`to_decode_kv` over any nesting of AttentionKV leaves."""
-    return jax.tree.map(to_decode_kv, kvs,
+    return jax.tree.map(lambda kv: to_decode_kv(kv, quantize), kvs,
                         is_leaf=lambda x: isinstance(x, AttentionKV))
 
 
@@ -193,6 +231,29 @@ class MultiHeadAttention(nn.Module):
         H, hd = self.num_heads, self.head_dim
         q = self.q_proj(query).reshape(B, beam, H, hd)
         q = q * (hd ** -0.5)
+        if isinstance(kv, QuantDecodeKV):
+            # int8 K/V: converts fuse into the dot operands; the
+            # per-key scales factor out of the contractions.
+            kT = kv.kT_q.astype(q.dtype)
+            scores = jnp.einsum("bkhd,bhds->bhks", q, kT,
+                                preferred_element_type=jnp.float32)
+            scores = scores * kv.k_scale.astype(jnp.float32).reshape(
+                B, H, 1, -1)
+            if kv.mask is not None:
+                scores = jnp.where(kv.mask[:, None, None, :], scores,
+                                   NEG_INF)
+            S = scores.shape[-1]
+            flat = scores.reshape(B, H * beam, S)
+            probs = jax.nn.softmax(flat, axis=-1)
+            probs = probs.reshape(B, H, beam, S).astype(q.dtype)
+            if self.dropout > 0.0 and not deterministic:
+                probs = dropout(self, probs, self.dropout,
+                                deterministic=False)
+            probs = probs * kv.v_scale.astype(q.dtype).reshape(
+                B, H, 1, S)
+            out = jnp.einsum("bhks,bhsd->bkhd", probs,
+                             kv.vT_q.astype(q.dtype))
+            return self.out_proj(out.reshape(BK, E))
         if isinstance(kv, DecodeKV):
             # Head-major layout: both einsums are straight batched
             # matmuls (contraction on the minor dims), no transposing
@@ -202,8 +263,16 @@ class MultiHeadAttention(nn.Module):
             if kv.mask is not None:
                 scores = jnp.where(kv.mask[:, None, None, :], scores,
                                    NEG_INF)
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-            probs = probs.astype(kv.vT.dtype)
+            S = scores.shape[-1]
+            # Softmax over a MERGED (head, beam) dim: [B, H, K, S] ->
+            # [B, H*K, S] is a free bitcast of adjacent dims, and it
+            # removes the sublane padding waste of K=5 rows (padded
+            # to 8) that made these softmax fusions the single
+            # biggest per-step cost (0.18 ms each at width 320 -- see
+            # BASELINE.md decode anatomy).
+            flat = scores.astype(jnp.float32).reshape(B, H * beam, S)
+            probs = jax.nn.softmax(flat, axis=-1)
+            probs = probs.reshape(B, H, beam, S).astype(kv.vT.dtype)
             if self.dropout > 0.0 and not deterministic:
                 probs = dropout(self, probs, self.dropout,
                                 deterministic=False)
