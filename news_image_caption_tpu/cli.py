@@ -117,7 +117,11 @@ def evaluate_command(args) -> int:
         max_len=gcfg_raw.get("max_len", 100),
         sampling_topk=gcfg_raw.get("sampling_topk", 1),
         sampling_temp=gcfg_raw.get("sampling_temp", 1.0),
-        beam_size=gcfg_raw.get("beam_size", 5))
+        beam_size=gcfg_raw.get("beam_size", 5),
+        # eval default: stop when every caption in the batch is done
+        # (identical outputs, wall-clock tracks the longest caption).
+        early_exit=gcfg_raw.get("early_exit", True),
+        quantize_kv=gcfg_raw.get("quantize_kv", False))
 
     sample = next(ds.batches(batch_size, shuffle=False))
     params = model.init(jax.random.PRNGKey(0), sample)

@@ -48,6 +48,13 @@ class GenerationConfig:
     # HBM stream of decode at ~0.5% RMS K/V error — captions may
     # differ from exact bf16 decoding (see ops/attention.py).
     quantize_kv: bool = False
+    # Stop the decode loop as soon as every sequence has emitted eos
+    # (lax.while_loop instead of a fixed-length scan). Identical
+    # outputs — finished rows already emit pad — but wall-clock
+    # proportional to the LONGEST caption instead of max_len. The
+    # reference compacts finished rows the same way
+    # (transformer_flattened.py:312-319). Off for fixed-work benches.
+    early_exit: bool = False
 
 
 def generate(step_fn: Callable, init_caches, seed: jax.Array,
@@ -152,8 +159,7 @@ def generate_candidates(step_fn: Callable, init_caches,
     else:
         finished0 = jnp.zeros((B,), bool)
 
-    def body(carry, i):
-        cur, finished, caches, key = carry
+    def step_once(i, cur, finished, caches, key):
         topk_lp, topk_idx, caches = step_fn(cur, i, caches)
         topk_lp = topk_lp / config.sampling_temp
         key, sub = jax.random.split(key)
@@ -168,6 +174,36 @@ def generate_candidates(step_fn: Callable, init_caches,
         next_tok = jnp.where(finished, config.pad_id, sel_idx)
         out_lp = jnp.where(finished, 0.0, sel_lp)
         finished = finished | (next_tok == config.eos_id)
+        return next_tok, out_lp, finished, caches, key
+
+    if config.early_exit:
+        lps0 = jnp.zeros((B, config.max_len), jnp.float32)
+
+        def cond(carry):
+            i, _, finished, _, _, _ = carry
+            return (i < config.max_len) & ~jnp.all(finished)
+
+        def wbody(carry):
+            i, cur, finished, tokens, lps, (caches, key) = carry
+            next_tok, out_lp, finished, caches, key = step_once(
+                i, cur, finished, caches, key)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, next_tok[:, None], (0, i + 1))
+            lps = jax.lax.dynamic_update_slice(
+                lps, out_lp[:, None].astype(lps.dtype), (0, i))
+            return (i + 1, next_tok, finished, tokens, lps,
+                    (caches, key))
+
+        (_, _, _, tokens, lps, _) = jax.lax.while_loop(
+            cond, wbody,
+            (jnp.int32(0), seed, finished0, tokens0, lps0,
+             (init_caches, rng)))
+        return tokens, lps
+
+    def body(carry, i):
+        cur, finished, caches, key = carry
+        next_tok, out_lp, finished, caches, key = step_once(
+            i, cur, finished, caches, key)
         return (next_tok, finished, caches, key), (next_tok, out_lp)
 
     (_, _, _, _), (toks, lps) = jax.lax.scan(
@@ -214,8 +250,7 @@ def beam_search_candidates(step_fn: Callable, init_caches,
     # slots are dead.
     pad_vals = jnp.full((K,), neg_inf).at[0].set(0.0)
 
-    def body(carry, i):
-        cur, scores, finished, tokens, caches = carry
+    def step_once(i, cur, scores, finished, tokens, caches):
         rv, ri, caches = step_fn(cur, i, caches)       # [B*K, K] x2
         rv = jnp.where(finished[:, None], pad_vals[None, :], rv)
         ri = jnp.where(finished[:, None], config.pad_id, ri)
@@ -229,15 +264,36 @@ def beam_search_candidates(step_fn: Callable, init_caches,
         caches = reorder_fn(caches, flat_src)
         finished = finished[flat_src]
         tok_flat = tok.reshape(-1)
-        tokens = tokens.at[:, i + 1].set(tok_flat)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, tok_flat[:, None], (0, i + 1))
         scores = top_scores.reshape(-1)
         finished = finished | (tok_flat == config.eos_id)
-        return (tok_flat, scores, finished, tokens, caches), None
+        return tok_flat, scores, finished, tokens, caches
 
     init = (flat_seed, scores0, finished0, tokens0, init_caches)
-    (_, scores, _, tokens, _), _ = jax.lax.scan(
-        body, init, jnp.arange(config.max_len),
-        unroll=config.scan_unroll)
+    if config.early_exit:
+        def cond(c):
+            i = c[0]
+            finished = c[3]
+            return (i < config.max_len) & ~jnp.all(finished)
+
+        def wbody(c):
+            i, cur, scores, finished, tokens, caches = c
+            cur, scores, finished, tokens, caches = step_once(
+                i, cur, scores, finished, tokens, caches)
+            return (i + 1, cur, scores, finished, tokens, caches)
+
+        (_, _, scores, _, tokens, _) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0),) + init)
+    else:
+        def body(carry, i):
+            cur, scores, finished, tokens, caches = carry
+            out = step_once(i, *carry)
+            return out, None
+
+        (_, scores, _, tokens, _), _ = jax.lax.scan(
+            body, init, jnp.arange(config.max_len),
+            unroll=config.scan_unroll)
     tokens = tokens.reshape(B, K, -1)
     scores = scores.reshape(B, K)
     lengths = jnp.sum(tokens != config.pad_id, axis=-1).astype(jnp.float32)

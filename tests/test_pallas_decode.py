@@ -132,3 +132,33 @@ def test_ffn_block_matches_xla(N, C, F, chunk):
     np.testing.assert_allclose(np.asarray(y, np.float32),
                                np.asarray(y_ref, np.float32),
                                atol=0.02, rtol=0.02)
+
+
+def test_early_exit_matches_fixed_scan():
+    """early_exit (while_loop) must produce identical tokens/scores
+    to the fixed-length scan, greedy and beam."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    model = g._flagship(tiny=True)
+    batch = g._batch(B=3, T=16, P=8, S=12, image_dim=16,
+                     article_dim=24, vocab=64)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    a, la = jax.jit(lambda p, b: model.generate(
+        p, b, GenerationConfig(max_len=10)))(params, batch)
+    b2, lb = jax.jit(lambda p, b: model.generate(
+        p, b, GenerationConfig(max_len=10, early_exit=True)))(
+            params, batch)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+    cfg = GenerationConfig(max_len=10, beam_size=3)
+    cfge = GenerationConfig(max_len=10, beam_size=3, early_exit=True)
+    ta, sa = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))(
+        params, batch)
+    tb, sb = jax.jit(lambda p, b: model.generate_beam(p, b, cfge))(
+        params, batch)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               atol=1e-6)
