@@ -25,16 +25,23 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
 
 def main():
-    model = ge._flagship()
     batch = ge._batch(B=BATCH, T=64, P=49, S=512, image_dim=2048,
                       article_dim=1024, vocab=50265)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    params = jax.jit(ge._flagship().init)(jax.random.PRNGKey(0), batch)
     tx = make_bert_adam(lr=1e-4, t_total=437600, warmup=0.05)
 
-    def loss_fn(p, b, rng):
-        return model.loss_fn(p, b, dropout_rng=rng)
-
     for dtype, tag in ((None, "fp32"), (jnp.bfloat16, "bf16")):
+        # The bf16 variant must ALSO build the model with dtype=bf16:
+        # module-level dtype pins preferred_element_type on the
+        # embedder/adaptive-softmax matmuls, and fp32 MXU throughput
+        # on v5e is ~1/8 of bf16 — casting params alone leaves the
+        # head (the FLOPs-dominant matmuls) at fp32 rate. Losses and
+        # softmaxes stay fp32 internally either way.
+        model = ge._flagship(dtype=dtype) if dtype else ge._flagship()
+
+        def loss_fn(p, b, rng, model=model):
+            return model.loss_fn(p, b, dropout_rng=rng)
+
         step = make_train_step(loss_fn, tx, donate=True,
                                compute_dtype=dtype)
         # fresh buffers per variant: the donated step frees its inputs

@@ -63,6 +63,7 @@ def test_compat_train_end_to_end(tmp_path):
                                        "meta.json"))
 
 
+@pytest.mark.slow
 def test_compat_train_scheduled_sampling_flags(tmp_path):
     from news_image_caption_tpu.compat.train import main
 
@@ -81,6 +82,7 @@ def test_compat_train_scheduled_sampling_flags(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_compat_gen2_test_driver(tmp_path, capsys):
     from news_image_caption_tpu.compat.test import main
 

@@ -57,6 +57,7 @@ def test_loss_and_training():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_generation_and_pad_invariance():
     model = tiny()
     batch = tiny_batch()

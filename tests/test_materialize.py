@@ -4,6 +4,7 @@ import json
 
 import jax
 import numpy as np
+import pytest
 
 from news_image_caption_tpu.data.materialize import (FeatureEncoders,
                                                      materialize)
@@ -21,6 +22,7 @@ def tiny_encoders():
         crop=32)
 
 
+@pytest.mark.slow
 def test_materialize_and_reload(tmp_path):
     src = str(tmp_path / "news.jsonl")
     rng = np.random.default_rng(0)

@@ -134,9 +134,32 @@ def test_ffn_block_matches_xla(N, C, F, chunk):
                                atol=0.02, rtol=0.02)
 
 
-def test_early_exit_matches_fixed_scan():
+def test_early_exit_beam_matches_fixed_scan():
     """early_exit (while_loop) must produce identical tokens/scores
-    to the fixed-length scan, greedy and beam."""
+    to the fixed-length scan (beam path; the greedy path shares
+    step_once and is covered by the slow variant below)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    model = g._flagship(tiny=True)
+    batch = g._batch(B=3, T=16, P=8, S=12, image_dim=16,
+                     article_dim=24, vocab=64)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=8, beam_size=3)
+    cfge = GenerationConfig(max_len=8, beam_size=3, early_exit=True)
+    ta, sa = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))(
+        params, batch)
+    tb, sb = jax.jit(lambda p, b: model.generate_beam(p, b, cfge))(
+        params, batch)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_early_exit_greedy_matches_fixed_scan():
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
@@ -153,12 +176,3 @@ def test_early_exit_matches_fixed_scan():
             params, batch)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
-    cfg = GenerationConfig(max_len=10, beam_size=3)
-    cfge = GenerationConfig(max_len=10, beam_size=3, early_exit=True)
-    ta, sa = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))(
-        params, batch)
-    tb, sb = jax.jit(lambda p, b: model.generate_beam(p, b, cfge))(
-        params, batch)
-    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
-    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
-                               atol=1e-6)

@@ -24,6 +24,7 @@ def test_trunk_shapes_small_depth():
     assert y3.shape == (1, 4, 4, 1024)
 
 
+@pytest.mark.slow
 def test_patches_layout():
     m = ResNetTrunk(depth=50, num_stages=4)
     x = jnp.zeros((2, 64, 64, 3))

@@ -75,6 +75,7 @@ def test_build_model_and_train_from_config(tmp_path):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_recover(tmp_path):
     from news_image_caption_tpu.data.loader import DeviceLoader
     from news_image_caption_tpu.training.train_step import \

@@ -168,6 +168,7 @@ def test_template_guided_decoder_tgnc():
     assert float(l2) != float(loss)
 
 
+@pytest.mark.slow
 def test_template_decoder_incremental_matches_full():
     """Step path with trunk+head caches == teacher-forced hidden."""
     import jax
