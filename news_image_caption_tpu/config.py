@@ -45,16 +45,32 @@ def merge_overrides(cfg: Dict, overrides: Dict) -> Dict:
     return out
 
 
+def _dtypeize(key: str, value):
+    """YAML dtype strings -> jnp dtypes for dtype-like config keys."""
+    if key in ("dtype", "param_dtype") and isinstance(value, str):
+        import jax.numpy as jnp
+        return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "float32": jnp.float32, "fp32": jnp.float32}[value]
+    return value
+
+
 def build_model(cfg: Dict):
-    """Construct a model from the `model:` config block."""
+    """Construct a model from the `model:` config block.
+
+    `model.decoder.dtype: bfloat16` sets the decoder COMPUTE dtype
+    (embedder / head preferred_element_type, cache dtypes); params
+    stay fp32. Pair with `trainer.mixed_precision: bf16` for apex-O2
+    style training (see benchmarks/train_bench.py measurements).
+    """
     mcfg = copy.deepcopy(cfg["model"])
     mtype = mcfg.pop("type")
     model_cls = MODELS.get(mtype)
     decoder_cfg = mcfg.pop("decoder", None)
+    mcfg = {k: _dtypeize(k, v) for k, v in mcfg.items()}
     if decoder_cfg is not None:
         dtype_ = decoder_cfg.pop("type", "dynamic_conv_decoder_flattened")
         decoder_cls = DECODERS.get(dtype_)
-        decoder = decoder_cls(**{k: _tupleize(v)
+        decoder = decoder_cls(**{k: _dtypeize(k, _tupleize(v))
                                  for k, v in decoder_cfg.items()})
         return model_cls(decoder=decoder, **mcfg)
     return model_cls(**mcfg)
