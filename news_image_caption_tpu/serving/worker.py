@@ -61,6 +61,14 @@ def default_model_builder():
         tokens = np.asarray(gen(b))
         return {"tokens": tokens}
 
+    def warmup():
+        # Compile before signalling ready: the first REAL job must not
+        # pay the jit (measured 2.7 s p99 without this —
+        # benchmarks/serving_bench.py).
+        predict({k: np.asarray(v) for k, v in batch.items()
+                 if k != "caption_ids"})
+
+    predict.warmup = warmup
     return predict
 
 
@@ -91,6 +99,11 @@ class CaptioningWorker(_MP.Process):
             import jax
             jax.config.update("jax_platforms", self.platform)
         predict = self.model_builder()
+        # Builders may expose .warmup() to pre-compile their jitted
+        # paths so the first real job doesn't pay the jit.
+        warmup = getattr(predict, "warmup", None)
+        if warmup is not None:
+            warmup()
         ctx = zmq.Context()
         receiver = ctx.socket(zmq.PULL)
         receiver.connect(self.receive_addr)
