@@ -130,3 +130,32 @@ def test_downsampled_mha_matches_strided_slicing_reference():
     expected = gehring(pp["out_proj"], cat)
     np.testing.assert_allclose(np.asarray(out), expected,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_quantized_decode_kv_close_to_exact():
+    """QuantDecodeKV (int8 K/V + factored scales) must track the exact
+    DecodeKV attention closely and normalize correctly."""
+    from news_image_caption_tpu.ops.attention import (
+        MultiHeadAttention, to_decode_kv)
+    B, S, E, H, beam = 2, 18, 64, 4, 3
+    mha = MultiHeadAttention(embed_dim=E, num_heads=H, kdim=24, vdim=24)
+    kq, kk, kv_ = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B * beam, E))
+    key = jax.random.normal(kk, (B, S, 24))
+    val = jax.random.normal(kv_, (B, S, 24))
+    pad = jax.random.bernoulli(jax.random.PRNGKey(3), 0.2, (B, S))
+
+    def run(quant):
+        def f(mod):
+            kv = mod.precompute_kv(key, val, key_padding_mask=pad)
+            return mod.attend_flat_beam(
+                q, to_decode_kv(kv, quantize=quant), beam)
+        return f
+
+    variables = mha.init(jax.random.PRNGKey(1),
+                         q.reshape(B, beam, E), key, val)
+    exact = mha.apply(variables, method=run(False))
+    quant = mha.apply(variables, method=run(True))
+    err = np.abs(np.asarray(exact) - np.asarray(quant))
+    scale = np.abs(np.asarray(exact)).max()
+    assert err.max() < 0.05 * scale, (err.max(), scale)
