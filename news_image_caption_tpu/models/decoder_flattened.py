@@ -103,6 +103,10 @@ class DynamicConvDecoderLayer(nn.Module):
     input_dropout: float = 0.1
     attention_dropout: float = 0.1
     param_dtype: Dtype = jnp.float32
+    # Compute dtype for the layer norms: with dtype=None flax promotes
+    # bf16 activations back to fp32 via the fp32 LN params, silently
+    # re-widening the whole decode path whenever params are fp32.
+    dtype: Optional[Dtype] = None
     # Opt-in fused Pallas step kernels (see
     # DynamicConvDecoder.fused_decode_ok for the measured tradeoff).
     use_fused_decode: bool = False
@@ -122,7 +126,8 @@ class DynamicConvDecoderLayer(nn.Module):
         self.linear2 = GehringLinear(self.embed_dim,
                                      param_dtype=self.param_dtype,
                                      name="linear2")
-        self.conv_layer_norm = nn.LayerNorm(name="conv_layer_norm")
+        self.conv_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                    name="conv_layer_norm")
         attns, lns = {}, {}
         for cname, cdim in self.context_specs:
             attns[cname] = MultiHeadAttention(
@@ -130,7 +135,8 @@ class DynamicConvDecoderLayer(nn.Module):
                 kdim=cdim, vdim=cdim,
                 dropout=self.attention_dropout,
                 param_dtype=self.param_dtype, name=f"{cname}_attn")
-            lns[cname] = nn.LayerNorm(name=f"{cname}_attn_ln")
+            lns[cname] = nn.LayerNorm(dtype=self.dtype,
+                          name=f"{cname}_attn_ln")
         self.context_attns = attns
         self.context_attn_lns = lns
         self.context_fc = GehringLinear(self.embed_dim,
@@ -140,7 +146,8 @@ class DynamicConvDecoderLayer(nn.Module):
                                  name="fc1")
         self.fc2 = GehringLinear(self.embed_dim, param_dtype=self.param_dtype,
                                  name="fc2")
-        self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                     name="final_layer_norm")
 
     def _maybe_ln(self, ln, x, *, before: bool):
         if before == self.normalize_before:
@@ -414,6 +421,8 @@ class DynamicConvDecoder(nn.Module):
                 input_dropout=self.input_dropout,
                 attention_dropout=self.attention_dropout,
                 param_dtype=self.param_dtype,
+                dtype=(None if self.dtype == jnp.float32
+                       else self.dtype),
                 use_fused_decode=self.use_fused_decode,
                 name=f"layers_{i}")
             for i in range(self.num_layers)
@@ -424,13 +433,29 @@ class DynamicConvDecoder(nn.Module):
             tied=True, param_dtype=self.param_dtype, dtype=self.dtype,
             name="adaptive_softmax")
         if self.normalize_before and self.final_norm:
-            self.layer_norm = nn.LayerNorm(name="layer_norm")
+            self.layer_norm = nn.LayerNorm(
+    dtype=(None if self.dtype == jnp.float32 else self.dtype),
+    name="layer_norm")
 
     # ------------------------------------------------------------------
     # context K/V
     # ------------------------------------------------------------------
     def precompute_kv(self, contexts: Dict[str, jax.Array]) -> List[LayerKV]:
+        # Cast float contexts to the decoder compute dtype at the
+        # boundary: with dtype=bf16, fp32 pipeline arrays would leave
+        # K/V fp32 and silently re-promote the whole decode path
+        # (caught as a cache-dtype crash in the flagship eval CLI).
+        contexts = self._cast_contexts(contexts)
         return [layer.precompute_kv(contexts) for layer in self.layers]
+
+    def _cast_contexts(self, contexts):
+        if self.dtype == jnp.float32:
+            return contexts
+        return {k: (v.astype(self.dtype)
+                    if v is not None
+                    and jnp.issubdtype(v.dtype, jnp.floating)
+                    else v)
+                for k, v in contexts.items()}
 
     # ------------------------------------------------------------------
     # training / full-sequence path
