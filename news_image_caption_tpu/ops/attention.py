@@ -198,7 +198,11 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = query.shape
         q = self.q_proj(query).reshape(B, T, self.num_heads, self.head_dim)
         q = q * (self.head_dim ** -0.5)
-        # [B, H, T, S']
+        # NOTE (v5e, 2026-08-17): a head-major pre-transposed
+        # formulation of these einsums measured IDENTICAL train
+        # throughput — XLA canonicalizes both to the same HLO; the
+        # per-op profile attributes K/V DMA waits to these dots, not
+        # compute inefficiency (benchmarks/train_profile.py).
         scores = jnp.einsum("bthd,bshd->bhts", q, kv.k,
                             preferred_element_type=jnp.float32)
         if attn_mask is not None:
