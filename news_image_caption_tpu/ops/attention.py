@@ -203,8 +203,13 @@ class MultiHeadAttention(nn.Module):
         # throughput — XLA canonicalizes both to the same HLO; the
         # per-op profile attributes K/V DMA waits to these dots, not
         # compute inefficiency (benchmarks/train_profile.py).
-        scores = jnp.einsum("bthd,bshd->bhts", q, kv.k,
-                            preferred_element_type=jnp.float32)
+        # Scores materialize in the COMPUTE dtype (fp32 accumulation
+        # inside the dot either way; softmax upcasts below): under
+        # bf16 this halves the [B,H,T,S] intermediate traffic and
+        # matches the reference's AMP semantics exactly — fairseq
+        # materializes fp16 attention scores and softmaxes them in
+        # fp32 (ttl/tell/utils/functional.py fp32 softmax).
+        scores = jnp.einsum("bthd,bshd->bhts", q, kv.k)
         if attn_mask is not None:
             scores = scores + attn_mask[None, None, :, :]
         if kv.mask is not None:
