@@ -266,9 +266,11 @@ class MultiHeadAttention(nn.Module):
         if isinstance(kv, DecodeKV):
             # Head-major layout: both einsums are straight batched
             # matmuls (contraction on the minor dims), no transposing
-            # reductions in the per-step fusions.
-            scores = jnp.einsum("bkhd,bhds->bhks", q, kv.kT,
-                                preferred_element_type=jnp.float32)
+            # reductions in the per-step fusions. Scores materialize
+            # in the compute dtype (fp32 accumulation inside the dot;
+            # softmax upcasts below) — the reference's AMP decode
+            # materializes fp16 scores the same way.
+            scores = jnp.einsum("bkhd,bhds->bhks", q, kv.kT)
             if kv.mask is not None:
                 scores = jnp.where(kv.mask[:, None, None, :], scores,
                                    NEG_INF)
