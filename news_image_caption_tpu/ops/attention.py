@@ -242,17 +242,17 @@ class MultiHeadAttention(nn.Module):
         q = q * (hd ** -0.5)
         if isinstance(kv, QuantDecodeKV):
             # int8 K/V: converts fuse into the dot operands; the
-            # per-key scales factor out of the contractions.
+            # per-key scales factor out of the contractions. Scores
+            # materialize in the compute dtype like the exact path.
             kT = kv.kT_q.astype(q.dtype)
-            scores = jnp.einsum("bkhd,bhds->bhks", q, kT,
-                                preferred_element_type=jnp.float32)
-            scores = scores * kv.k_scale.astype(jnp.float32).reshape(
+            scores = jnp.einsum("bkhd,bhds->bhks", q, kT)
+            scores = scores * kv.k_scale.astype(scores.dtype).reshape(
                 B, H, 1, -1)
             if kv.mask is not None:
                 scores = jnp.where(kv.mask[:, None, None, :], scores,
                                    NEG_INF)
             S = scores.shape[-1]
-            flat = scores.reshape(B, H * beam, S)
+            flat = scores.astype(jnp.float32).reshape(B, H * beam, S)
             probs = jax.nn.softmax(flat, axis=-1)
             probs = probs.reshape(B, H, beam, S).astype(q.dtype)
             if self.dropout > 0.0 and not deterministic:
