@@ -8,9 +8,11 @@ Python decode loop and no KV reuse; BASELINE.md records the measured
 torch-CPU captions/sec for the same flagship architecture
 (benchmarks/reference_torch.py). vs_baseline = value / baseline.
 
-Production decode runs in bf16 (weights + activations; softmaxes stay
-fp32 internally) — the decode step is HBM-bound on the adaptive
-softmax tables, so bf16 gives ~2.1x over fp32 (measured 2026-08-16).
+Production decode runs in bf16 (weights + activations + attention
+score intermediates, matching the reference's AMP decode; softmaxes
+stay fp32 internally). Batch 128 is the measured v5e throughput sweet
+spot after the bf16-scores fix (B=64: 207, B=128: 228, B=192+: 207 —
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import numpy as np
 # (see BASELINE.md). Updated whenever the baseline script reruns.
 REFERENCE_CPU_CAPTIONS_PER_SEC = 0.068  # greedy, batch 16, 2026-08-16
 
-BATCH = 64
+BATCH = 128
 MAX_LEN = 100
 BEAM = 5
 
