@@ -255,18 +255,26 @@ class AdaptiveSoftmax(nn.Module):
             return self._topk_log_prob_pallas(x, k, embed_tables)
         from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]
+        # Band log-probs materialize in the compute dtype (softmax
+        # itself in fp32): halves the ~50k-wide fp32 copies the
+        # tournament re-reads, and matches the reference's AMP
+        # get_log_prob (fairseq emits fp16 log-probs under apex O2).
+        # Selection order is unchanged (monotone cast); the k winners'
+        # values re-enter beam scoring in fp32.
+        out_dt = x.dtype
         hlog = jax.nn.log_softmax(
             self.head_logits(x, embed_tables).astype(jnp.float32),
-            axis=-1)
+            axis=-1).astype(out_dt)
         hv, hi = exact_topk(hlog[:, :c0], k)
-        vals, ids = [hv], [hi.astype(jnp.int32)]
+        vals = [hv.astype(jnp.float32)]
+        ids = [hi.astype(jnp.int32)]
         for i in range(1, len(self.cutoff)):
-            prior = hlog[:, c0 + i - 1][:, None]
+            prior = hlog[:, c0 + i - 1][:, None].astype(jnp.float32)
             tlog = jax.nn.log_softmax(
                 self.tail_logits(x, i, embed_tables).astype(jnp.float32),
-                axis=-1)
+                axis=-1).astype(out_dt)
             tv, ti = exact_topk(tlog, k)
-            vals.append(tv + prior)
+            vals.append(tv.astype(jnp.float32) + prior)
             ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
         allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
         alli = jnp.concatenate(ids, axis=-1)
