@@ -312,15 +312,23 @@ class AdaptiveSoftmax(nn.Module):
         return v, jnp.take_along_axis(alli, j, axis=-1)
 
     def log_prob(self, x: jax.Array, embed_tables=None) -> jax.Array:
-        """Full-vocab log-probs for generation. x [N, D] -> [N, V]."""
+        """Full-vocab log-probs for generation. x [N, D] -> [N, V].
+
+        Softmax math in fp32; the [N, V] result materializes in the
+        COMPUTE dtype (AMP-faithful: fairseq's get_log_prob emits fp16
+        under apex O2) — halves the full-vocab traffic of the
+        pointer/shift decode paths for bf16 models; fp32 unchanged.
+        """
         c0 = self.cutoff[0]
+        out_dt = x.dtype
         hlog = jax.nn.log_softmax(
-            self.head_logits(x, embed_tables).astype(jnp.float32), axis=-1)
+            self.head_logits(x, embed_tables).astype(jnp.float32),
+            axis=-1).astype(out_dt)
         parts = [hlog[:, :c0]]
         for i in range(1, len(self.cutoff)):
             prior = hlog[:, c0 + i - 1][:, None]
             tlog = jax.nn.log_softmax(
                 self.tail_logits(x, i, embed_tables).astype(jnp.float32),
-                axis=-1)
+                axis=-1).astype(out_dt)
             parts.append(tlog + prior)
         return jnp.concatenate(parts, axis=-1)
