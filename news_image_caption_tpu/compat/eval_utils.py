@@ -91,3 +91,54 @@ def eval_split(model, params, batches: Iterable, *,
             break
     stats = language_eval(preds) if language_eval_flag else {}
     return total_loss / max(total_n, 1), preds, stats
+
+
+def eval_split_visual_news(model, params, batches: Iterable, *,
+                           ix_to_word: Optional[Dict[int, str]] = None,
+                           max_samples: Optional[int] = None,
+                           language_eval_flag: bool = True,
+                           max_len: int = 16,
+                           return_attention: bool = False
+                           ) -> Tuple[float, List[Dict], Dict[str, float]]:
+    """The visual-news eval loop variant (eval_utils.py:115-245).
+
+    Same batched loss+sample loop as `eval_split`, plus the variant's
+    extras: per-entry image metadata (`image_id`/`image_path` from
+    batch infos) and optional per-token visual/sentence attention maps
+    (`vis_att`/`sen_att`) when the model's sample returns them.
+    """
+    total_loss, total_n = 0.0, 0
+    preds: List[Dict] = []
+    for batch in batches:
+        loss, aux = model.loss_fn(params, batch)
+        n = int(aux.get("sample_size", 1))
+        total_loss += float(loss) * n
+        total_n += n
+        atts = None
+        if return_attention and hasattr(model, "sample_with_attention"):
+            toks, _, atts = model.sample_with_attention(
+                params, batch, max_len=max_len)
+        elif hasattr(model, "sample"):
+            toks, _ = model.sample(params, batch, max_len=max_len)
+        else:
+            toks, _ = model.generate(params, batch)
+        caps = decode_sequence(ix_to_word, np.asarray(toks))
+        refs = decode_sequence(
+            ix_to_word,
+            np.asarray(batch.get("seq", batch.get("caption_ids")))[:, 1:])
+        infos = batch.get("infos", [{}] * len(caps))
+        for i, (cap, ref) in enumerate(zip(caps, refs)):
+            entry = {"image_id": infos[i].get("id", len(preds)),
+                     "caption": cap, "gt": [ref]}
+            if "file_path" in infos[i]:
+                entry["image_path"] = infos[i]["file_path"]
+            if atts is not None:
+                sen_len = max(len(cap.split()), 1)
+                vis, sen = atts
+                entry["vis_att"] = np.asarray(vis)[:sen_len, i].tolist()
+                entry["sen_att"] = np.asarray(sen)[:sen_len, i].tolist()
+            preds.append(entry)
+        if max_samples is not None and len(preds) >= max_samples:
+            break
+    stats = language_eval(preds) if language_eval_flag else {}
+    return total_loss / max(total_n, 1), preds, stats

@@ -49,8 +49,14 @@ def _dtypeize(key: str, value):
     """YAML dtype strings -> jnp dtypes for dtype-like config keys."""
     if key in ("dtype", "param_dtype") and isinstance(value, str):
         import jax.numpy as jnp
-        return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-                "float32": jnp.float32, "fp32": jnp.float32}[value]
+        table = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                 "float32": jnp.float32, "fp32": jnp.float32}
+        dtype = table.get(value)
+        if dtype is None:
+            raise ValueError(
+                f"unsupported dtype {value!r} for config key {key!r}; "
+                f"accepted spellings: {sorted(table)}")
+        return dtype
     return value
 
 

@@ -21,6 +21,7 @@ the native C++ prefetch path) happens in collate/native_loader.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from dataclasses import dataclass, field
@@ -49,6 +50,13 @@ class NewsRecord:
     metadata: Dict = field(default_factory=dict)
 
 
+@functools.lru_cache(maxsize=65536)
+def _bpe_cost(indexer: RobertaCopyIndexer, text: str) -> int:
+    """Memoized BPE token count — articles with several images window
+    the same paragraphs repeatedly in the loader hot path."""
+    return len(indexer.encode_with_offsets(text)[0])
+
+
 def paragraph_window(paragraphs: Sequence[str], image_index: int,
                      indexer: RobertaCopyIndexer,
                      budget: int = 510) -> str:
@@ -61,13 +69,12 @@ def paragraph_window(paragraphs: Sequence[str], image_index: int,
     n = len(paragraphs)
     i = min(max(image_index, 0), n - 1)
     chosen = [i]
-    used = len(indexer.encode_with_offsets(paragraphs[i])[0])
+    used = _bpe_cost(indexer, paragraphs[i])
     lo, hi = i - 1, i + 1
     while used < budget and (lo >= 0 or hi < n):
         for cand in (lo, hi):
             if 0 <= cand < n:
-                cost = len(indexer.encode_with_offsets(
-                    paragraphs[cand])[0])
+                cost = _bpe_cost(indexer, paragraphs[cand])
                 if used + cost <= budget:
                     chosen.append(cand)
                     used += cost

@@ -307,8 +307,10 @@ class DynamicConvDecoderLayer(nn.Module):
             x = self._conv_block_post(h_t[:, None, :], residual,
                                       deterministic)[:, 0, :]
         # Single-token context attention always goes through the
-        # flat-beam path (beam=1 degenerates to per-row KV): it hits
-        # the fused decode_cross_attention kernel on TPU.
+        # flat-beam path (beam=1 degenerates to per-row KV). The fused
+        # decode_cross_attention Pallas kernel (ops/pallas_decode.py)
+        # is benchmark/ablation-only — measured slower end-to-end
+        # because pallas_call is a fusion barrier (BASELINE.md).
         x = self._contexts_block_beam(x, kv, beam,
                                       deterministic)[:, None, :]
         x = self._ffn_block(x, deterministic)

@@ -490,6 +490,11 @@ class DownsampledMultiHeadAttention(nn.Module):
             heads = [self.head_out[i](attn[:, :, i, :])
                      for i in range(H)]
             out = self.out_proj(jnp.concatenate(heads, axis=-1))
+            # Reference's downsampled branch reports head-0 weights
+            # (downsampled_multi_head.py, downsample=True forward).
+            attn_weights = probs[:, 0]
         else:
             out = self.single_out(attn.reshape(B, T, E))
-        return out, probs[:, 0]
+            # Non-downsampled reference averages the per-head weights.
+            attn_weights = probs.mean(axis=1)
+        return out, attn_weights

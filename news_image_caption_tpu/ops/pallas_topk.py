@@ -13,10 +13,12 @@ logsumexp, and a k-round tournament merge for the top-k — so band
 logits NEVER touch HBM. Total HBM traffic = one read of the table.
 
 Parity: logits are rounded to the input dtype (bf16 on the production
-decode path) before selection/normalization, the exact rounding point
-of the XLA path (matmul emits x.dtype, then `.astype(float32)`), so
-selected ids and normalized values are bit-identical. Ties break by
-lowest id, lax.top_k's rule.
+decode path) before selection, like the XLA path's matmul emit dtype —
+but the XLA path (adaptive.py topk_log_prob) selects on band
+*log-probs* rounded to bf16 while this kernel selects on fp32
+(logit - lse): logits that tie only after bf16 rounding can resolve
+differently, so ids/values are identical up to bf16-rounding ties.
+Distinct-value ties break by lowest id, lax.top_k's rule.
 """
 
 from __future__ import annotations

@@ -40,9 +40,13 @@ def exact_topk(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """
     N, V = x.shape
     W = _LANES
-    if V <= 4 * W or k > V // 8:
-        return jax.lax.top_k(x, k)
     G = -(-V // W)
+    # Fall back when the two-stage search can't hold k winners: stage 2
+    # runs lax.top_k over the G group maxes (needs k <= G), and the
+    # exactness argument also requires k <= G (k groups must be able to
+    # cover the k winners).
+    if V <= 4 * W or k > V // 8 or k > G:
+        return jax.lax.top_k(x, k)
     pad = G * W - V
     if pad:
         x = jnp.pad(x, ((0, 0), (0, pad)),

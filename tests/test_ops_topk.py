@@ -38,6 +38,17 @@ def test_duplicates_within_one_group():
         np.asarray(i), np.tile(np.arange(256, 261), (2, 1)))
 
 
+def test_k_exceeding_group_count_falls_back():
+    """k in (G, V//8]: stage 2's lax.top_k over G group maxes can't
+    hold k winners — must fall back to lax.top_k (ADVICE r02)."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 5000))
+    # G = ceil(5000/128) = 40 < k=64 <= V//8 = 625
+    v, i = jax.jit(exact_topk, static_argnums=1)(x, 64)
+    rv, ri = jax.lax.top_k(x, 64)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+
+
 def test_neg_inf_rows():
     x = jnp.full((2, 50265), -jnp.inf).at[:, 0].set(0.0)
     v, i = exact_topk(x, 5)
