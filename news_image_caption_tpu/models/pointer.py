@@ -76,7 +76,11 @@ class EntitySelfAttention(nn.Module):
                             preferred_element_type=jnp.float32)
         i = jnp.arange(T)[:, None]
         j = jnp.arange(S)[None, :]
-        causal = jnp.where(j <= i + (S - T), 0.0, NEG)
+        # STRICT causal: the reference masks the diagonal too ("we
+        # don't attend to ourself", downsampled_single_head.py
+        # _mask_future_full: tril(ones, diagonal=-1)); position 0
+        # attends only to the scalar-bias slot.
+        causal = jnp.where(j < i + (S - T), 0.0, NEG)
         scores = scores + causal[None, None]
         # scalar bias: a zero-score, zero-value slot at position 0
         zeros = jnp.zeros((B, H, T, 1), scores.dtype)
@@ -117,7 +121,10 @@ class EntitySelfAttention(nn.Module):
         S = k_c.shape[1]
         scores = jnp.einsum("bthd,bshd->bhts", q, k_c,
                             preferred_element_type=jnp.float32)
-        valid = (jnp.arange(S) <= pos)[None, None, None, :]
+        # Strict causal in incremental mode too: the current token's
+        # K/V is cached but not attended this step
+        # (_mask_future_partial masks the last column).
+        valid = (jnp.arange(S) < pos)[None, None, None, :]
         scores = jnp.where(valid, scores, NEG)
         zeros = jnp.zeros((B, H, 1, 1), scores.dtype)
         scores = jnp.concatenate([zeros, scores], axis=-1)
@@ -333,7 +340,11 @@ class TransformerPointer:
         relevant = batch["context_proper_masks"] >= 1    # [B, S]
         copy_attn = copy_attn * relevant[:, None, :]
         p_tgt = copy_target_prob(copy_attn, batch["article_ids"], tgt)
-        log_p = jnp.log(jnp.maximum(p_tgt, 1e-12))
+        # Reference quirk (transformer_pointer.py:297-299): log-probs
+        # are only filled where copy mass is positive, so a target with
+        # zero copy probability contributes 0 loss, not -log(eps).
+        log_p = jnp.where(p_tgt > 0,
+                          jnp.log(jnp.maximum(p_tgt, 1e-12)), 0.0)
         copy_loss = jnp.float32(0.0)
         for i in range(1, self.max_entities + 1):
             m = copy_masks == i
@@ -398,7 +409,6 @@ class TransformerPointer:
                 article_mask)[:, 0, :]
             attn = attn * relevant
             dist = copy_distribution(attn, context_ids, self.vocab_size)
-            dist = jnp.where(copied, 0.0, dist)  # no repeat copying
             key, k1, k2 = jax.random.split(key, 3)
             topc_p, topc_idx = jax.lax.top_k(dist, config.sampling_topk)
             if config.sampling_topk == 1:
@@ -410,7 +420,13 @@ class TransformerPointer:
                 topc_idx, choice_c[:, None], axis=1)[:, 0]
             copy_p = jnp.take_along_axis(
                 topc_p, choice_c[:, None], axis=1)[:, 0]
-            should_copy = should_copy & (copy_p >= 1e-6)
+            # Reference semantics (transformer_pointer.py:585-625): the
+            # candidate is selected on the UNMASKED distribution; if it
+            # has (near-)zero mass or was already copied, copying is
+            # suppressed for this step (fall back to generation) rather
+            # than re-ranked to the next-best candidate.
+            has_copied = copied[jnp.arange(B), copy_tok]
+            should_copy = should_copy & (copy_p >= 1e-6) & ~has_copied
             # generated token
             topg_lp, topg_idx = jax.lax.top_k(lp, config.sampling_topk)
             topg_lp = topg_lp / config.sampling_temp

@@ -315,6 +315,30 @@ class AdaptiveSoftmax(nn.Module):
             parts.append(t + head_lp[:, c0 + i, None])
         return torch.cat(parts, dim=-1)
 
+    def adaptive_loss(self, x, target, padding_idx=1):
+        """The reference training criterion (adaptive_loss.py:27-73):
+        per-cluster F.cross_entropy with ignore_index=padding_idx —
+        including the fairseq quirk that an IN-TAIL RELATIVE index
+        equal to padding_idx is silently ignored. Returns
+        (loss_sum, ntokens)."""
+        c0 = self.cutoff[0]
+        head_target = target.clone()
+        for i in range(1, len(self.cutoff)):
+            lo, hi = self.cutoff[i - 1], self.cutoff[i]
+            head_target[(target >= lo) & (target < hi)] = c0 + i - 1
+        loss = F.cross_entropy(self.head(x), head_target,
+                               ignore_index=padding_idx,
+                               reduction="sum")
+        for i, tail in enumerate(self.tail):
+            lo, hi = self.cutoff[i], self.cutoff[i + 1]
+            m = (target >= lo) & (target < hi)
+            if m.any():
+                loss = loss + F.cross_entropy(
+                    tail(x[m]), target[m] - lo,
+                    ignore_index=padding_idx, reduction="sum")
+        ntokens = (target != padding_idx).sum()
+        return loss, ntokens
+
 
 class DynamicConvDecoderLayer(nn.Module):
     """decoder_flattened.py:212-359 (normalize_before=False)."""
