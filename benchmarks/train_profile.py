@@ -17,6 +17,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 import __graft_entry__ as ge  # noqa: E402
+from benchmarks.flash_train_bench import flagship  # noqa: E402
 from news_image_caption_tpu.training.optim import make_bert_adam  # noqa: E402
 from news_image_caption_tpu.training.train_step import (  # noqa: E402
     TrainState, make_train_step)
@@ -26,7 +27,11 @@ LOGDIR = "/tmp/train_profile"
 
 
 def main():
-    model = ge._flagship(dtype=jnp.bfloat16)
+    variant = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    use_flash = variant.startswith("flash")
+    o2 = variant.endswith("o2")
+    model = (flagship(True) if use_flash
+             else ge._flagship(dtype=jnp.bfloat16))
     batch = ge._batch(B=BATCH, T=64, P=49, S=512, image_dim=2048,
                       article_dim=1024, vocab=50265)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
@@ -36,9 +41,14 @@ def main():
         return model.loss_fn(p, b, dropout_rng=rng)
 
     step = make_train_step(loss_fn, tx, donate=True,
-                           compute_dtype=jnp.bfloat16)
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params))
+                           compute_dtype=jnp.bfloat16, o2_master=o2)
+    if o2:
+        from news_image_caption_tpu.training.train_step import \
+            create_o2_train_state
+        state = create_o2_train_state(params, tx)
+    else:
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
     rng = jax.random.PRNGKey(1)
     state, m = step(state, batch, rng)
     np.asarray(m["loss"])

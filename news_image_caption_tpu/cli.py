@@ -71,7 +71,12 @@ def train_command(args) -> int:
 
     sample = next(train_ds.batches(batch_size))
     params = model.init(jax.random.PRNGKey(tcfg.get("seed", 0)), sample)
-    state = create_train_state(params, tx)
+    if tcfg.get("mixed_precision") == "bf16_o2":
+        from news_image_caption_tpu.training.train_step import \
+            create_o2_train_state
+        state = create_o2_train_state(params, tx)
+    else:
+        state = create_train_state(params, tx)
 
     trainer = Trainer(model.loss_fn, tx, TrainerConfig(
         num_epochs=tcfg.get("num_epochs", 10),

@@ -23,6 +23,7 @@ import re
 from collections import defaultdict
 from typing import Dict, List, Optional
 
+from news_image_caption_tpu.evaluation.meteor import meteor
 from news_image_caption_tpu.evaluation.metrics import (BleuScorer,
                                                        CiderScorer,
                                                        RougeScorer)
@@ -32,7 +33,9 @@ ENTITY_LABELS = [("", "ent"), ("PERSON", "person"), ("ORG", "orgs"),
 
 
 def meteor_lite(hyp: str, ref: str) -> float:
-    """Exact+stem unigram alignment METEOR (no Java, no wordnet)."""
+    """DEPRECATED single-pass variant kept for comparison; scoring
+    now uses evaluation.meteor.meteor (staged exact->stem alignment,
+    meteor-1.5 parameters, nltk-validated core)."""
     try:
         from nltk.stem import PorterStemmer
         stem = PorterStemmer().stem
@@ -149,7 +152,7 @@ def compute_metrics(jsonl_path: str,
             bleu += (gen_clean, [cap_clean])
             rouge += (gen_clean, [cap_clean])
             ciderer += (gen_clean, [cap_clean])
-            meteor_scores.append(meteor_lite(gen_clean, cap_clean))
+            meteor_scores.append(meteor(gen_clean, cap_clean))
 
             if "gen_np" in obj:
                 gen_ttrs.append(obj["gen_np"]["basic_ttr"])
@@ -185,7 +188,7 @@ def compute_metrics(jsonl_path: str,
         "BLEU-1": bleu_corpus[0], "BLEU-2": bleu_corpus[1],
         "BLEU-3": bleu_corpus[2], "BLEU-4": bleu_corpus[3],
         "ROUGE": rouge_mean,
-        "METEOR (exact+stem variant)": mean(meteor_scores),
+        "METEOR (1.5 params, exact+stem modules)": mean(meteor_scores),
         "CIDEr": cider_mean,
         "All names - recall": _ratio(agg["full_recall"],
                                      agg["full_recall_total"]),

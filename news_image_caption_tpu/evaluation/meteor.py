@@ -1,0 +1,152 @@
+"""Pure-Python METEOR with staged alignment (exact -> stem [-> syn]).
+
+Capability parity target: the reference scores captions with
+pycocoevalcap's METEOR (/root/reference/ttl/scripts/compute_metrics.py:23-27),
+which shells out to the meteor-1.5 Java jar. Neither the jar, java,
+nor the wordnet/paraphrase data files exist in this image (zero
+egress), so this module vendors the METEOR algorithm itself:
+
+- staged unigram alignment: exact surface match first, then Porter-stem
+  match on the remainder (optionally a synonym stage when a synonym
+  lookup is supplied); within each stage, greedy first-available
+  matching in hypothesis order — the same discipline as nltk's
+  `meteor_score` aligner, against which the core is validated
+  (tests/test_metrics.py: score-identical with nltk's parameters and
+  its synonym stage stubbed out);
+- parameterized scoring: fmean = P·R / (α·P + (1-α)·R), fragmentation
+  penalty = γ·(chunks/matches)^β, score = fmean·(1 - penalty);
+- `params="1.5"` (default) uses the meteor-1.5 tuned English weights
+  (Denkowski & Lavie 2014: α=0.85, β=0.2, γ=0.6) with per-module
+  match weights (exact 1.0, stem 0.6, synonym 0.8);
+  `params="classic"` uses the METEOR-2007 parameters (α=0.9, β=3.0,
+  γ=0.5, all modules weight 1.0) — the exact configuration nltk
+  implements.
+
+CAVEAT (recorded, not hidden): without the wordnet synonym module and
+the meteor-1.5 paraphrase tables, scores are NOT numerically identical
+to the reference's jar on sentences where those stages would add
+matches; they agree wherever exact+stem alignment saturates. The
+function-word discount (δ) is likewise inactive without the jar's
+function.words list.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+__all__ = ["meteor", "align", "MeteorParams"]
+
+
+class MeteorParams:
+    __slots__ = ("alpha", "beta", "gamma", "weights")
+
+    def __init__(self, alpha: float, beta: float, gamma: float,
+                 weights: Tuple[float, ...]):
+        self.alpha = alpha
+        self.beta = beta
+        self.gamma = gamma
+        self.weights = weights
+
+
+PARAMS = {
+    # meteor-1.5 tuned English (adequacy task), module weights
+    # (exact, stem, synonym)
+    "1.5": MeteorParams(0.85, 0.2, 0.6, (1.0, 0.6, 0.8)),
+    # METEOR 2007 defaults == nltk.translate.meteor_score
+    "classic": MeteorParams(0.9, 3.0, 0.5, (1.0, 1.0, 1.0)),
+}
+
+
+def _porter():
+    try:
+        from nltk.stem import PorterStemmer
+        return PorterStemmer().stem
+    except Exception:  # pragma: no cover
+        return lambda w: w
+
+
+def _greedy_stage(hyp: List[Tuple[int, str]], ref: List[Tuple[int, str]],
+                  key: Callable[[str], str]):
+    """Greedy matching: reverse hypothesis order, each word taken by
+    the LAST still-unused reference occurrence — the exact discipline
+    of nltk's `_match_enums`, against which the aligner is validated
+    (the original METEOR aligner beam-searches to minimize chunks;
+    both greedy schemes approximate it, so we pin the one we can
+    cross-check). Returns (matches, unmatched_hyp, unmatched_ref)."""
+    positions = {}
+    for idx, (_, w) in enumerate(ref):
+        positions.setdefault(key(w), []).append(idx)
+    matches = []
+    used_h, used_r = set(), set()
+    for i in range(len(hyp) - 1, -1, -1):
+        stack = positions.get(key(hyp[i][1]))
+        if stack:
+            idx = stack.pop()
+            used_h.add(i)
+            used_r.add(idx)
+            matches.append((hyp[i][0], ref[idx][0]))
+    left_h = [p for i, p in enumerate(hyp) if i not in used_h]
+    left_r = [p for j, p in enumerate(ref) if j not in used_r]
+    return matches, left_h, left_r
+
+
+def align(hyp_tokens: Sequence[str], ref_tokens: Sequence[str],
+          synonyms: Optional[Callable[[str], set]] = None):
+    """Staged alignment. Returns (stage_matches, all_matches) where
+    stage_matches is a list per module of [(hyp_i, ref_j)]."""
+    stem = _porter()
+    h = list(enumerate(hyp_tokens))
+    r = list(enumerate(ref_tokens))
+    exact, h, r = _greedy_stage(h, r, lambda w: w)
+    stems, h, r = _greedy_stage(h, r, stem)
+    syn: List[Tuple[int, int]] = []
+    if synonyms is not None:
+        matches = []
+        used = set()
+        left_h = []
+        for i, w in h:
+            sw = synonyms(w) | {w}
+            for idx, (j, v) in enumerate(r):
+                if idx in used:
+                    continue
+                if v in sw or w in synonyms(v):
+                    used.add(idx)
+                    matches.append((i, j))
+                    break
+            else:
+                left_h.append((i, w))
+        syn = matches
+    stages = [exact, stems, syn]
+    all_matches = sorted(exact + stems + syn)
+    return stages, all_matches
+
+
+def _chunks(matches: List[Tuple[int, int]]) -> int:
+    if not matches:
+        return 0
+    ch = 1
+    for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
+        if not (i2 == i1 + 1 and j2 == j1 + 1):
+            ch += 1
+    return ch
+
+
+def meteor(hypothesis: str, reference: str, params: str = "1.5",
+           synonyms: Optional[Callable[[str], set]] = None) -> float:
+    """Sentence METEOR of `hypothesis` against one `reference`."""
+    p = PARAMS[params]
+    h = hypothesis.lower().split()
+    r = reference.lower().split()
+    if not h or not r:
+        return 0.0
+    stages, all_matches = align(h, r, synonyms)
+    m = len(all_matches)
+    if m == 0:
+        return 0.0
+    w_m = sum(w * len(s) for w, s in zip(p.weights, stages))
+    prec = w_m / len(h)
+    rec = w_m / len(r)
+    fmean = prec * rec / (p.alpha * prec + (1 - p.alpha) * rec)
+    frag = _chunks(all_matches) / m
+    penalty = p.gamma * (frag ** p.beta)
+    return fmean * (1.0 - penalty)

@@ -48,6 +48,11 @@ class GenerationConfig:
     # HBM stream of decode at ~0.5% RMS K/V error — captions may
     # differ from exact bf16 decoding (see ops/attention.py).
     quantize_kv: bool = False
+    # int8 adaptive-softmax word tables (ops/adaptive.py QuantTable):
+    # halves the ~100 MB/step head-table stream at ~0.4% RMS logit
+    # error — selection can differ near ties, so opt-in like
+    # quantize_kv; the exact path stays the default.
+    quantize_head: bool = False
     # Stop the decode loop as soon as every sequence has emitted eos
     # (lax.while_loop instead of a fixed-length scan). Identical
     # outputs — finished rows already emit pad — but wall-clock

@@ -106,6 +106,14 @@ class TransformerFlattened:
         caches = self.decoder.init_cache(batch_size)
         return kvs, caches
 
+    def _head_tables(self, params, config):
+        """Opt-in int8 head tables, quantized ONCE per generation
+        (outside the decode scan), like the KV relayout."""
+        if not getattr(config, "quantize_head", False):
+            return None
+        return self.decoder.apply(
+            params, method=DynamicConvDecoder.quantized_embed_tables)
+
     def _step_fn(self, params, kvs):
         def step(tok, i, caches):
             return self.decoder.apply(
@@ -128,11 +136,12 @@ class TransformerFlattened:
                                     quantize_kv=config.quantize_kv)
         caches = self.decoder.init_cache(B, ring_major=ring_major)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
+        tables = self._head_tables(params, config)
 
         def step(tok, i, caches):
             return self.decoder.apply(
                 params, tok, i, kvs, caches, config.sampling_topk,
-                ring_major=ring_major,
+                ring_major=ring_major, tables=tables,
                 method=DynamicConvDecoder.step_topk)
 
         return generate_candidates(step, caches, seed, config, rng)
@@ -178,10 +187,12 @@ class TransformerFlattened:
             caches = self.decoder.init_cache(B * K,
                                              ring_major=ring_major)
 
+            tables = self._head_tables(params, config)
+
             def step(tok, i, caches):
                 return self.decoder.apply(
                     params, tok, i, kvs, caches, K, beam=K,
-                    ring_major=ring_major,
+                    ring_major=ring_major, tables=tables,
                     method=DynamicConvDecoder.step_topk)
 
             reorder = None

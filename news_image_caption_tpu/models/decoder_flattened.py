@@ -110,6 +110,10 @@ class DynamicConvDecoderLayer(nn.Module):
     # Opt-in fused Pallas step kernels (see
     # DynamicConvDecoder.fused_decode_ok for the measured tradeoff).
     use_fused_decode: bool = False
+    # Fused flash-style context attention for the full-sequence
+    # (train) path, with in-kernel PRNG dropout (ops/pallas_flash.py).
+    use_flash_train: bool = False
+    flash_interpret: bool = False
 
     def setup(self):
         out_mult = 2 if self.decoder_glu else 1
@@ -134,6 +138,8 @@ class DynamicConvDecoderLayer(nn.Module):
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
                 kdim=cdim, vdim=cdim,
                 dropout=self.attention_dropout,
+                use_flash=self.use_flash_train,
+                flash_interpret=self.flash_interpret,
                 param_dtype=self.param_dtype, name=f"{cname}_attn")
             lns[cname] = nn.LayerNorm(dtype=self.dtype,
                           name=f"{cname}_attn_ln")
@@ -394,6 +400,10 @@ class DynamicConvDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     # Opt-in fused Pallas decode-step kernels (see fused_decode_ok).
     use_fused_decode: bool = False
+    # Flash-style fused context attention on the full-sequence (train)
+    # path, in-kernel PRNG dropout (ops/pallas_flash.py).
+    use_flash_train: bool = False
+    flash_interpret: bool = False
 
     def setup(self):
         assert len(self.kernel_sizes) == self.num_layers
@@ -426,6 +436,8 @@ class DynamicConvDecoder(nn.Module):
                 dtype=(None if self.dtype == jnp.float32
                        else self.dtype),
                 use_fused_decode=self.use_fused_decode,
+                use_flash_train=self.use_flash_train,
+                flash_interpret=self.flash_interpret,
                 name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
@@ -533,6 +545,14 @@ class DynamicConvDecoder(nn.Module):
                 and self.conv_type == "dynamic" and self.decoder_glu
                 and self.weight_softmax and not self.normalize_before)
 
+    def quantized_embed_tables(self):
+        """int8 head tables for the opt-in quantized decode head
+        (GenerationConfig.quantize_head). Compute ONCE outside the
+        decode scan and pass to step/step_topk via `tables=`."""
+        from news_image_caption_tpu.ops.adaptive import \
+            quantize_embed_tables
+        return quantize_embed_tables(self.embedder.embed_tables())
+
     def step(self, token_t: jax.Array, step_idx: jax.Array | int,
              kvs: List[LayerKV], caches: List[jax.Array],
              beam: int = 1):
@@ -585,7 +605,8 @@ class DynamicConvDecoder(nn.Module):
 
     def step_topk(self, token_t: jax.Array, step_idx: jax.Array | int,
                   kvs: List[LayerKV], caches: List[jax.Array],
-                  k: int, beam: int = 1, ring_major: bool = False):
+                  k: int, beam: int = 1, ring_major: bool = False,
+                  tables=None):
         """One decode step returning only the top-k candidates.
 
         Like `step` but the head computes an EXACT banded top-k
@@ -605,14 +626,16 @@ class DynamicConvDecoder(nn.Module):
             new_caches.append(nc)
         if self.normalize_before and self.final_norm:
             x = self.layer_norm(x)
-        tables = self.embedder.embed_tables()
+        if tables is None:
+            tables = self.embedder.embed_tables()
         v, ids = self.adaptive_softmax.topk_log_prob(x, k, tables)
         return v, ids, new_caches
 
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,
                          kvs: List[LayerKV], caches: List[jax.Array],
-                         beam: int = 1, use_ring: bool = True):
+                         beam: int = 1, use_ring: bool = True,
+                         tables=None):
         """Like `step` but also returns the hidden state [B, D]
         (needed by the pointer family's entity/copy heads). With
         beam > 1, kvs must be for the untiled batch (shared K/V).
@@ -627,7 +650,8 @@ class DynamicConvDecoder(nn.Module):
             new_caches.append(nc)
         if self.normalize_before and self.final_norm:
             x = self.layer_norm(x)
-        tables = self.embedder.embed_tables()
+        if tables is None:
+            tables = self.embedder.embed_tables()
         lp = self.adaptive_softmax.log_prob(x, tables)
         return lp, x, new_caches
 

@@ -47,6 +47,7 @@ struct Shard {
 struct Slot {
   std::vector<uint8_t> buf;
   long n_filled = 0;
+  uint64_t batch_idx = 0;
   bool ready = false;
 };
 
@@ -59,12 +60,12 @@ struct Reader {
   long batch_size = 0;
   bool drop_last = true;
   std::vector<std::pair<uint32_t, uint64_t>> order;  // (shard, record)
-  std::atomic<size_t> next_batch_idx{0};
+  size_t next_claim = 0;     // guarded by mu
+  size_t next_deliver = 0;   // guarded by mu
   size_t n_batches = 0;
 
   std::vector<Slot> slots;
   std::deque<size_t> free_slots;
-  std::deque<size_t> ready_slots;
   std::mutex mu;
   std::condition_variable cv_free, cv_ready;
   std::vector<std::thread> threads;
@@ -76,17 +77,24 @@ struct Reader {
   }
 };
 
+// Workers claim a batch index ONLY together with a staging slot
+// (under the same mutex). Two invariants follow: at most n_slots
+// batches are in flight, and every claimed index has a slot and will
+// complete — so the consumer can demand batches in INDEX order
+// (deterministic delivery regardless of thread scheduling; the
+// original completion-order delivery made the batch stream depend on
+// worker races, which broke resume determinism) without deadlock.
 void worker_loop(Reader* rd) {
-  while (!rd->stop.load()) {
-    size_t bi = rd->next_batch_idx.fetch_add(1);
-    if (bi >= rd->n_batches) break;
-    size_t slot_idx;
+  while (true) {
+    size_t bi, slot_idx;
     {
       std::unique_lock<std::mutex> lk(rd->mu);
       rd->cv_free.wait(lk, [&] {
-        return !rd->free_slots.empty() || rd->stop.load();
+        return rd->stop.load() || rd->next_claim >= rd->n_batches ||
+               !rd->free_slots.empty();
       });
-      if (rd->stop.load()) break;
+      if (rd->stop.load() || rd->next_claim >= rd->n_batches) break;
+      bi = rd->next_claim++;
       slot_idx = rd->free_slots.front();
       rd->free_slots.pop_front();
     }
@@ -103,10 +111,10 @@ void worker_loop(Reader* rd) {
     slot.n_filled = n;
     {
       std::lock_guard<std::mutex> lk(rd->mu);
+      slot.batch_idx = bi;
       slot.ready = true;
-      rd->ready_slots.push_back(slot_idx);
     }
-    rd->cv_ready.notify_one();
+    rd->cv_ready.notify_all();
   }
   if (rd->live_workers.fetch_sub(1) == 1) {
     // last worker out: wake the consumer so it can observe EOF
@@ -171,9 +179,15 @@ long shard_record_bytes(void* h) {
   return static_cast<long>(static_cast<Reader*>(h)->record_bytes);
 }
 
+void shard_stop(void* h);
+
 int shard_start(void* h, long batch_size, int n_threads, int n_slots,
                 int shuffle, long seed, int drop_last) {
   auto* rd = static_cast<Reader*>(h);
+  // Restarting over a still-running epoch (e.g. an abandoned Python
+  // generator) must first quiesce the old workers — they hold
+  // references to slots/order that are about to be reset.
+  shard_stop(h);
   rd->batch_size = batch_size;
   rd->drop_last = drop_last != 0;
   rd->order.clear();
@@ -187,11 +201,11 @@ int shard_start(void* h, long batch_size, int n_threads, int n_slots,
   size_t n = rd->order.size();
   rd->n_batches = rd->drop_last ? n / batch_size
                                 : (n + batch_size - 1) / batch_size;
-  rd->next_batch_idx.store(0);
+  rd->next_claim = 0;
+  rd->next_deliver = 0;
   rd->stop.store(false);
   rd->slots.assign(static_cast<size_t>(n_slots), Slot{});
   rd->free_slots.clear();
-  rd->ready_slots.clear();
   for (int i = 0; i < n_slots; ++i) {
     rd->slots[i].buf.resize(batch_size * rd->record_bytes);
     rd->free_slots.push_back(i);
@@ -203,18 +217,30 @@ int shard_start(void* h, long batch_size, int n_threads, int n_slots,
 }
 
 // Returns number of records copied into `out` (0 = end of epoch).
+// Batches are delivered in batch-index order (deterministic).
 long shard_next(void* h, uint8_t* out, long out_bytes) {
   auto* rd = static_cast<Reader*>(h);
   size_t slot_idx;
   {
     std::unique_lock<std::mutex> lk(rd->mu);
+    auto find_expected = [&]() -> long {
+      for (size_t i = 0; i < rd->slots.size(); ++i)
+        if (rd->slots[i].ready &&
+            rd->slots[i].batch_idx == rd->next_deliver)
+          return static_cast<long>(i);
+      return -1;
+    };
+    long idx = -1;
     rd->cv_ready.wait(lk, [&] {
-      return !rd->ready_slots.empty() ||
-             (rd->live_workers.load() == 0);
+      idx = find_expected();
+      return idx >= 0 || rd->live_workers.load() == 0;
     });
-    if (rd->ready_slots.empty()) return 0;  // epoch exhausted
-    slot_idx = rd->ready_slots.front();
-    rd->ready_slots.pop_front();
+    if (idx < 0) {
+      idx = find_expected();   // workers done; last batches may wait
+      if (idx < 0) return 0;   // epoch exhausted
+    }
+    slot_idx = static_cast<size_t>(idx);
+    rd->next_deliver++;
   }
   Slot& slot = rd->slots[slot_idx];
   long n = slot.n_filled;

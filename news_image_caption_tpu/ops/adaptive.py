@@ -27,7 +27,7 @@ decoder constructs both and feeds `embed_tables` explicitly).
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,52 @@ from flax import linen as nn
 from news_image_caption_tpu.ops.dropout import dropout
 
 Dtype = Any
+
+
+class QuantTable(NamedTuple):
+    """int8-quantized word table for the DECODE head (opt-in).
+
+    Decode is bandwidth-bound and the adaptive head streams the three
+    band tables (~100 MB bf16 at the flagship sizes) every step. The
+    proven quantize-the-stream recipe from the int8 KV cache
+    (ops/attention.py QuantDecodeKV) applied to the tables: int8
+    storage halves the stream; the per-ROW (per vocab word) scale
+    factors out of the logits matmul — logits[n, v] =
+    scale[v] · (x @ q[v]ᵀ) — so dequantization is a fused epilogue
+    multiply and the int8→bf16 convert fuses into the dot operand.
+    Accuracy: ~0.4% RMS on each word row; selection can differ near
+    ties, so this is opt-in (GenerationConfig.quantize_head), NOT the
+    exact path. Reference analog: the fp16 tables the reference
+    streams under apex O2 (softmax.py:193-222 + apex cast).
+
+    q [band_v, d] int8; scale [band_v] (compute dtype).
+    """
+
+    q: jax.Array
+    scale: jax.Array
+
+
+def quantize_embed_tables(embed_tables):
+    """[(table, proj)] -> [(QuantTable, proj)] (per-row symmetric)."""
+    out = []
+    for table, proj in embed_tables:
+        t32 = table.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(t32), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
+        out.append((QuantTable(q=q, scale=scale[:, 0].astype(
+            table.dtype)), proj))
+    return out
+
+
+def _word_logits(x, table, dtype):
+    """x [N, d] @ tableᵀ [d, band_v] with optional int8 dequant."""
+    if isinstance(table, QuantTable):
+        raw = jnp.dot(x, table.q.T.astype(x.dtype),
+                      preferred_element_type=dtype)
+        return raw * table.scale[None, :].astype(raw.dtype)
+    return jnp.dot(x, table.T.astype(x.dtype),
+                   preferred_element_type=dtype)
 
 
 def band_ranges(cutoff: Sequence[int]) -> List[Tuple[int, int]]:
@@ -161,8 +207,7 @@ class AdaptiveSoftmax(nn.Module):
         dtype = out_dtype or self.dtype
         if embed_tables is not None:
             table0, _ = embed_tables[0]   # [c0, D]
-            word = jnp.dot(x, table0.T.astype(x.dtype),
-                           preferred_element_type=dtype)
+            word = _word_logits(x, table0, dtype)
         else:
             word = jnp.dot(x, self.untied_head.astype(x.dtype),
                            preferred_element_type=dtype)
@@ -181,8 +226,7 @@ class AdaptiveSoftmax(nn.Module):
             h = dropout(self, h, self.dropout, deterministic=False)
         if embed_tables is not None:
             table_i, _ = embed_tables[i]  # [band_v, d]
-            return jnp.dot(h, table_i.T.astype(h.dtype),
-                           preferred_element_type=dtype)
+            return _word_logits(h, table_i, dtype)
         return jnp.dot(h, self.untied_tails[i - 1].astype(h.dtype),
                        preferred_element_type=dtype)
 

@@ -126,6 +126,17 @@ class MultiHeadAttention(nn.Module):
     add_zero_attn: bool = True
     param_dtype: Dtype = jnp.float32
     dtype: Optional[Dtype] = None
+    # Fused flash-style kernel for the FULL-SEQUENCE (train /
+    # teacher-forced) path: the softmax(qk+bias)->dropout->v chain
+    # runs tile-resident per (batch, head) with in-kernel PRNG
+    # dropout, so no [B,H,T,S] scores/probs/mask ever hit HBM
+    # (ops/pallas_flash.py). Single-chip TPU only (wrap in shard_map
+    # to use under a mesh); falls back to the XLA chain on other
+    # backends, when attention weights are requested, or when an
+    # additive attn_mask is passed. flash_interpret runs the kernel
+    # in interpreter mode (CPU tests).
+    use_flash: bool = False
+    flash_interpret: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -198,6 +209,38 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = query.shape
         q = self.q_proj(query).reshape(B, T, self.num_heads, self.head_dim)
         q = q * (self.head_dim ** -0.5)
+        if (self.use_flash and not need_weights and attn_mask is None
+                and isinstance(kv, AttentionKV) and T > 1
+                and (self.flash_interpret
+                     or jax.default_backend() == "tpu")):
+            from news_image_caption_tpu.ops.pallas_flash import (
+                flash_cross_attention, supported_head_dim)
+            if self.flash_interpret or supported_head_dim(
+                    self.head_dim):
+                # Flat [B, T, E] / [B, S, E] layouts straight from
+                # the projections — no transposes (see
+                # ops/pallas_flash.py design notes).
+                S = kv.k.shape[1]
+                k_flat = kv.k.reshape(B, S, self.embed_dim)
+                v_flat = kv.v.reshape(B, S, self.embed_dim)
+                q_flat = q.reshape(B, T, self.embed_dim)
+                if kv.mask is None:
+                    bias = jnp.zeros((B, S), jnp.float32)
+                else:
+                    bias = jnp.where(kv.mask, 0.0, NEG_INF).astype(
+                        jnp.float32)
+                if self.dropout > 0.0 and not deterministic:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0,
+                        2 ** 31 - 1, dtype=jnp.int32)
+                    p = self.dropout
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                    p = 0.0
+                out = flash_cross_attention(
+                    q_flat, k_flat, v_flat, bias, seed,
+                    self.num_heads, p, self.flash_interpret)
+                return self.out_proj(out), None
         # NOTE (v5e, 2026-08-17): a head-major pre-transposed
         # formulation of these einsums measured IDENTICAL train
         # throughput — XLA canonicalizes both to the same HLO; the

@@ -48,10 +48,31 @@ def _cast_floats(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def create_o2_train_state(params, tx: optax.GradientTransformation,
+                          mesh: Optional[Mesh] = None,
+                          compute_dtype: Any = jnp.bfloat16
+                          ) -> TrainState:
+    """apex-O2-true storage: state.params are the STORED low-precision
+    weights; the fp32 master copy lives in the optimizer state
+    (reference: callback_apex_trainer.py:121-125 keeps fp16 model
+    weights + fp32 master params). Halves the weight stream of every
+    forward/backward; the optimizer updates the master and re-emits
+    the bf16 params each step. Use with
+    make_train_step(..., o2_master=True)."""
+    master = _cast_floats(params, jnp.float32)
+    if mesh is not None:
+        master = shard_params(master, mesh)
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=_cast_floats(master, compute_dtype),
+        opt_state={"master": master, "inner": tx.init(master)})
+
+
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
                     donate: bool = True,
                     guard_nonfinite: bool = True,
-                    compute_dtype: Optional[Any] = None) -> Callable:
+                    compute_dtype: Optional[Any] = None,
+                    o2_master: bool = False) -> Callable:
     """loss_fn(params, batch, dropout_rng) -> (loss, aux).
     Returns jitted step(state, batch, rng) -> (state, metrics).
 
@@ -68,7 +89,51 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     with bf16 params and activations (softmaxes/losses stay fp32
     internally); gradients come back fp32 through the cast transpose.
     No loss scaling — bf16 has fp32's exponent range.
+
+    o2_master=True additionally makes the STORAGE O2-true: the state
+    built by `create_o2_train_state` keeps bf16 stored params (half
+    the fwd/bwd weight stream) and the fp32 master inside the
+    optimizer state; gradients reach the optimizer in fp32.
     """
+
+    def o2_train_step(state: TrainState, batch: Dict[str, jax.Array],
+                      rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        cdtype = compute_dtype or jnp.bfloat16
+
+        def _loss(params):
+            return loss_fn(params, _cast_floats(batch, cdtype),
+                           dropout_rng)
+
+        (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
+            state.params)
+        master = state.opt_state["master"]
+        grads = _cast_floats(grads, jnp.float32)
+        updates, inner = tx.update(grads, state.opt_state["inner"],
+                                   master)
+        master = optax.apply_updates(master, updates)
+        params = _cast_floats(master, cdtype)
+        opt_state = {"master": master, "inner": inner}
+        if guard_nonfinite:
+            good = jnp.isfinite(loss)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(good, new, old),
+                params, state.params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(good, new, old),
+                opt_state, state.opt_state)
+            skipped = (~good).astype(jnp.int32)
+        else:
+            skipped = jnp.zeros((), jnp.int32)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "skipped": skipped, **aux}
+        return new_state, metrics
+
+    if o2_master:
+        return jax.jit(o2_train_step,
+                       donate_argnums=(0,) if donate else ())
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):

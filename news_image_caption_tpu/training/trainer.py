@@ -38,8 +38,11 @@ class TrainerConfig:
     log_every: int = 40
     serialization_dir: str = "runs/default"
     skip_nan_batches: bool = True           # ref: trainer :225-227
-    # "bf16" = apex-O2-style mixed precision (fp32 master params,
-    # bf16 compute); None/"fp32" = full precision.
+    # "bf16" = apex-O2-style mixed precision (fp32 stored params cast
+    # to bf16 compute each step); "bf16_o2" = O2-TRUE storage (bf16
+    # stored params + fp32 master inside the optimizer state — build
+    # the state with create_o2_train_state); None/"fp32" = full
+    # precision.
     mixed_precision: Optional[str] = None
     # Reference OOM recovery (final_roberta2/custom_v4.py:286-363):
     # skip the batch, collect garbage, keep training; give up after
@@ -53,10 +56,12 @@ class Trainer:
                  eval_loss_fn: Optional[Callable] = None):
         self.config = config
         self.tx = tx
+        mp = config.mixed_precision
         compute_dtype = (jnp.bfloat16
-                         if config.mixed_precision == "bf16" else None)
+                         if mp in ("bf16", "bf16_o2") else None)
         self.train_step = make_train_step(loss_fn, tx, donate=True,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          o2_master=(mp == "bf16_o2"))
         self.eval_step = make_eval_step(eval_loss_fn or loss_fn)
         self.store = CheckpointStore(
             os.path.join(config.serialization_dir, "checkpoints"),

@@ -119,3 +119,42 @@ def test_shard_open_rejects_corrupt_files(tmp_path):
     assert h
     assert lib.shard_num_records(ctypes.c_void_p(h)) == 1
     lib.shard_close(ctypes.c_void_p(h))
+
+
+def test_resume_mid_epoch_deterministic_over_shards(tmp_path):
+    """VERDICT r02 item 5: FixedStepsLoader over the C++ shard reader
+    resumes mid-STREAM deterministically — epoch E of a fresh loader
+    yields byte-identical batches to continuous iteration, across the
+    shard-epoch boundary (seed rollover included)."""
+    from news_image_caption_tpu.data.loader import FixedStepsLoader
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"t-{s}.nics")
+        write_shard(p, {
+            "x": rng.randint(0, 1000, size=(20, 3)).astype(np.int32)})
+        paths.append(p)
+    loader = NativeShardLoader(paths, batch_size=4)
+    per_seed = 40 // 4
+
+    def make_batches(seed):
+        return loader.epoch(shuffle=True, seed=seed)
+
+    steps = 7        # not a divisor of per_seed -> epochs straddle
+    fsl = FixedStepsLoader(make_batches, steps_per_epoch=steps,
+                           batches_per_seed=per_seed)
+    continuous = []
+    for e in range(4):
+        continuous.extend(np.copy(b["x"]) for b in fsl.epoch(e))
+    # fresh loader resuming straight at epoch 2 (mid seed-0 stream)
+    loader2 = NativeShardLoader(paths, batch_size=4)
+    fsl2 = FixedStepsLoader(lambda seed: loader2.epoch(shuffle=True,
+                                                       seed=seed),
+                            steps_per_epoch=steps,
+                            batches_per_seed=per_seed)
+    resumed = [np.copy(b["x"]) for b in fsl2.epoch(2)]
+    for a, b in zip(continuous[2 * steps:3 * steps], resumed):
+        np.testing.assert_array_equal(a, b)
+    loader.close()
+    loader2.close()

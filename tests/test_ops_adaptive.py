@@ -128,3 +128,46 @@ def test_topk_log_prob_matches_dense_topk():
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_quantized_head_tables_rms_and_captions():
+    """Opt-in int8 head tables (QuantTable): per-row RMS logit error
+    bounded, and toy-model greedy captions identical to the exact
+    path (flagship-scale captions may differ near ties — documented
+    opt-in tradeoff, like quantize_kv)."""
+    import __graft_entry__ as ge
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    from news_image_caption_tpu.ops.adaptive import (
+        QuantTable, quantize_embed_tables)
+
+    model = ge._flagship(tiny=True)
+    batch = ge._batch(B=3, T=12, P=4, S=9, image_dim=16,
+                      article_dim=24, vocab=64, key=5)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    tables = model.decoder.apply(
+        params, method=type(model.decoder).quantized_embed_tables)
+    assert isinstance(tables[0][0], QuantTable)
+    # per-table dequant RMS error < 1% of rms magnitude
+    raw = model.decoder.apply(
+        params, method=lambda m: m.embedder.embed_tables())
+    qts = quantize_embed_tables(raw)
+    for (t, _), (qt, _) in zip(raw, qts):
+        deq = qt.q.astype(jnp.float32) * qt.scale.astype(
+            jnp.float32)[:, None]
+        err = jnp.sqrt(jnp.mean((deq - t) ** 2))
+        mag = jnp.sqrt(jnp.mean(t ** 2))
+        assert float(err / mag) < 0.01
+
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    cfg_q = GenerationConfig(max_len=10, sampling_topk=1,
+                             quantize_head=True)
+    toks, _ = model.generate(params, batch, cfg)
+    toks_q, _ = model.generate(params, batch, cfg_q)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_q))
+
+    out = model.generate_beam(params, batch,
+                              GenerationConfig(max_len=10, beam_size=3,
+                                               quantize_head=True))
+    assert np.asarray(out[0]).shape[1] == 3

@@ -195,6 +195,48 @@ def test_bf16_mixed_precision_matches_fp32_trajectory():
 
 
 @pytest.mark.slow
+def test_o2_master_params_match_bf16_trajectory():
+    """O2-TRUE storage (bf16 stored params + fp32 master in the opt
+    state, create_o2_train_state) tracks the cast-per-step bf16 path:
+    the forward sees identical bf16 weights, only the gradient
+    round-trip differs by bf16 rounding."""
+    from news_image_caption_tpu.training.train_step import (
+        create_o2_train_state, create_train_state, make_train_step)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    state_a = create_train_state(params, tx)
+    step_a = make_train_step(model.loss_fn, tx, donate=False,
+                             compute_dtype=jnp.bfloat16)
+    state_b = create_o2_train_state(params, tx)
+    step_b = make_train_step(model.loss_fn, tx, donate=False,
+                             compute_dtype=jnp.bfloat16,
+                             o2_master=True)
+    # stored params really are bf16; master really is fp32
+    leaf = jax.tree_util.tree_leaves(state_b.params)[0]
+    assert leaf.dtype == jnp.bfloat16
+    mleaf = jax.tree_util.tree_leaves(state_b.opt_state["master"])[0]
+    assert mleaf.dtype == jnp.float32
+
+    tra, trb = [], []
+    for i, b in enumerate(ds.batches(4, seed=0)):
+        state_a, ma = step_a(state_a, b, jax.random.PRNGKey(0))
+        state_b, mb = step_b(state_b, b, jax.random.PRNGKey(0))
+        tra.append(float(ma["loss"]))
+        trb.append(float(mb["loss"]))
+        if i >= 7:
+            break
+    assert all(np.isfinite(trb))
+    np.testing.assert_allclose(trb, tra, rtol=0.05)
+    assert trb[-1] < trb[0]
+
+
+@pytest.mark.slow
 def test_trainer_oom_batches_are_skipped(tmp_path, monkeypatch):
     """RESOURCE_EXHAUSTED batches are skipped with gc, like the
     reference's OOM try/except (final_roberta2/custom_v4.py:286-363)."""
