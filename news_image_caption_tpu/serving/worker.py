@@ -72,6 +72,86 @@ def default_model_builder():
     return predict
 
 
+def flagship_model_builder(max_len: int = 32,
+                           early_exit: bool = True,
+                           quantize_kv: bool = False,
+                           quantize_head: bool = False,
+                           params_path: Optional[str] = None):
+    """Production serving builder: the FLAGSHIP captioner at the
+    reference's serving shapes (article 512×1024, image 49×2048,
+    tasks/captioner.py:79-144), bf16 end-to-end, greedy decode with
+    early exit. Serving knobs (documented tradeoffs):
+
+    - quantize_kv: int8 context K/V (~0.5% RMS; +~20% captions/s at
+      batch decode — BASELINE.md);
+    - quantize_head: int8 adaptive-softmax word tables (~0.4% RMS
+      logit error; halves the head-table stream);
+    both approximate — captions can differ from exact bf16 decoding
+    near ties, so they are off by default.
+
+    params_path: .npz of flattened params ('/'-joined keys, e.g. from
+    `np.savez(path, **flatten(port_checkpoint(...)))`); random init
+    otherwise (latency benches / smoke).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    from news_image_caption_tpu.models.captioner import \
+        TransformerFlattened
+
+    model = TransformerFlattened(
+        vocab_size=50265, cutoff=(5000, 20000, 50265), embed_dim=1024,
+        ffn_dim=4096, num_heads=16, num_layers=4,
+        kernel_sizes=(3, 7, 15, 31), image_dim=2048,
+        article_dim=1024, max_positions=512, dtype=jnp.bfloat16)
+    B, P, S = 1, 49, 512
+    batch = {
+        "caption_ids": jnp.zeros((B, 8), jnp.int32),
+        "image": jnp.zeros((B, P, 2048), jnp.bfloat16),
+        "image_mask": jnp.zeros((B, P), bool),
+        "article": jnp.zeros((B, S, 1024), jnp.bfloat16),
+        "article_mask": jnp.zeros((B, S), bool),
+    }
+    if params_path is not None:
+        import numpy as _np
+        flat = dict(_np.load(params_path))
+        params: Dict[str, Any] = {}
+        for k, v in flat.items():
+            node = params
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(v)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    cfg = GenerationConfig(max_len=max_len, sampling_topk=1,
+                           early_exit=early_exit,
+                           quantize_kv=quantize_kv,
+                           quantize_head=quantize_head)
+    gen = jax.jit(lambda b: model.generate(params, b, cfg)[0])
+
+    def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        b = {
+            "image": jnp.asarray(job["image"], jnp.bfloat16),
+            "image_mask": jnp.asarray(job["image_mask"]),
+            "article": jnp.asarray(job["article"], jnp.bfloat16),
+            "article_mask": jnp.asarray(job["article_mask"]),
+        }
+        return {"tokens": np.asarray(gen(b))}
+
+    def warmup():
+        predict({k: np.asarray(v) for k, v in batch.items()
+                 if k != "caption_ids"})
+
+    predict.warmup = warmup
+    return predict
+
+
 _MP = multiprocessing.get_context("spawn")
 
 
