@@ -72,6 +72,20 @@ def default_model_builder():
     return predict
 
 
+def unflatten_params(flat: Dict[str, Any]):
+    """'/'-joined flat keys -> nested param pytree (the .npz layout
+    `flagship_model_builder(params_path=...)` loads; produce one with
+    np.savez(path, **{'/'.join(path): leaf})."""
+    params: Dict[str, Any] = {}
+    for k, v in flat.items():
+        node = params
+        parts = k.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return params
+
+
 def flagship_model_builder(max_len: int = 32,
                            early_exit: bool = True,
                            quantize_kv: bool = False,
@@ -116,14 +130,9 @@ def flagship_model_builder(max_len: int = 32,
     }
     if params_path is not None:
         import numpy as _np
-        flat = dict(_np.load(params_path))
-        params: Dict[str, Any] = {}
-        for k, v in flat.items():
-            node = params
-            parts = k.split("/")
-            for p in parts[:-1]:
-                node = node.setdefault(p, {})
-            node[parts[-1]] = jnp.asarray(v)
+        params = jax.tree.map(jnp.asarray,
+                              unflatten_params(dict(_np.load(
+                                  params_path))))
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     params = jax.tree.map(
@@ -133,7 +142,10 @@ def flagship_model_builder(max_len: int = 32,
                            early_exit=early_exit,
                            quantize_kv=quantize_kv,
                            quantize_head=quantize_head)
-    gen = jax.jit(lambda b: model.generate(params, b, cfg)[0])
+    # Params must be jit ARGUMENTS, not closure constants: closed-over
+    # flagship weights (~450 MB) embed into the HLO as literals and
+    # overwhelm the remote-compile path.
+    gen = jax.jit(lambda p, b: model.generate(p, b, cfg)[0])
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         b = {
@@ -142,7 +154,7 @@ def flagship_model_builder(max_len: int = 32,
             "article": jnp.asarray(job["article"], jnp.bfloat16),
             "article_mask": jnp.asarray(job["article_mask"]),
         }
-        return {"tokens": np.asarray(gen(b))}
+        return {"tokens": np.asarray(gen(params, b))}
 
     def warmup():
         predict({k: np.asarray(v) for k, v in batch.items()

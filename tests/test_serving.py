@@ -154,3 +154,28 @@ def test_full_model_builder_objects_and_attention_maps():
             assert out[key].shape == (B, T, src + 2)
             s = out[key].sum(-1)
             np.testing.assert_allclose(s, np.ones_like(s), rtol=1e-3)
+
+
+def test_unflatten_params_roundtrip():
+    from news_image_caption_tpu.serving.worker import unflatten_params
+    tree = {"a": {"b": {"kernel": np.ones((2, 3)), "bias": np.zeros(3)},
+                  "c": np.full((4,), 7.0)},
+            "d": np.arange(5)}
+
+    def flatten(node, prefix=""):
+        out = {}
+        for k, v in node.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out.update(flatten(v, key + "/"))
+            else:
+                out[key] = v
+        return out
+
+    flat = flatten(tree)
+    rebuilt = unflatten_params(flat)
+    assert set(rebuilt) == {"a", "d"}
+    np.testing.assert_array_equal(rebuilt["a"]["b"]["kernel"],
+                                  tree["a"]["b"]["kernel"])
+    np.testing.assert_array_equal(rebuilt["a"]["c"], tree["a"]["c"])
+    np.testing.assert_array_equal(rebuilt["d"], tree["d"])
