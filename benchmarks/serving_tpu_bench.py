@@ -8,9 +8,12 @@ reports p50/p95/p99 latency + captions/s. Matches the reference's
 serving topology (/root/reference/ttl/tell/tasks/captioner.py:79-144 +
 server/base.py:30-382).
 
-Run: python benchmarks/serving_tpu_bench.py [N_JOBS] [quantize_kv]
-The parent process stays off the TPU (numpy + zmq only); the worker
-owns the chip.
+Run: python benchmarks/serving_tpu_bench.py [N_JOBS] [quantize_kv] [BATCH]
+BATCH > 1 measures serving THROUGHPUT at a production request batch
+(the worker pre-compiles that shape; clients pad to it — reference
+analog: BasicIterator batching, tasks/captioner.py). The parent
+process stays off the TPU (numpy + zmq only); the worker owns the
+chip.
 """
 
 import sys
@@ -22,16 +25,17 @@ sys.path.insert(0, "/root/repo")
 
 N_JOBS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 QUANT = len(sys.argv) > 2 and sys.argv[2] in ("1", "true", "quantize_kv")
+BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
 
-def make_job(seed=0):
+def make_job(seed=0, B=1):
     rng = np.random.default_rng(seed)
     return {
-        "image": rng.standard_normal((1, 49, 2048)).astype(np.float32),
-        "image_mask": np.zeros((1, 49), bool),
-        "article": rng.standard_normal((1, 512, 1024)).astype(
+        "image": rng.standard_normal((B, 49, 2048)).astype(np.float32),
+        "image_mask": np.zeros((B, 49), bool),
+        "article": rng.standard_normal((B, 512, 1024)).astype(
             np.float32),
-        "article_mask": np.zeros((1, 512), bool),
+        "article_mask": np.zeros((B, 512), bool),
     }
 
 
@@ -44,7 +48,7 @@ def main():
         CaptioningWorker, flagship_model_builder)
 
     builder = functools.partial(flagship_model_builder,
-                                quantize_kv=QUANT)
+                                quantize_kv=QUANT, batch_size=BATCH)
     server = CaptionServer(
         worker_factory=lambda **kw: CaptioningWorker(
             model_builder=builder, **kw),
@@ -54,7 +58,7 @@ def main():
                               timeout_ms=900000)
     try:
         t = time.perf_counter()
-        out = client.caption(make_job())     # worker start + compile
+        out = client.caption(make_job(B=BATCH))     # worker start + compile
         print(f"first job (startup+compile): "
               f"{time.perf_counter()-t:.1f}s, tokens shape "
               f"{out['tokens'].shape}")
@@ -62,16 +66,16 @@ def main():
         t0 = time.perf_counter()
         for i in range(N_JOBS):
             t = time.perf_counter()
-            out = client.caption(make_job(seed=i))
+            out = client.caption(make_job(seed=i, B=BATCH))
             lats.append(time.perf_counter() - t)
         el = time.perf_counter() - t0
         lats_ms = np.array(lats) * 1e3
         tag = "int8-KV" if QUANT else "exact"
-        print(f"FLAGSHIP TPU serving ({tag}, closed loop, B=1): "
+        print(f"FLAGSHIP TPU serving ({tag}, closed loop, B={BATCH}): "
               f"p50 {np.percentile(lats_ms, 50):.1f} ms, "
               f"p95 {np.percentile(lats_ms, 95):.1f} ms, "
               f"p99 {np.percentile(lats_ms, 99):.1f} ms, "
-              f"{N_JOBS/el:.2f} captions/s")
+              f"{N_JOBS*BATCH/el:.2f} captions/s")
     finally:
         client.close()
         server.stop()

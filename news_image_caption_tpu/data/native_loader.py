@@ -40,7 +40,10 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "shard_reader.cc")
+    if (not os.path.exists(_LIB_PATH)
+            or (os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))):
         _build_lib()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.shard_open.restype = ctypes.c_void_p
@@ -55,6 +58,13 @@ def get_lib():
                                 ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_long,
                                 ctypes.c_int]
+    lib.shard_start_soa.restype = ctypes.c_int
+    lib.shard_start_soa.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_long,
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_long),
+                                    ctypes.c_int]
     lib.shard_next.restype = ctypes.c_long
     lib.shard_next.argtypes = [ctypes.c_void_p,
                                ctypes.POINTER(ctypes.c_uint8),
@@ -98,12 +108,23 @@ class NativeShardLoader:
 
     def __init__(self, paths: Sequence[str], batch_size: int,
                  n_threads: int = 2, n_slots: int = 4,
-                 drop_last: bool = True):
+                 drop_last: bool = True, soa: bool = True,
+                 pool_size: int = 8):
+        """soa=True (default): the C++ workers deinterleave records
+        into per-field contiguous regions, so each yielded field array
+        is a ZERO-COPY view of a staging buffer. Buffers rotate
+        through a pool of `pool_size`; a yielded batch stays valid
+        until `pool_size` further batches have been drawn (consumers
+        that hold batches longer — unusual — should copy or set
+        soa=False for the always-copied AoS path).
+        """
         self.paths = list(paths)
         self.batch_size = batch_size
         self.n_threads = n_threads
         self.n_slots = n_slots
         self.drop_last = drop_last
+        self.soa = soa
+        self.pool_size = max(2, pool_size)
         with open(self.paths[0] + ".schema") as f:
             self.schema = json.load(f)
         lib = get_lib()
@@ -117,6 +138,11 @@ class NativeShardLoader:
 
     def __len__(self):
         return get_lib().shard_num_records(self._h)
+
+    def _field_sizes(self):
+        return [int(np.dtype(f["dtype"]).itemsize
+                    * max(np.prod(f["shape"]), 1))
+                for f in self.schema["fields"]]
 
     def _view(self, buf: np.ndarray, n: int) -> Dict[str, np.ndarray]:
         """Reinterpret the raw [n, record_bytes] buffer as field arrays."""
@@ -133,21 +159,53 @@ class NativeShardLoader:
             offset += size
         return out
 
+    def _view_soa(self, buf: np.ndarray, n: int) -> Dict[str, np.ndarray]:
+        """Zero-copy field views of an SoA-filled staging buffer
+        (field f occupies [offset_f, offset_f + n * size_f); offsets
+        are strided by the FULL batch_size, so partial batches still
+        start each field at the same place)."""
+        out = {}
+        offset = 0
+        for f, size in zip(self.schema["fields"], self._field_sizes()):
+            dt = np.dtype(f["dtype"])
+            out[f["name"]] = buf[offset:offset + n * size].view(
+                dt).reshape([n] + f["shape"])
+            offset += self.batch_size * size
+        return out
+
     def epoch(self, shuffle: bool = True, seed: int = 0
               ) -> Iterator[Dict[str, np.ndarray]]:
         lib = get_lib()
-        lib.shard_start(self._h, self.batch_size, self.n_threads,
-                        self.n_slots, int(shuffle), seed,
-                        int(self.drop_last))
         rb = self.schema["record_bytes"]
-        buf = np.empty(self.batch_size * rb, np.uint8)
-        ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if self.soa:
+            sizes = self._field_sizes()
+            arr = (ctypes.c_long * len(sizes))(*sizes)
+            rc = lib.shard_start_soa(
+                self._h, self.batch_size, self.n_threads, self.n_slots,
+                int(shuffle), seed, int(self.drop_last), arr,
+                len(sizes))
+            if rc < 0:
+                raise ValueError("field sizes do not sum to "
+                                 "record_bytes (schema mismatch)")
+            pool = [np.empty(self.batch_size * rb, np.uint8)
+                    for _ in range(self.pool_size)]
+        else:
+            lib.shard_start(self._h, self.batch_size, self.n_threads,
+                            self.n_slots, int(shuffle), seed,
+                            int(self.drop_last))
+            pool = [np.empty(self.batch_size * rb, np.uint8)]
+        view = self._view_soa if self.soa else self._view
+        k = 0
         try:
             while True:
+                buf = pool[k % len(pool)]
+                ptr = buf.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8))
                 n = lib.shard_next(self._h, ptr, buf.nbytes)
                 if n == 0:
                     break
-                yield self._view(buf, int(n))
+                k += 1
+                yield view(buf, int(n))
         finally:
             lib.shard_stop(self._h)
 

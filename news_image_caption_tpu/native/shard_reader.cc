@@ -59,6 +59,15 @@ struct Reader {
   // prefetch state
   long batch_size = 0;
   bool drop_last = true;
+  // SoA mode: workers deinterleave each record's fields into
+  // per-field contiguous regions of the slot buffer (field f of
+  // record i lands at soa_offsets[f] + i * field_sizes[f]). The
+  // consumer can then view each field as a contiguous array with no
+  // further copies — the strided AoS->SoA transpose that otherwise
+  // costs a second full pass over the batch in Python.
+  std::vector<long> field_sizes;
+  std::vector<size_t> soa_offsets;
+  bool soa = false;
   std::vector<std::pair<uint32_t, uint64_t>> order;  // (shard, record)
   size_t next_claim = 0;     // guarded by mu
   size_t next_deliver = 0;   // guarded by mu
@@ -103,10 +112,24 @@ void worker_loop(Reader* rd) {
     size_t end = start + rd->batch_size;
     if (end > rd->order.size()) end = rd->order.size();
     long n = static_cast<long>(end - start);
-    for (size_t i = start; i < end; ++i) {
-      auto [s, r] = rd->order[i];
-      std::memcpy(slot.buf.data() + (i - start) * rd->record_bytes,
-                  rd->record_ptr(s, r), rd->record_bytes);
+    if (rd->soa) {
+      for (size_t i = start; i < end; ++i) {
+        auto [s, r] = rd->order[i];
+        const uint8_t* rec = rd->record_ptr(s, r);
+        size_t rec_off = 0;
+        for (size_t f = 0; f < rd->field_sizes.size(); ++f) {
+          std::memcpy(slot.buf.data() + rd->soa_offsets[f] +
+                          (i - start) * rd->field_sizes[f],
+                      rec + rec_off, rd->field_sizes[f]);
+          rec_off += rd->field_sizes[f];
+        }
+      }
+    } else {
+      for (size_t i = start; i < end; ++i) {
+        auto [s, r] = rd->order[i];
+        std::memcpy(slot.buf.data() + (i - start) * rd->record_bytes,
+                    rd->record_ptr(s, r), rd->record_bytes);
+      }
     }
     slot.n_filled = n;
     {
@@ -181,13 +204,32 @@ long shard_record_bytes(void* h) {
 
 void shard_stop(void* h);
 
-int shard_start(void* h, long batch_size, int n_threads, int n_slots,
-                int shuffle, long seed, int drop_last) {
+// field_sizes/n_fields: per-record field byte sizes for SoA delivery
+// (must sum to record_bytes); n_fields == 0 selects the original
+// interleaved (AoS) delivery.
+int shard_start_soa(void* h, long batch_size, int n_threads,
+                    int n_slots, int shuffle, long seed, int drop_last,
+                    const long* field_sizes, int n_fields) {
   auto* rd = static_cast<Reader*>(h);
   // Restarting over a still-running epoch (e.g. an abandoned Python
   // generator) must first quiesce the old workers — they hold
   // references to slots/order that are about to be reset.
   shard_stop(h);
+  rd->soa = n_fields > 0;
+  rd->field_sizes.clear();
+  if (rd->soa)
+    rd->field_sizes.assign(field_sizes, field_sizes + n_fields);
+  rd->soa_offsets.clear();
+  if (rd->soa) {
+    uint64_t total = 0;
+    size_t off = 0;
+    for (int f = 0; f < n_fields; ++f) {
+      rd->soa_offsets.push_back(off);
+      off += static_cast<size_t>(field_sizes[f]) * batch_size;
+      total += static_cast<uint64_t>(field_sizes[f]);
+    }
+    if (total != rd->record_bytes) return -1;
+  }
   rd->batch_size = batch_size;
   rd->drop_last = drop_last != 0;
   rd->order.clear();
@@ -214,6 +256,12 @@ int shard_start(void* h, long batch_size, int n_threads, int n_slots,
   for (int i = 0; i < n_threads; ++i)
     rd->threads.emplace_back(worker_loop, rd);
   return static_cast<int>(rd->n_batches);
+}
+
+int shard_start(void* h, long batch_size, int n_threads, int n_slots,
+                int shuffle, long seed, int drop_last) {
+  return shard_start_soa(h, batch_size, n_threads, n_slots, shuffle,
+                         seed, drop_last, nullptr, 0);
 }
 
 // Returns number of records copied into `out` (0 = end of epoch).
@@ -244,9 +292,23 @@ long shard_next(void* h, uint8_t* out, long out_bytes) {
   }
   Slot& slot = rd->slots[slot_idx];
   long n = slot.n_filled;
-  long bytes = n * static_cast<long>(rd->record_bytes);
-  if (bytes > out_bytes) bytes = out_bytes;
-  std::memcpy(out, slot.buf.data(), bytes);
+  if (rd->soa) {
+    // Field regions sit at batch_size-strided offsets, so a partial
+    // batch still needs per-field copies at the full-stride offsets.
+    for (size_t f = 0; f < rd->field_sizes.size(); ++f) {
+      long bytes = n * rd->field_sizes[f];
+      long off = static_cast<long>(rd->soa_offsets[f]);
+      if (off + bytes > out_bytes) {
+        bytes = out_bytes - off;
+        if (bytes <= 0) break;
+      }
+      std::memcpy(out + off, slot.buf.data() + off, bytes);
+    }
+  } else {
+    long bytes = n * static_cast<long>(rd->record_bytes);
+    if (bytes > out_bytes) bytes = out_bytes;
+    std::memcpy(out, slot.buf.data(), bytes);
+  }
   {
     std::lock_guard<std::mutex> lk(rd->mu);
     slot.ready = false;

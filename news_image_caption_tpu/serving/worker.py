@@ -90,7 +90,8 @@ def flagship_model_builder(max_len: int = 32,
                            early_exit: bool = True,
                            quantize_kv: bool = False,
                            quantize_head: bool = False,
-                           params_path: Optional[str] = None):
+                           params_path: Optional[str] = None,
+                           batch_size: int = 1):
     """Production serving builder: the FLAGSHIP captioner at the
     reference's serving shapes (article 512×1024, image 49×2048,
     tasks/captioner.py:79-144), bf16 end-to-end, greedy decode with
@@ -120,7 +121,12 @@ def flagship_model_builder(max_len: int = 32,
         ffn_dim=4096, num_heads=16, num_layers=4,
         kernel_sizes=(3, 7, 15, 31), image_dim=2048,
         article_dim=1024, max_positions=512, dtype=jnp.bfloat16)
-    B, P, S = 1, 49, 512
+    # batch_size: the request batch the worker pre-compiles for. A
+    # job with a different leading dim would re-jit (minutes on the
+    # remote-compile path), so deployments fix the request batch and
+    # clients pad to it (reference analog: BasicIterator batching in
+    # tasks/captioner.py).
+    B, P, S = batch_size, 49, 512
     batch = {
         "caption_ids": jnp.zeros((B, 8), jnp.int32),
         "image": jnp.zeros((B, P, 2048), jnp.bfloat16),

@@ -158,3 +158,46 @@ def test_resume_mid_epoch_deterministic_over_shards(tmp_path):
         np.testing.assert_array_equal(a, b)
     loader.close()
     loader2.close()
+
+
+def test_soa_matches_aos_delivery(tmp_path):
+    """SoA (deinterleaved zero-copy) delivery yields byte-identical
+    batches to the AoS (copied) path, including the partial batch."""
+    arrays = make_arrays(11, seed=3)
+    path = str(tmp_path / "soa.nics")
+    write_shard(path, arrays)
+    soa = NativeShardLoader([path], batch_size=4, drop_last=False,
+                            soa=True)
+    aos = NativeShardLoader([path], batch_size=4, drop_last=False,
+                            soa=False)
+    got_soa = [{k: v.copy() for k, v in b.items()}
+               for b in soa.epoch(shuffle=True, seed=5)]
+    got_aos = list(aos.epoch(shuffle=True, seed=5))
+    assert len(got_soa) == len(got_aos) == 3
+    for bs, ba in zip(got_soa, got_aos):
+        for k in ba:
+            np.testing.assert_array_equal(bs[k], ba[k])
+    soa.close()
+    aos.close()
+
+
+def test_soa_pool_keeps_last_pool_size_batches_valid(tmp_path):
+    """The zero-copy contract: a yielded batch stays intact until
+    pool_size further batches are drawn."""
+    arrays = make_arrays(32, seed=4)
+    path = str(tmp_path / "pool.nics")
+    write_shard(path, arrays)
+    loader = NativeShardLoader([path], batch_size=4, soa=True,
+                               pool_size=2)
+    ref = list(NativeShardLoader([path], batch_size=4, soa=False)
+               .epoch(shuffle=False))
+    held = []
+    for i, b in enumerate(loader.epoch(shuffle=False)):
+        held.append((i, b))
+        if len(held) > 2:
+            held.pop(0)
+        # every held batch (within pool_size) still matches
+        for j, hb in held:
+            np.testing.assert_array_equal(hb["caption_ids"],
+                                          ref[j]["caption_ids"])
+    loader.close()
