@@ -66,6 +66,38 @@ def test_sharded_train_step_runs_and_decreases():
     assert int(state.step) == 5
 
 
+@pytest.mark.parametrize("mesh_cfg", [
+    MeshConfig(data=8, model=1),
+    MeshConfig(data=2, model=4),
+])
+def test_sharded_beam_decode_matches_unsharded(mesh_cfg):
+    """Serving-side parallelism: beam decode under a DP x TP mesh must
+    produce token-identical captions (the TP rules shard the decode
+    matmuls and the vocab-sharded adaptive-softmax band tables; XLA's
+    inserted collectives must not perturb candidate selection)."""
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+
+    model = TransformerFlattened(tiny_decoder())
+    batch = tiny_batch(B=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=10, beam_size=3, sampling_topk=1)
+    gen = jax.jit(lambda p, b: model.generate_beam(p, b, cfg))
+    toks_ref, scores_ref = gen(params, batch)
+
+    mesh = make_mesh(mesh_cfg)
+    with mesh:
+        sp = jax.tree.map(jax.device_put, params,
+                          param_shardings(params, mesh))
+        sb = shard_batch(batch, mesh)
+        toks, scores = gen(sp, sb)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(toks_ref))
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(scores_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sequence_parallel_hook():
     """Context-axis sharding of article activations (extension point)."""
     from news_image_caption_tpu.parallel.sequence import (
