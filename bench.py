@@ -65,20 +65,26 @@ def main():
     # consumes encoder outputs that already live in HBM (ResNet +
     # RoBERTa run on-chip), so host->device transfer of the ~134 MB
     # feature tensors is not part of the decode rate being measured.
-    n_iters = 5
+    n_iters = 20
     batches = [jax.device_put(_cast_bf16(
         ge._batch(B=BATCH, T=32, P=49, S=512,
                   image_dim=2048, article_dim=1024,
                   vocab=50265, key=i + 1)))
-               for i in range(n_iters)]
+               for i in range(5)]
     for b in batches:
         # axon's block_until_ready can return early; a (tiny) host
         # fetch is the reliable completion barrier on this backend.
         jax.tree.map(lambda x: np.asarray(x[(0,) * x.ndim]), b)
+    # Steady-state throughput: dispatch all iterations and fetch once
+    # at the end. Per-iteration host fetches would serialize dispatch
+    # across the tunnel (one RTT bubble per batch) — production
+    # serving streams batches without a host sync between them.
+    # Device execution is in-order, so fetching the LAST output is a
+    # completion barrier for every prior iteration.
     t0 = time.perf_counter()
-    for b in batches:
-        toks, scores = gen(params, b)
-        np.asarray(toks)  # host fetch forces completion
+    for i in range(n_iters):
+        toks, scores = gen(params, batches[i % len(batches)])
+    np.asarray(toks)  # host fetch forces completion of the stream
     dt = time.perf_counter() - t0
     captions_per_sec = BATCH * n_iters / dt
 
