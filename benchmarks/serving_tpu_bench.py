@@ -29,12 +29,17 @@ BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
 
 def make_job(seed=0, B=1):
+    # Feature payloads go over the wire as float16: the worker casts
+    # to bf16 anyway (worker.py predict), so f32 frames would double
+    # both the ZMQ bytes and the host->device transfer for zero
+    # fidelity gain. The wire format preserves dtype (messages.py),
+    # so this is purely a client-side choice.
     rng = np.random.default_rng(seed)
     return {
-        "image": rng.standard_normal((B, 49, 2048)).astype(np.float32),
+        "image": rng.standard_normal((B, 49, 2048)).astype(np.float16),
         "image_mask": np.zeros((B, 49), bool),
         "article": rng.standard_normal((B, 512, 1024)).astype(
-            np.float32),
+            np.float16),
         "article_mask": np.zeros((B, 512), bool),
     }
 
@@ -76,6 +81,17 @@ def main():
               f"p95 {np.percentile(lats_ms, 95):.1f} ms, "
               f"p99 {np.percentile(lats_ms, 99):.1f} ms, "
               f"{N_JOBS*BATCH/el:.2f} captions/s")
+
+        # Pipelined: window=3 keeps the worker's ingest thread staging
+        # (unpack + host->device) job N+1 while job N decodes, so
+        # throughput approaches max(transfer, decode), not their sum.
+        jobs = (make_job(seed=i, B=BATCH) for i in range(N_JOBS))
+        t0 = time.perf_counter()
+        n_done = sum(1 for _ in client.caption_stream(jobs, window=3))
+        el = time.perf_counter() - t0
+        print(f"FLAGSHIP TPU serving ({tag}, PIPELINED w=3, "
+              f"B={BATCH}): {n_done*BATCH/el:.2f} captions/s "
+              f"({el/n_done*1e3:.1f} ms/job steady-state)")
     finally:
         client.close()
         server.stop()

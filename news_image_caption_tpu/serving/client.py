@@ -52,6 +52,68 @@ class CaptioningClient:
         raise TimeoutError(
             f"no result for job {job_id!r} within {self.timeout_ms}ms")
 
+    def caption_stream(self, jobs, window: int = 2):
+        """Pipelined captioning: keep up to `window` jobs in flight
+        and yield results in submission order.
+
+        With window >= 2 the worker's ingest thread stages job N+1
+        (unpack + host->device transfer) while job N decodes, so
+        steady-state throughput approaches max(transfer, decode)
+        instead of their sum. The closed-loop `caption()` cannot
+        benefit from worker-side pipelining — there is never a next
+        job to stage."""
+        jobs = iter(jobs)
+        pending = {}       # job_id bytes -> submission index
+        results = {}       # submission index -> result
+        next_yield = 0
+        n_sent = 0
+        poller = zmq.Poller()
+        poller.register(self._sub, zmq.POLLIN)
+
+        def submit():
+            nonlocal n_sent
+            try:
+                job = next(jobs)
+            except StopIteration:
+                return False
+            self._job_counter += 1
+            job_id = str(self._job_counter).encode()
+            pending[job_id] = n_sent
+            n_sent += 1
+            self._push.send_multipart(
+                [self.identity, job_id] + pack(job))
+            return True
+
+        more = True
+        while more and len(pending) < window:
+            more = submit()
+        while pending or more:
+            waited = 0
+            got = False
+            while waited < self.timeout_ms:
+                events = dict(poller.poll(timeout=100))
+                if self._sub in events:
+                    frames = self._sub.recv_multipart()
+                    if (frames[0] == self.identity
+                            and frames[1] in pending):
+                        idx = pending.pop(frames[1])
+                        result = unpack(frames[2:])
+                        if "error" in result:
+                            raise RuntimeError(result["error"])
+                        results[idx] = result
+                        got = True
+                        break
+                waited += 100
+            if not got:
+                raise TimeoutError(
+                    f"no result within {self.timeout_ms}ms "
+                    f"({len(pending)} in flight)")
+            if more:
+                more = submit()
+            while next_yield in results:
+                yield results.pop(next_yield)
+                next_yield += 1
+
     def close(self):
         self._push.close()
         self._sub.close()

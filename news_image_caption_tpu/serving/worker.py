@@ -153,6 +153,17 @@ def flagship_model_builder(max_len: int = 32,
     # overwhelm the remote-compile path.
     gen = jax.jit(lambda p, b: model.generate(p, b, cfg)[0])
 
+    def stage(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        # Host->device transfer, run by the worker's ingest thread so
+        # it overlaps the previous job's decode (device_put is async;
+        # jnp.asarray below is then a no-op on the staged arrays).
+        return {
+            "image": jnp.asarray(job["image"], jnp.bfloat16),
+            "image_mask": jnp.asarray(job["image_mask"]),
+            "article": jnp.asarray(job["article"], jnp.bfloat16),
+            "article_mask": jnp.asarray(job["article_mask"]),
+        }
+
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         b = {
             "image": jnp.asarray(job["image"], jnp.bfloat16),
@@ -167,6 +178,7 @@ def flagship_model_builder(max_len: int = 32,
                  if k != "caption_ids"})
 
     predict.warmup = warmup
+    predict.stage = stage
     return predict
 
 
@@ -192,6 +204,9 @@ class CaptioningWorker(_MP.Process):
         self.daemon = True
 
     def run(self):
+        import queue as _queue
+        import threading
+
         logger = setup_logger(f"worker-{self.worker_id}")
         if self.platform is not None:
             import jax
@@ -202,21 +217,45 @@ class CaptioningWorker(_MP.Process):
         warmup = getattr(predict, "warmup", None)
         if warmup is not None:
             warmup()
+        # Builders may expose .stage(job) -> staged input: work that
+        # should overlap with the PREVIOUS job's compute — typically
+        # host->device transfer of the feature tensors (device_put is
+        # async). The ingest thread below runs recv + unpack + stage
+        # one job ahead of the predict loop, so transfer of job N+1
+        # hides behind decode of job N (the reference serializes
+        # these: tasks/captioner.py recv -> predict -> send).
+        stage = getattr(predict, "stage", None)
         ctx = zmq.Context()
         receiver = ctx.socket(zmq.PULL)
         receiver.connect(self.receive_addr)
         sink = ctx.socket(zmq.PUSH)
         sink.connect(self.sink_addr)
-        logger.info("worker %d ready", self.worker_id)
-        try:
+        staged_q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def ingest():
             while True:
                 frames = receiver.recv_multipart()
                 client_id, job_id = frames[0], frames[1]
-                job = unpack(frames[2:])
                 try:
-                    result = predict(job)
-                except Exception as e:  # report errors to the client
-                    result = {"error": repr(e)}
+                    job = unpack(frames[2:])
+                    if stage is not None:
+                        job = stage(job)
+                    staged_q.put((client_id, job_id, job, None))
+                except Exception as e:   # malformed job / bad stage
+                    staged_q.put((client_id, job_id, None, repr(e)))
+
+        threading.Thread(target=ingest, daemon=True).start()
+        logger.info("worker %d ready", self.worker_id)
+        try:
+            while True:
+                client_id, job_id, job, err = staged_q.get()
+                if err is not None:
+                    result = {"error": err}
+                else:
+                    try:
+                        result = predict(job)
+                    except Exception as e:  # report errors to client
+                        result = {"error": repr(e)}
                 sink.send_multipart(
                     [client_id, job_id] + pack(result))
         finally:

@@ -63,6 +63,28 @@ def test_multiple_jobs_in_order(server_and_client):
     np.testing.assert_array_equal(r1["tokens"], r2["tokens"])
 
 
+def test_caption_stream_pipelined_in_order(server_and_client):
+    """Pipelined client: results come back in submission order and
+    match the closed-loop path (the worker's ingest thread stages
+    job N+1 while job N runs)."""
+    _, client = server_and_client
+    ref = client.caption(make_job())
+    results = list(client.caption_stream(
+        (make_job() for _ in range(6)), window=3))
+    assert len(results) == 6
+    for r in results:
+        np.testing.assert_array_equal(r["tokens"], ref["tokens"])
+
+
+def test_caption_stream_error_raises(server_and_client):
+    _, client = server_and_client
+    jobs = [make_job(), {"image": np.zeros((1, 2), np.float32)}]
+    with pytest.raises(RuntimeError):
+        list(client.caption_stream(iter(jobs), window=2))
+    # the stream error must not wedge the worker for later jobs
+    assert "tokens" in client.caption(make_job())
+
+
 def test_worker_error_propagates(server_and_client):
     _, client = server_and_client
     bad = {"image": np.zeros((1, 2), np.float32)}  # malformed job
