@@ -58,7 +58,8 @@ def step_decay_schedule(lr: float, decay_start: int, decay_every: int,
 
 def bert_adam(lr_schedule, b1: float = 0.9, b2: float = 0.98,
               eps: float = 1e-6, weight_decay: float = 1e-5,
-              max_grad_norm: Optional[float] = 0.1) -> optax.GradientTransformation:
+              max_grad_norm: Optional[float] = 0.1,
+              moment_dtype=None) -> optax.GradientTransformation:
     """BertAdam-style chain: clip -> adam(no bias corr) -> decoupled wd.
 
     Note: the original BertAdam does NOT use bias correction; optax's
@@ -67,36 +68,54 @@ def bert_adam(lr_schedule, b1: float = 0.9, b2: float = 0.98,
     mask the early-step difference — the reference behavior
     (pytorch-pretrained-bert) is matched by `bias_correction=False`
     semantics below.
+
+    moment_dtype=jnp.bfloat16 (opt-in) STORES the first moment in
+    bf16 (EMA updates still compute in fp32): on the 112M-param
+    flagship the moment streams are the Adam update's whole cost
+    (~8 ms/step at the measured HBM floor, BASELINE.md), and mu
+    tolerates bf16's 8 mantissa bits (it only steers the update
+    direction). nu stays fp32 — sqrt(nu)+eps is precision-sensitive
+    near zero.
     """
     txs = []
     if max_grad_norm is not None:
         txs.append(optax.clip_by_global_norm(max_grad_norm))
-    txs.append(_scale_by_adam_no_bias_correction(b1, b2, eps))
+    txs.append(_scale_by_adam_no_bias_correction(
+        b1, b2, eps, mu_dtype=moment_dtype))
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*txs)
 
 
-def _scale_by_adam_no_bias_correction(b1, b2, eps):
-    """Adam moments without bias correction (BertAdam semantics)."""
+def _scale_by_adam_no_bias_correction(b1, b2, eps, mu_dtype=None):
+    """Adam moments without bias correction (BertAdam semantics).
+
+    mu_dtype: storage dtype for the first moment (None = same as the
+    params, i.e. fp32 masters). The EMA update computes in the grad
+    dtype (fp32) and rounds once on store."""
     import jax
 
     def init_fn(params):
         # mu and nu must be distinct buffers (donation requires it).
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
+            mu=jax.tree.map(
+                lambda p: jnp.zeros_like(
+                    p, dtype=mu_dtype or p.dtype), params),
             nu=jax.tree.map(jnp.zeros_like, params))
 
     def update_fn(updates, state, params=None):
         del params
-        mu = jax.tree.map(lambda g, m: b1 * m + (1 - b1) * g,
-                          updates, state.mu)
+        mu = jax.tree.map(
+            lambda g, m: (b1 * m.astype(g.dtype)
+                          + (1 - b1) * g).astype(m.dtype),
+            updates, state.mu)
         nu = jax.tree.map(lambda g, v: b2 * v + (1 - b2) * g * g,
                           updates, state.nu)
         new_updates = jax.tree.map(
-            lambda m, v: m / (jnp.sqrt(v) + eps), mu, nu)
+            lambda m, v: m.astype(v.dtype) / (jnp.sqrt(v) + eps),
+            mu, nu)
         return new_updates, optax.ScaleByAdamState(
             count=state.count + 1, mu=mu, nu=nu)
 

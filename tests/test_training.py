@@ -194,6 +194,44 @@ def test_bf16_mixed_precision_matches_fp32_trajectory():
     assert losses["bf16"][-1] < losses["bf16"][0]
 
 
+def test_bf16_moments_match_fp32_moments_trajectory():
+    """Opt-in bf16 FIRST-moment storage (bert_adam moment_dtype)
+    tracks the fp32-moment trajectory: mu only steers the update
+    direction, nu (precision-sensitive near zero) stays fp32."""
+    from news_image_caption_tpu.training.optim import make_bert_adam
+    from news_image_caption_tpu.training.train_step import (
+        create_train_state, make_train_step)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    losses = {}
+    for name, mdt in (("fp32", None), ("bf16", jnp.bfloat16)):
+        tx = make_bert_adam(lr=1e-3, t_total=1000, warmup=0.01,
+                            moment_dtype=mdt)
+        state = create_train_state(params, tx)
+        if mdt is not None:
+            mu_leaves = jax.tree_util.tree_leaves(
+                jax.tree.map(lambda x: x,
+                             state.opt_state[1].mu))
+            assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+        step = make_train_step(model.loss_fn, tx, donate=False)
+        traj = []
+        for i, b in enumerate(ds.batches(4, seed=0)):
+            state, m = step(state, b, jax.random.PRNGKey(0))
+            traj.append(float(m["loss"]))
+            if i >= 7:
+                break
+        losses[name] = traj
+    assert all(np.isfinite(losses["bf16"]))
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"],
+                               rtol=0.05)
+    assert losses["bf16"][-1] < losses["bf16"][0]
+
+
 @pytest.mark.slow
 def test_o2_master_params_match_bf16_trajectory():
     """O2-TRUE storage (bf16 stored params + fp32 master in the opt
