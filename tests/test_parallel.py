@@ -98,6 +98,56 @@ def test_sharded_beam_decode_matches_unsharded(mesh_cfg):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_tp_inserts_collectives_and_shards_params():
+    """The TP rules must produce REAL tensor parallelism: compiled
+    HLO contains all-reduces (the psum after each row-parallel
+    matmul) and column-parallel kernels are physically sharded on
+    the model axis — guards against a rule regression silently
+    replicating everything (numerics tests alone cannot tell)."""
+    import jax.tree_util as jtu
+
+    model = TransformerFlattened(tiny_decoder())
+    batch = tiny_batch(B=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    with mesh:
+        sp = jax.tree.map(jax.device_put, params,
+                          param_shardings(params, mesh))
+        sb = shard_batch(batch, mesh)
+        hlo = jax.jit(model.loss_fn).lower(sp, sb).compile().as_text()
+    assert hlo.count("all-reduce") > 0
+    for path, leaf in jtu.tree_leaves_with_path(sp):
+        s = "/".join(str(getattr(p, "key", "")) for p in path)
+        if "fc1" in s and s.endswith("kernel"):
+            # column-parallel: output dim split over model=4
+            assert (leaf.addressable_shards[0].data.shape
+                    == (leaf.shape[0], leaf.shape[1] // 4)), s
+            break
+    else:
+        raise AssertionError("no fc1 kernel found in params")
+
+
+def test_dp_train_step_allreduces_gradients():
+    """Pure-DP train step: the gradient psum over the data axis must
+    appear as an all-reduce in the compiled step."""
+    from news_image_caption_tpu.training.optim import make_bert_adam
+    from news_image_caption_tpu.training.train_step import (
+        create_train_state, make_train_step)
+
+    model = TransformerFlattened(tiny_decoder())
+    batch = tiny_batch(B=8)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_bert_adam(lr=1e-3, t_total=100, warmup=0.01)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    with mesh:
+        state = create_train_state(params, tx, mesh=mesh)
+        sb = shard_batch(batch, mesh)
+        step = make_train_step(model.loss_fn, tx, donate=False)
+        hlo = jax.jit(step).lower(
+            state, sb, jax.random.PRNGKey(0)).compile().as_text()
+    assert hlo.count("all-reduce") > 0
+
+
 def test_sequence_parallel_hook():
     """Context-axis sharding of article activations (extension point)."""
     from news_image_caption_tpu.parallel.sequence import (
