@@ -40,9 +40,38 @@ def main(argv: Optional[list] = None) -> int:
                          "eval_utils attention dumping and the serving "
                          "worker's attention-map response)")
 
+    ps = sub.add_parser(
+        "serve", help="start the ZMQ captioning server (+HTTP proxy)")
+    ps.add_argument("--task", default="flagship",
+                    choices=("flagship", "toy"),
+                    help="model builder: the production flagship "
+                         "captioner, or a tiny random-weight model "
+                         "for smoke testing (parity: `python -m "
+                         "tell.server TASK`, server/__main__.py:43)")
+    ps.add_argument("-n", "--n-workers", type=int, default=1)
+    ps.add_argument("--http-port", type=int, default=None,
+                    help="also start the HTTP proxy on this port "
+                         "(0 = pick a free port)")
+    ps.add_argument("--max-len", type=int, default=32)
+    ps.add_argument("--batch-size", type=int, default=1,
+                    help="request batch the workers pre-compile for")
+    ps.add_argument("--quantize-kv", action="store_true")
+    ps.add_argument("--quantize-head", action="store_true")
+    ps.add_argument("--no-early-exit", action="store_true")
+    ps.add_argument("--params", default=None,
+                    help=".npz checkpoint ('/'-joined flat keys) for "
+                         "the flagship task")
+    ps.add_argument("--platform", default=None,
+                    help="force a JAX backend in the workers "
+                         "(e.g. cpu); default = environment (TPU)")
+    ps.add_argument("--exit-after-ready", action="store_true",
+                    help=argparse.SUPPRESS)  # test hook
+
     args = p.parse_args(argv)
     if args.command == "train":
         return train_command(args)
+    if args.command == "serve":
+        return serve_command(args)
     return evaluate_command(args)
 
 
@@ -98,6 +127,64 @@ def train_command(args) -> int:
     trainer.train(state, train_batches, val_batches,
                   recover=args.recover)
     return 0
+
+
+def serve_command(args) -> int:
+    """Start ZMQ ventilator/sink + N captioning workers and block.
+
+    Capability parity target: `python -m tell.server TASK`
+    (/root/reference/ttl/tell/server/__main__.py:43-60 — NLPServer
+    with --n-workers/--port/--port-out) plus the Flask HTTP proxy
+    (server/http.py:8-66), as one command.
+    """
+    import functools
+    import time
+
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.worker import (
+        CaptioningWorker, default_model_builder, flagship_model_builder)
+
+    if args.task == "toy":
+        builder = default_model_builder
+    else:
+        builder = functools.partial(
+            flagship_model_builder,
+            max_len=args.max_len,
+            early_exit=not args.no_early_exit,
+            quantize_kv=args.quantize_kv,
+            quantize_head=args.quantize_head,
+            params_path=args.params,
+            batch_size=args.batch_size)
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(
+            model_builder=builder, platform=args.platform, **kw),
+        num_workers=args.n_workers).start()
+    print(json.dumps({
+        "frontend_addr": server.frontend_addr,
+        "sink_pub_addr": server.sink_pub_addr,
+        "task": args.task, "n_workers": args.n_workers}), flush=True)
+    httpd = None
+    if args.http_port is not None:
+        from news_image_caption_tpu.serving.client import \
+            CaptioningClient
+        from news_image_caption_tpu.serving.http import serve_http
+        client = CaptioningClient(server.frontend_addr,
+                                  server.sink_pub_addr,
+                                  timeout_ms=900000)
+        httpd, port = serve_http(client, args.http_port,
+                                 {"task": args.task})
+        print(json.dumps({"http_port": port}), flush=True)
+    try:
+        if args.exit_after_ready:
+            return 0
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        if httpd is not None:
+            httpd.shutdown()
+        server.stop()
 
 
 def evaluate_command(args) -> int:

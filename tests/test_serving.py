@@ -118,6 +118,46 @@ def test_http_proxy(server_and_client):
 
 
 @pytest.mark.slow
+def test_cli_serve_end_to_end():
+    """`tellax serve --task toy` starts the full stack from the CLI;
+    a caption goes through the HTTP proxy (parity:
+    `python -m tell.server TASK`, server/__main__.py:43-60)."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "news_image_caption_tpu.cli", "serve",
+         "--task", "toy", "--platform", "cpu", "--http-port", "0"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo")
+    try:
+        info = json.loads(proc.stdout.readline())
+        assert info["task"] == "toy" and "frontend_addr" in info
+        port = json.loads(proc.stdout.readline())["http_port"]
+        job = make_job()
+        payload = {k: {"data": v.tolist(), "dtype": str(v.dtype)}
+                   for k, v in job.items()}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        deadline = time.time() + 180
+        result = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(req, timeout=180) as r:
+                    result = json.loads(r.read())
+                break
+            except Exception:
+                time.sleep(2)
+        assert result is not None and "tokens" in result
+        assert len(result["tokens"][0]) == 17
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+@pytest.mark.slow
 def test_full_model_builder_objects_and_attention_maps():
     """Objects context is attached to the caption batch and attention
     maps are returned (ref: tasks/captioner.py + faces_objects
