@@ -73,14 +73,26 @@ class Sink(_MP.Process):
 class CaptionServer:
     """Ventilator: client PULL frontend -> worker PUSH backends."""
 
-    def __init__(self, worker_factory: Callable, num_workers: int = 1):
+    def __init__(self, worker_factory: Callable, num_workers: int = 1,
+                 monitor_workers: bool = True):
+        """monitor_workers: a liveness thread respawns any worker
+        process that dies (segfault, OOM-kill, device loss), keeping
+        serving capacity up. Jobs already queued to the dead worker's
+        PUSH pipe are lost (clients see a timeout and retry) — the
+        respawn restores capacity, it does not replay. The reference
+        has no analogue (a dead task process silently drains jobs,
+        server/base.py)."""
         self.worker_factory = worker_factory
         self.num_workers = num_workers
+        self.monitor_workers = monitor_workers
         self.logger = setup_logger("server")
         self._procs: List[multiprocessing.Process] = []
+        self._workers: List[multiprocessing.Process] = []
+        self.respawn_count = 0
         self.frontend_addr: Optional[str] = None
         self.sink_pub_addr: Optional[str] = None
         self._thread: Optional[threading.Thread] = None
+        self._monitor: Optional[threading.Thread] = None
         self._ctx: Optional[zmq.Context] = None
 
     def start(self):
@@ -99,12 +111,13 @@ class CaptionServer:
         backend = ctx.socket(zmq.PUSH)
         backend_addr = auto_bind(backend)
 
+        self._backend_addr = backend_addr
         for i in range(self.num_workers):
             w = self.worker_factory(worker_id=i,
                                     receive_addr=backend_addr,
                                     sink_addr=sink_recv_addr)
             w.start()
-            self._procs.append(w)
+            self._workers.append(w)
 
         def relay():
             poller = zmq.Poller()
@@ -124,6 +137,27 @@ class CaptionServer:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=relay, daemon=True)
         self._thread.start()
+
+        def monitor():
+            while not self._stop.wait(1.0):
+                for i, w in enumerate(self._workers):
+                    if w.is_alive():
+                        continue
+                    self.logger.warning(
+                        "worker %d died (exitcode %s); respawning",
+                        i, w.exitcode)
+                    nw = self.worker_factory(
+                        worker_id=i,
+                        receive_addr=self._backend_addr,
+                        sink_addr=self._sink_recv_addr)
+                    nw.start()
+                    self._workers[i] = nw
+                    self.respawn_count += 1
+
+        if self.monitor_workers:
+            self._monitor = threading.Thread(target=monitor,
+                                             daemon=True)
+            self._monitor.start()
         self.logger.info("server up: frontend=%s workers=%d",
                          self.frontend_addr, self.num_workers)
         return self
@@ -132,6 +166,8 @@ class CaptionServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=2)
+        if self._monitor is not None:
+            self._monitor.join(timeout=2)
         # tell the sink to stop
         try:
             ctx = zmq.Context()
@@ -142,7 +178,7 @@ class CaptionServer:
             ctx.term()
         except Exception:
             pass
-        for p in self._procs:
+        for p in self._procs + self._workers:
             p.terminate()
             p.join(timeout=2)
         if self._ctx is not None:

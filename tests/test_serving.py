@@ -118,6 +118,39 @@ def test_http_proxy(server_and_client):
 
 
 @pytest.mark.slow
+def test_worker_respawn_after_crash():
+    """Serving-side failure recovery: when a worker process dies, the
+    liveness monitor respawns it and later jobs succeed (the
+    reference has no analogue — a dead task process silently drains
+    jobs)."""
+    import time
+
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import CaptioningWorker
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(platform="cpu",
+                                                     **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=180000)
+    try:
+        ref = client.caption(make_job())
+        server._workers[0].kill()
+        deadline = time.time() + 60
+        while server.respawn_count == 0 and time.time() < deadline:
+            time.sleep(0.5)
+        assert server.respawn_count >= 1
+        # the respawned worker recompiles, then serves again
+        out = client.caption(make_job())
+        np.testing.assert_array_equal(out["tokens"], ref["tokens"])
+    finally:
+        client.close()
+        server.stop()
+
+
+@pytest.mark.slow
 def test_cli_serve_end_to_end():
     """`tellax serve --task toy` starts the full stack from the CLI;
     a caption goes through the HTTP proxy (parity:
