@@ -92,10 +92,22 @@ class GehringLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        kernel, b = self.effective_kernel(x.shape[-1])
+        # The per-output-feature weight-norm scale commutes through
+        # the contraction: x @ (v * s) == (x @ v) * s. Applying it in
+        # the EPILOGUE keeps the matmul kernel a plain stored
+        # parameter — a computed kernel (v * s materialized first)
+        # gets a compiler-chosen layout and measured ~65% MXU on the
+        # train-step Gehring matmuls; the raw-v form runs like every
+        # other constant-kernel matmul. effective_kernel() still
+        # materializes the folded form for porters / fused readers.
+        v, g, b = self._declare(x.shape[-1])
         dtype = self.dtype or x.dtype
-        y = jnp.dot(x.astype(dtype), kernel.astype(dtype),
+        y = jnp.dot(x.astype(dtype), v.astype(dtype),
                     preferred_element_type=dtype)
+        if self.weight_norm:
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0))
+            scale = g / jnp.maximum(norm, 1e-12)
+            y = y * scale.astype(dtype)[None]
         if b is not None:
             y = y + b.astype(dtype)
         return y
