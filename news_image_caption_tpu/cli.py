@@ -96,6 +96,11 @@ def train_command(args) -> int:
     train_ds = build_dataset(cfg, "train")
     val_ds = build_dataset(cfg, "val")
     tx = build_optimizer(cfg)
+    accum = int(tcfg.get("accumulate_steps", 1))
+    if accum > 1:
+        from news_image_caption_tpu.training.optim import \
+            accumulate_gradients
+        tx = accumulate_gradients(tx, accum)
     batch_size = cfg.get("iterator", {}).get("batch_size", 16)
 
     sample = next(train_ds.batches(batch_size))
@@ -115,6 +120,7 @@ def train_command(args) -> int:
         maximize_metric=tcfg.get("maximize_metric", False),
         serialization_dir=serialization_dir,
         mixed_precision=tcfg.get("mixed_precision"),
+        accumulate_steps=accum,
         seed=tcfg.get("seed", 0)))
 
     def train_batches(epoch):

@@ -127,6 +127,21 @@ def make_bert_adam(lr: float, t_total: int, warmup: float = 0.05,
     return bert_adam(warmup_linear_schedule(lr, t_total, warmup), **kw)
 
 
+def accumulate_gradients(tx: optax.GradientTransformation,
+                         every: int) -> optax.GradientTransformation:
+    """Gradient accumulation: average grads over `every` micro-batches
+    and apply the wrapped optimizer once per window (params receive
+    zero updates in between). Trains reference-scale effective
+    batches on a single chip: every=4 at micro-batch 64 reproduces
+    the batch-256 gradient exactly (grad of a batch = mean of its
+    micro-batch grads; clipping/Adam then see the averaged grad).
+    The accumulator adds one fp32 grad-sized buffer to the opt state.
+    """
+    if every <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=every)
+
+
 def noam_adam(model_size: int, factor: float = 1.0, warmup: int = 30000,
               b1: float = 0.9, b2: float = 0.98, eps: float = 1e-9
               ) -> optax.GradientTransformation:

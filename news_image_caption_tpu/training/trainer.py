@@ -48,6 +48,11 @@ class TrainerConfig:
     # skip the batch, collect garbage, keep training; give up after
     # this many CONSECUTIVE out-of-memory batches.
     max_consecutive_oom: int = 3
+    # Gradient accumulation window (1 = off). The CALLER must build
+    # both the optimizer state and this Trainer with the SAME wrapped
+    # tx (optim.accumulate_gradients(tx, n)) — the cli does this from
+    # the trainer.accumulate_steps YAML key.
+    accumulate_steps: int = 1
     seed: int = 0
 
 

@@ -194,6 +194,52 @@ def test_bf16_mixed_precision_matches_fp32_trajectory():
     assert losses["bf16"][-1] < losses["bf16"][0]
 
 
+def test_gradient_accumulation_matches_full_batch():
+    """Two accumulated micro-batches of B=2 reproduce one step on the
+    combined B=4 batch (grad of a batch = mean of its micro-batch
+    grads; clip/Adam then see the averaged grad)."""
+    from news_image_caption_tpu.training.optim import (
+        accumulate_gradients, make_bert_adam)
+    from news_image_caption_tpu.training.train_step import (
+        create_train_state, make_train_step)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    full = next(ds.batches(4, shuffle=False))
+    micro = [jax.tree.map(lambda x: x[:2], full),
+             jax.tree.map(lambda x: x[2:], full)]
+
+    tx = make_bert_adam(lr=1e-3, t_total=1000, warmup=0.01)
+    params = model.init(jax.random.PRNGKey(0), full)
+
+    state_f = create_train_state(params, tx)
+    step_f = make_train_step(model.loss_fn, tx, donate=False)
+    state_f, _ = step_f(state_f, full, jax.random.PRNGKey(0))
+
+    tx_a = accumulate_gradients(tx, 2)
+    state_a = create_train_state(params, tx_a)
+    # fold_in(rng, step) must see the same dropout key as the full
+    # batch's single step; use deterministic loss to sidestep it
+    step_a = make_train_step(
+        lambda p, b, r: model.loss_fn(p, b, dropout_rng=None),
+        tx_a, donate=False)
+    step_f_det = make_train_step(
+        lambda p, b, r: model.loss_fn(p, b, dropout_rng=None),
+        tx, donate=False)
+    state_f2 = create_train_state(params, tx)
+    state_f2, _ = step_f_det(state_f2, full, jax.random.PRNGKey(0))
+    state_a, m0 = step_a(state_a, micro[0], jax.random.PRNGKey(0))
+    # micro-step 1: params unchanged (zero update)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state_a.params, params)
+    state_a, m1 = step_a(state_a, micro[1], jax.random.PRNGKey(0))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+        state_a.params, state_f2.params)
+
+
 def test_bf16_moments_match_fp32_moments_trajectory():
     """Opt-in bf16 FIRST-moment storage (bert_adam moment_dtype)
     tracks the fp32-moment trajectory: mu only steers the update
