@@ -107,23 +107,32 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
 
         (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
             state.params)
-        master = state.opt_state["master"]
         grads = _cast_floats(grads, jnp.float32)
-        updates, inner = tx.update(grads, state.opt_state["inner"],
-                                   master)
-        master = optax.apply_updates(master, updates)
-        params = _cast_floats(master, cdtype)
-        opt_state = {"master": master, "inner": inner}
+
+        def _update(operand):
+            grads, params_old, opt_old = operand
+            master = opt_old["master"]
+            updates, inner = tx.update(grads, opt_old["inner"], master)
+            master = optax.apply_updates(master, updates)
+            return (_cast_floats(master, cdtype),
+                    {"master": master, "inner": inner})
+
         if guard_nonfinite:
+            # A skipped batch must leave params AND optimizer state
+            # untouched (reference: callback_apex_trainer.py:225-227).
+            # lax.cond — not jnp.where over every buffer — so the
+            # COMMON (finite) path pays nothing: a per-leaf select
+            # streams old+new+out for ~1.5 GB of state (measured
+            # ~7 ms/step at B=64, train_profile.py r03).
             good = jnp.isfinite(loss)
-            params = jax.tree.map(
-                lambda new, old: jnp.where(good, new, old),
-                params, state.params)
-            opt_state = jax.tree.map(
-                lambda new, old: jnp.where(good, new, old),
-                opt_state, state.opt_state)
+            params, opt_state = jax.lax.cond(
+                good, _update,
+                lambda op: (op[1], op[2]),
+                (grads, state.params, state.opt_state))
             skipped = (~good).astype(jnp.int32)
         else:
+            params, opt_state = _update(
+                (grads, state.params, state.opt_state))
             skipped = jnp.zeros((), jnp.int32)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
@@ -148,18 +157,23 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
 
         (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
             state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+
+        def _update(operand):
+            grads, params_old, opt_old = operand
+            updates, opt_state = tx.update(grads, opt_old, params_old)
+            return optax.apply_updates(params_old, updates), opt_state
+
         if guard_nonfinite:
+            # lax.cond, not per-leaf select — see o2_train_step.
             good = jnp.isfinite(loss)
-            params = jax.tree.map(
-                lambda new, old: jnp.where(good, new, old),
-                params, state.params)
-            opt_state = jax.tree.map(
-                lambda new, old: jnp.where(good, new, old),
-                opt_state, state.opt_state)
+            params, opt_state = jax.lax.cond(
+                good, _update,
+                lambda op: (op[1], op[2]),
+                (grads, state.params, state.opt_state))
             skipped = (~good).astype(jnp.int32)
         else:
+            params, opt_state = _update(
+                (grads, state.params, state.opt_state))
             skipped = jnp.zeros((), jnp.int32)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
