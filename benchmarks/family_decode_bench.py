@@ -79,10 +79,48 @@ def gen2_bench():
           f"{BATCH/dt:.1f} captions/s ({dt*1e3:.1f} ms/batch)")
 
 
+def pointer_bench():
+    """Gen-3 pointer variant at FLAGSHIP dims (copy mechanism per
+    decode step: entity gate + aggregated copy distribution,
+    transformer_pointer.py:427-640), bf16, greedy, max_len 32."""
+    import __graft_entry__ as ge
+    from news_image_caption_tpu.models.pointer import TransformerPointer
+
+    B, T, P, S, V = 64, 8, 49, 512, 50265
+    rng = jax.random.PRNGKey(0)
+    model = TransformerPointer(
+        captioner=ge._flagship(dtype=jnp.bfloat16),
+        embed_dim=1024, num_heads=16, article_dim=1024)
+    ks = jax.random.split(rng, 4)
+    caption = jax.random.randint(ks[0], (B, T), 2, V).at[:, 0].set(0)
+    batch = {
+        "caption_ids": caption,
+        "caption_copy_masks": jnp.zeros((B, T), jnp.int32),
+        "image": jax.random.normal(ks[1], (B, P, 2048), jnp.bfloat16),
+        "image_mask": jnp.zeros((B, P), bool),
+        "article": jax.random.normal(ks[2], (B, S, 1024),
+                                     jnp.bfloat16),
+        "article_mask": jnp.zeros((B, S), bool),
+        "article_ids": jax.random.randint(ks[3], (B, S), 2, V),
+        "context_proper_masks": (
+            jax.random.uniform(ks[3], (B, S)) > 0.9).astype(jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, variables)
+    cfg = GenerationConfig(max_len=32, sampling_topk=1)
+    f = jax.jit(lambda v, b: model.generate(v, b, cfg))
+    dt = bench(lambda: f(variables, batch), lambda o: o[0])
+    print(f"gen3 pointer (copy mechanism) greedy B={B} (32 steps): "
+          f"{B/dt:.1f} captions/s ({dt*1e3:.1f} ms/batch)")
+
+
 def main():
     for mt in ("att2in2", "topdown", "show_attend_tell"):
         gen1_bench(mt)
     gen2_bench()
+    pointer_bench()
 
 
 if __name__ == "__main__":

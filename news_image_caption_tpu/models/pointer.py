@@ -102,10 +102,13 @@ class EntitySelfAttention(nn.Module):
         out = self.out_proj(self._attend(q, k, v))
         return self.ln(out + x)
 
-    def init_cache(self, batch_size: int, max_len: int):
+    def init_cache(self, batch_size: int, max_len: int,
+                   dtype=jnp.float32):
+        """dtype must match the model's compute dtype (a bf16 model
+        writes bf16 K/V — dynamic_update_slice requires it)."""
         hd = self.embed_dim // self.num_heads
         shape = (batch_size, max_len, self.num_heads, hd)
-        return (jnp.zeros(shape), jnp.zeros(shape))
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     def step(self, x_t: jax.Array, pos, cache):
         """x_t [B, E]; bounded KV cache; returns ([B,E], cache)."""
@@ -116,8 +119,10 @@ class EntitySelfAttention(nn.Module):
         q = (self.in_proj_q(x_t) * scale).reshape(B, 1, H, hd)
         k_new = self.in_proj_k(x_t).reshape(B, 1, H, hd)
         v_new = self.in_proj_v(x_t).reshape(B, 1, H, hd)
-        k_c = jax.lax.dynamic_update_slice(k_c, k_new, (0, pos, 0, 0))
-        v_c = jax.lax.dynamic_update_slice(v_c, v_new, (0, pos, 0, 0))
+        k_c = jax.lax.dynamic_update_slice(
+            k_c, k_new.astype(k_c.dtype), (0, pos, 0, 0))
+        v_c = jax.lax.dynamic_update_slice(
+            v_c, v_new.astype(v_c.dtype), (0, pos, 0, 0))
         S = k_c.shape[1]
         scores = jnp.einsum("bthd,bshd->bhts", q, k_c,
                             preferred_element_type=jnp.float32)
@@ -380,7 +385,9 @@ class TransformerPointer:
         from news_image_caption_tpu.ops.attention import decode_kv_tree
         kvs = decode_kv_tree(kvs)   # one-time head-major relayout
         caches = dec.init_cache(B)
-        e_cache = self.entity_attn.init_cache(B, config.max_len + 1)
+        e_cache = self.entity_attn.init_cache(
+            B, config.max_len + 1,
+            dtype=getattr(dec, "dtype", None) or jnp.float32)
         relevant = (batch["context_proper_masks"] >= 1).astype(
             jnp.float32)
         context_ids = batch["article_ids"]
