@@ -104,3 +104,36 @@ def test_config_builds_and_traces_loss(path):
     shape = jax.eval_shape(init_and_loss)
     assert shape.shape == ()
     assert shape.dtype in (jnp.float32, jnp.bfloat16)
+
+
+@pytest.mark.parametrize("path", [_param(p) for p in CONFIGS])
+def test_config_traces_bf16_generate(path):
+    """Trace GENERATE (not just loss) with model dtype bf16 and
+    bf16-cast params: decode caches/scan carries must be
+    dtype-consistent under lax.scan/dynamic_update_slice (this class
+    of leak crashed the bf16 pointer decode at flagship dims before
+    r03 — loss tracing alone cannot catch it)."""
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+
+    cfg = load_config(path)
+    cfg.setdefault("model", {})["dtype"] = "bfloat16"
+    try:
+        model = build_model(cfg)
+    except (KeyError, TypeError):
+        pytest.skip("model type does not take a dtype")
+    if not hasattr(model, "generate"):
+        pytest.skip("model has no generate()")
+    batch = _batch_for(cfg)
+    gcfg = GenerationConfig(max_len=4, sampling_topk=1)
+
+    def init_and_generate():
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, variables)
+        return model.generate(variables, batch, gcfg)
+
+    out = jax.eval_shape(init_and_generate)
+    toks = jax.tree_util.tree_leaves(out)[0]
+    assert toks.shape[0] == 2
