@@ -121,6 +121,8 @@ def train_command(args) -> int:
         serialization_dir=serialization_dir,
         mixed_precision=tcfg.get("mixed_precision"),
         accumulate_steps=accum,
+        log_every=tcfg.get("log_every", 40),
+        summary_interval=tcfg.get("summary_interval", 512),
         seed=tcfg.get("seed", 0)))
 
     def train_batches(epoch):

@@ -53,6 +53,14 @@ class TrainerConfig:
     # tx (optim.accumulate_gradients(tx, n)) — the cli does this from
     # the trainer.accumulate_steps YAML key.
     accumulate_steps: int = 1
+    # TensorBoard scalar logging (reference: log_to_tensorboard
+    # callback, config.yaml:160-163, summary_interval: 512). Event
+    # files go to <serialization_dir>/log; 0 disables. Written with
+    # the dependency-free utils/tensorboard.py writer. Train scalars
+    # are emitted at the existing `log_every` host-sync points (the
+    # hot loop never syncs for logging alone), at most every
+    # `summary_interval` steps; val scalars every epoch.
+    summary_interval: int = 512
     seed: int = 0
 
 
@@ -77,10 +85,34 @@ class Trainer:
         self._metrics_path = os.path.join(
             config.serialization_dir, "metrics.jsonl")
         os.makedirs(config.serialization_dir, exist_ok=True)
+        self._tb = None            # lazy SummaryWriter
+        self._last_summary_step = -(10 ** 12)
 
     def _log_metrics(self, record: Dict[str, Any]):
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+
+    def _tb_writer(self):
+        if self._tb is None:
+            from news_image_caption_tpu.utils.tensorboard import \
+                SummaryWriter
+            self._tb = SummaryWriter(
+                os.path.join(self.config.serialization_dir, "log"))
+        return self._tb
+
+    def _tb_scalars(self, step: int, scalars, force: bool = False):
+        """Scalars to TensorBoard every `summary_interval` steps
+        (reference log_to_tensorboard cadence)."""
+        interval = self.config.summary_interval
+        if interval <= 0:
+            return
+        if not force and step - self._last_summary_step < interval:
+            return
+        self._last_summary_step = step
+        self._tb_writer().add_scalars(
+            [(t, v) for t, v in scalars
+             if isinstance(v, (int, float))], step)
+        self._tb.flush()
 
     def train(self, state: TrainState,
               train_batches: Callable[[int], Iterable],
@@ -158,6 +190,11 @@ class Trainer:
                         "epoch": epoch, "step": int(state.step),
                         "loss": loss, "skipped": n_skipped,
                         "split": "train"})
+                    self._tb_scalars(int(state.step), [
+                        ("train/loss", loss),
+                        ("train/tokens_per_sec",
+                         total_tokens / max(dt, 1e-9)),
+                        ("train/skipped_batches", n_skipped)])
             # Validation.
             val_metrics: Dict[str, float] = {}
             if val_batches is not None:
@@ -167,6 +204,10 @@ class Trainer:
                                    "step": int(state.step),
                                    "split": "val", **val_metrics})
                 self.logger.info("epoch %d val %s", epoch, val_metrics)
+                self._tb_scalars(
+                    int(state.step),
+                    [(f"validation/{k}", v)
+                     for k, v in val_metrics.items()], force=True)
             ckpt_metrics = {"epoch": epoch + 1, **val_metrics}
             self.store.save(state, int(state.step), ckpt_metrics)
             # Patience tracking on the validation metric.

@@ -10,8 +10,11 @@ equivalents:
 - `annotate(name)`: jax.profiler.TraceAnnotation for host-side spans.
 - `StepTimer`: tokens/sec + step-time EMA with the host/device async
   caveat handled (forces a host fetch on the watched value).
-- `MetricsLogger`: JSONL scalar sink (the trainer writes through it;
-  TensorBoard can ingest via its JSONL plugins or conversion).
+- `MetricsLogger`: JSONL scalar sink (the trainer writes through it).
+- Real TensorBoard event files: `utils/tensorboard.py::SummaryWriter`
+  (dependency-free writer; the trainer emits train/val scalars every
+  `summary_interval` steps like the reference's log_to_tensorboard
+  callback).
 """
 
 from __future__ import annotations
