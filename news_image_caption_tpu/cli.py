@@ -103,14 +103,30 @@ def train_command(args) -> int:
         tx = accumulate_gradients(tx, accum)
     batch_size = cfg.get("iterator", {}).get("batch_size", 16)
 
+    # Multi-chip training: a `trainer.mesh: {data: -1, model: 1}` YAML
+    # block builds a jax.sharding.Mesh over the visible devices —
+    # params/optimizer state get the partition rules, batches are
+    # sharded along the data axis by the DeviceLoader, and XLA inserts
+    # the gradient all-reduce / TP psums (SURVEY.md §2.10; same path
+    # __graft_entry__.dryrun_multichip validates).
+    mesh = batch_sharding = None
+    if tcfg.get("mesh"):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from news_image_caption_tpu.parallel.mesh import (DATA_AXIS,
+                                                          MeshConfig,
+                                                          make_mesh)
+        mesh = make_mesh(MeshConfig(**tcfg["mesh"]))
+        batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
     sample = next(train_ds.batches(batch_size))
     params = model.init(jax.random.PRNGKey(tcfg.get("seed", 0)), sample)
     if tcfg.get("mixed_precision") == "bf16_o2":
         from news_image_caption_tpu.training.train_step import \
             create_o2_train_state
-        state = create_o2_train_state(params, tx)
+        state = create_o2_train_state(params, tx, mesh=mesh)
     else:
-        state = create_train_state(params, tx)
+        state = create_train_state(params, tx, mesh=mesh)
 
     trainer = Trainer(model.loss_fn, tx, TrainerConfig(
         num_epochs=tcfg.get("num_epochs", 10),
@@ -127,10 +143,12 @@ def train_command(args) -> int:
 
     def train_batches(epoch):
         return DeviceLoader(
-            train_ds.batches(batch_size, seed=epoch))
+            train_ds.batches(batch_size, seed=epoch),
+            sharding=batch_sharding)
 
     def val_batches(epoch):
-        return DeviceLoader(val_ds.batches(batch_size, shuffle=False))
+        return DeviceLoader(val_ds.batches(batch_size, shuffle=False),
+                            sharding=batch_sharding)
 
     trainer.train(state, train_batches, val_batches,
                   recover=args.recover)

@@ -200,3 +200,35 @@ def test_context_sharded_article_matches_unsharded():
 def test_mesh_without_context_axis_is_2d():
     mesh = make_mesh(MeshConfig(data=4, model=2))
     assert mesh.axis_names == ("data", "model")
+
+
+@pytest.mark.slow
+def test_cli_train_with_mesh_matches_single_device(tmp_path):
+    """`trainer.mesh` in YAML trains DP x TP through the normal CLI
+    path and logs the same losses as the single-device run (same data
+    order, same dropout rng; the mesh only changes placement)."""
+    import json
+    import os
+
+    from news_image_caption_tpu.cli import main
+
+    tiny = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "tiny_test.yaml")
+
+    def run(tag, mesh):
+        sdir = str(tmp_path / tag)
+        over = {"trainer": {"num_epochs": 1, "log_every": 2,
+                            "summary_interval": 0},
+                "iterator": {"batch_size": 8}}
+        if mesh:
+            over["trainer"]["mesh"] = mesh
+        assert main(["train", tiny, "--serialization-dir", sdir,
+                     "-o", json.dumps(over)]) == 0
+        with open(os.path.join(sdir, "metrics.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        return [r["loss"] for r in recs if r.get("split") == "train"]
+
+    ref = run("single", None)
+    dp_tp = run("mesh", {"data": 4, "model": 2})
+    assert len(ref) == len(dp_tp) > 0
+    np.testing.assert_allclose(ref, dp_tp, rtol=2e-5)
