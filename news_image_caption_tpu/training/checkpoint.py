@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
 import jax
@@ -38,6 +40,11 @@ class CheckpointStore:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 self.meta = json.load(f)
+        # Async saves: one worker thread serializes writes in order;
+        # the lock guards meta against reader/writer races.
+        self._executor: Optional[ThreadPoolExecutor] = None
+        self._pending: list = []
+        self._lock = threading.Lock()
 
     def _path(self, step: int) -> str:
         return os.path.join(self.dir, f"ckpt_{step}.msgpack")
@@ -47,40 +54,81 @@ class CheckpointStore:
             json.dump(self.meta, f, indent=1)
 
     def save(self, state: Any, step: int,
-             metrics: Optional[Dict[str, float]] = None) -> str:
+             metrics: Optional[Dict[str, float]] = None,
+             blocking: bool = True) -> str:
+        """Write a step checkpoint.
+
+        blocking=False returns as soon as the state is snapshotted to
+        host memory; serialization + disk writes + meta updates happen
+        on a single background worker (in submission order), so the
+        train loop never stalls on disk I/O. The host snapshot itself
+        is synchronous — after `save` returns, the caller may freely
+        donate or overwrite the device buffers. Call `wait()` to drain
+        pending writes and surface any write errors.
+        """
         # Pull to host before serializing (works for sharded arrays).
         host_state = jax.tree.map(np.asarray, state)
         path = self._path(step)
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(host_state))
-        entry = {"step": step, "metrics": metrics or {}}
-        self.meta["checkpoints"] = [
-            c for c in self.meta["checkpoints"] if c["step"] != step
-        ] + [entry]
-        # Track best.
-        val = (metrics or {}).get(self.best_metric)
-        if val is not None:
-            best = self.meta.get("best")
-            better = (best is None
-                      or (val > best["value"] if self.maximize
-                          else val < best["value"]))
-            if better:
-                self.meta["best"] = {"step": step, "value": float(val)}
-                best_path = os.path.join(self.dir, "best.msgpack")
-                with open(best_path, "wb") as f:
-                    f.write(serialization.to_bytes(host_state))
-        # Retention: keep newest N (never deleting the best step's file).
-        ckpts = sorted(self.meta["checkpoints"], key=lambda c: c["step"])
-        while len(ckpts) > self.keep:
-            victim = ckpts.pop(0)
-            p = self._path(victim["step"])
-            if os.path.exists(p):
-                os.remove(p)
-        self.meta["checkpoints"] = ckpts
-        self._write_meta()
+        if blocking:
+            self._commit(host_state, path, step, metrics)
+            return path
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
+        fut = self._executor.submit(
+            self._commit, host_state, path, step, metrics)
+        with self._lock:
+            self._pending.append(fut)
         return path
 
+    def _commit(self, host_state: Any, path: str, step: int,
+                metrics: Optional[Dict[str, float]]) -> None:
+        blob = serialization.to_bytes(host_state)
+        # Write-then-rename so a crash mid-write never leaves a
+        # truncated ckpt_N.msgpack for load_with_fallback to trip on.
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        with self._lock:
+            entry = {"step": step, "metrics": metrics or {}}
+            self.meta["checkpoints"] = [
+                c for c in self.meta["checkpoints"] if c["step"] != step
+            ] + [entry]
+            # Track best.
+            val = (metrics or {}).get(self.best_metric)
+            if val is not None:
+                best = self.meta.get("best")
+                better = (best is None
+                          or (val > best["value"] if self.maximize
+                              else val < best["value"]))
+                if better:
+                    self.meta["best"] = {"step": step,
+                                         "value": float(val)}
+                    best_path = os.path.join(self.dir, "best.msgpack")
+                    with open(best_path + ".tmp", "wb") as f:
+                        f.write(blob)
+                    os.replace(best_path + ".tmp", best_path)
+            # Retention: keep newest N.
+            ckpts = sorted(self.meta["checkpoints"],
+                           key=lambda c: c["step"])
+            while len(ckpts) > self.keep:
+                victim = ckpts.pop(0)
+                p = self._path(victim["step"])
+                if os.path.exists(p):
+                    os.remove(p)
+            self.meta["checkpoints"] = ckpts
+            self._write_meta()
+
+    def wait(self) -> None:
+        """Drain pending async saves; re-raises the first write error."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
     def latest_step(self) -> Optional[int]:
+        self.wait()
         if not self.meta["checkpoints"]:
             return None
         return max(c["step"] for c in self.meta["checkpoints"])
@@ -90,6 +138,7 @@ class CheckpointStore:
 
         which: 'latest', 'best', or an int step.
         """
+        self.wait()
         if which == "latest":
             step = self.latest_step()
             if step is None:
@@ -107,6 +156,7 @@ class CheckpointStore:
         older ones on corruption (reference analog: the
         .npy -> .pkl -> recompute cache chain,
         final_roberta2/encoder.py:64-92). Returns (state, step)."""
+        self.wait()
         steps = sorted((c["step"] for c in self.meta["checkpoints"]),
                        reverse=True)
         last_err: Optional[Exception] = None
@@ -120,5 +170,6 @@ class CheckpointStore:
             f"no readable checkpoint in {self.dir}") from last_err
 
     def best_value(self) -> Optional[float]:
+        self.wait()
         b = self.meta.get("best")
         return None if b is None else b["value"]

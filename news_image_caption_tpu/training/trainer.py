@@ -61,6 +61,12 @@ class TrainerConfig:
     # hot loop never syncs for logging alone), at most every
     # `summary_interval` steps; val scalars every epoch.
     summary_interval: int = 512
+    # Async checkpointing: snapshot to host synchronously (donated
+    # device buffers stay safe), serialize + write on a background
+    # thread so the epoch loop never blocks on disk. The reference
+    # blocks its train loop for every torch.save
+    # (callback_apex_trainer checkpoint callback; train.py:235-269).
+    async_checkpoint: bool = True
     seed: int = 0
 
 
@@ -209,7 +215,8 @@ class Trainer:
                     [(f"validation/{k}", v)
                      for k, v in val_metrics.items()], force=True)
             ckpt_metrics = {"epoch": epoch + 1, **val_metrics}
-            self.store.save(state, int(state.step), ckpt_metrics)
+            self.store.save(state, int(state.step), ckpt_metrics,
+                            blocking=not cfg.async_checkpoint)
             # Patience tracking on the validation metric.
             if cfg.patience is not None and val_metrics:
                 val = val_metrics.get(cfg.validation_metric)
@@ -226,6 +233,8 @@ class Trainer:
                             "early stop: no %s improvement in %d epochs",
                             cfg.validation_metric, cfg.patience)
                         break
+        # Surface any async write error before declaring success.
+        self.store.wait()
         return state
 
     def _revive_if_donated(self, state: TrainState) -> TrainState:

@@ -54,6 +54,44 @@ def test_checkpoint_save_load_best_and_retention(tmp_path):
     np.testing.assert_allclose(np.asarray(latest["w"]), 3.0)
 
 
+def test_checkpoint_async_save(tmp_path):
+    """blocking=False: writes land on a background thread; readers
+    drain pending writes, so load-after-save is always consistent.
+    The host snapshot is synchronous, so mutating the source pytree
+    after save() must not affect what was written."""
+    store = CheckpointStore(str(tmp_path), keep=2, best_metric="loss")
+    w = np.arange(4.0)
+    state = {"w": w, "step": np.asarray(0)}
+    store.save(state, 1, {"loss": 5.0}, blocking=False)
+    w += 100.0  # caller reuses the buffer (donation analog)
+    store.save({"w": np.ones(4) * 2, "step": np.asarray(2)}, 2,
+               {"loss": 3.0}, blocking=False)
+    store.save({"w": np.ones(4) * 3, "step": np.asarray(3)}, 3,
+               {"loss": 4.0}, blocking=False)
+    assert store.latest_step() == 3          # drains pending writes
+    got1 = store.load({"w": np.zeros(4), "step": np.asarray(0)}, "best")
+    np.testing.assert_allclose(np.asarray(got1["w"]), 2.0)
+    # retention applied by the worker too
+    assert not os.path.exists(os.path.join(str(tmp_path),
+                                           "ckpt_1.msgpack"))
+    # a fresh store sees the meta the worker wrote
+    store2 = CheckpointStore(str(tmp_path), keep=2, best_metric="loss")
+    assert store2.latest_step() == 3
+    assert store2.best_value() == 3.0
+
+
+def test_checkpoint_async_save_error_surfaces_at_wait(tmp_path):
+    store = CheckpointStore(str(tmp_path), keep=2)
+    store.save({"w": np.zeros(2)}, 1, blocking=False)
+    store.wait()
+    # Occupy the write path with a directory, then the NEXT async
+    # write must raise at wait() rather than vanish.
+    os.makedirs(os.path.join(str(tmp_path), "ckpt_2.msgpack.tmp"))
+    store.save({"w": np.zeros(2)}, 2, blocking=False)
+    with pytest.raises(OSError):
+        store.wait()
+
+
 def test_config_load_and_overrides():
     cfg = load_config(TINY)
     assert cfg["model"]["decoder"]["embed_dim"] == 16
