@@ -70,6 +70,11 @@ class CheckpointStore:
         host_state = jax.tree.map(np.asarray, state)
         path = self._path(step)
         if blocking:
+            # Drain queued async writes first: a blocking save must
+            # not commit ahead of earlier saves (a queued write for
+            # the same step would otherwise land after and clobber
+            # this entry in meta).
+            self.wait()
             self._commit(host_state, path, step, metrics)
             return path
         if self._executor is None:

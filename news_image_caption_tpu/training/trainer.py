@@ -15,6 +15,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import signal
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -23,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from news_image_caption_tpu.training.checkpoint import CheckpointStore
+from news_image_caption_tpu.training.preemption import PreemptionHandler
 from news_image_caption_tpu.training.train_step import (
     TrainState, make_eval_step, make_train_step)
 from news_image_caption_tpu.utils.logging import setup_logger
@@ -67,6 +69,12 @@ class TrainerConfig:
     # blocks its train loop for every torch.save
     # (callback_apex_trainer checkpoint callback; train.py:235-269).
     async_checkpoint: bool = True
+    # Graceful preemption: latch SIGTERM (TPU-pod/spot eviction
+    # warning) at batch boundaries, write a final checkpoint tagged
+    # preempted=True, and return cleanly so --recover resumes from
+    # the preemption step instead of the last epoch boundary. The
+    # reference loses everything since its last epoch torch.save.
+    handle_preemption: bool = True
     seed: int = 0
 
 
@@ -140,7 +148,23 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         best = self.store.best_value()
         epochs_since_best = 0
+        guard = PreemptionHandler(
+            (signal.SIGTERM,) if cfg.handle_preemption else ())
+        guard.__enter__()
+        try:
+            state = self._epoch_loop(state, train_batches, val_batches,
+                                     rng, start_epoch, best,
+                                     epochs_since_best, guard)
+        finally:
+            guard.__exit__()
+        # Surface any async write error before declaring success.
+        self.store.wait()
+        return state
 
+    def _epoch_loop(self, state, train_batches, val_batches, rng,
+                    start_epoch, best, epochs_since_best,
+                    guard: PreemptionHandler) -> TrainState:
+        cfg = self.config
         for epoch in range(start_epoch, cfg.num_epochs):
             t_epoch = time.time()
             n_batches = 0
@@ -152,6 +176,8 @@ class Trainer:
             # batches without a round trip).
             window: list = []
             for batch in train_batches(epoch):
+                if guard.triggered:
+                    break
                 try:
                     state, metrics = self.train_step(state, batch, rng)
                 except jax.errors.JaxRuntimeError as e:
@@ -201,6 +227,21 @@ class Trainer:
                         ("train/tokens_per_sec",
                          total_tokens / max(dt, 1e-9)),
                         ("train/skipped_batches", n_skipped)])
+            if guard.triggered:
+                # Eviction imminent: persist NOW (blocking — the
+                # process may not live long enough for async I/O),
+                # tagged with the in-progress epoch so --recover
+                # restarts this epoch with the exact mid-epoch
+                # optimizer state and step counter.
+                self.logger.warning(
+                    "preemption signal %s: checkpointing at step %d "
+                    "and exiting cleanly", guard.signum,
+                    int(state.step))
+                self.store.save(
+                    state, int(state.step),
+                    {"epoch": epoch, "preempted": True},
+                    blocking=True)
+                return state
             # Validation.
             val_metrics: Dict[str, float] = {}
             if val_batches is not None:
@@ -233,8 +274,6 @@ class Trainer:
                             "early stop: no %s improvement in %d epochs",
                             cfg.validation_metric, cfg.patience)
                         break
-        # Surface any async write error before declaring success.
-        self.store.wait()
         return state
 
     def _revive_if_donated(self, state: TrainState) -> TrainState:

@@ -80,6 +80,39 @@ def test_checkpoint_async_save(tmp_path):
     assert store2.best_value() == 3.0
 
 
+def test_checkpoint_blocking_save_orders_after_pending_async(tmp_path):
+    """A blocking save drains queued async writes first — otherwise a
+    queued write for the SAME step lands after it and clobbers the
+    blocking entry in meta (seen live: the preemption checkpoint at an
+    epoch boundary lost to the epoch's still-queued async save)."""
+    import threading
+
+    store = CheckpointStore(str(tmp_path), keep=4)
+    release = threading.Event()
+
+    # Queue an async save whose WORKER is held back (the host
+    # snapshot is synchronous either way), then issue a blocking save
+    # for the same step and release the worker.
+    orig_commit = store._commit
+
+    def gated_commit(host_state, path, step, metrics):
+        if metrics and metrics.get("tag") == "async":
+            release.wait(timeout=10)
+        orig_commit(host_state, path, step, metrics)
+
+    store._commit = gated_commit
+    store.save({"w": np.zeros(2)}, 7, {"tag": "async"}, blocking=False)
+    t = threading.Timer(0.2, release.set)
+    t.start()
+    store.save({"w": np.ones(2)}, 7, {"tag": "blocking"})
+    t.join()
+    meta = store.meta["checkpoints"]
+    assert [c["metrics"]["tag"] for c in meta
+            if c["step"] == 7] == ["blocking"]
+    got = store.load({"w": np.zeros(2)}, 7)
+    np.testing.assert_allclose(np.asarray(got["w"]), 1.0)
+
+
 def test_checkpoint_async_save_error_surfaces_at_wait(tmp_path):
     store = CheckpointStore(str(tmp_path), keep=2)
     store.save({"w": np.zeros(2)}, 1, blocking=False)
@@ -90,6 +123,77 @@ def test_checkpoint_async_save_error_surfaces_at_wait(tmp_path):
     store.save({"w": np.zeros(2)}, 2, blocking=False)
     with pytest.raises(OSError):
         store.wait()
+
+
+def test_preemption_handler_latches_and_restores():
+    import signal
+
+    from news_image_caption_tpu.training.preemption import \
+        PreemptionHandler
+
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionHandler() as guard:
+        assert not guard.triggered
+        os.kill(os.getpid(), signal.SIGTERM)
+        # CPython delivers the pending signal at the next interpreter
+        # check — a no-op call suffices to force it.
+        signal.getsignal(signal.SIGTERM)
+        assert guard.triggered
+        assert guard.signum == signal.SIGTERM
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-epoch -> the trainer writes a checkpoint tagged
+    preempted=True at the exact step it reached and returns cleanly;
+    --recover restarts the interrupted epoch from that state."""
+    import signal
+
+    from news_image_caption_tpu.data.loader import DeviceLoader
+    from news_image_caption_tpu.training.train_step import \
+        create_train_state
+    from news_image_caption_tpu.training.trainer import (Trainer,
+                                                         TrainerConfig)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    train_ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(train_ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    state = create_train_state(params, tx)
+
+    tconf = TrainerConfig(num_epochs=3, serialization_dir=str(tmp_path),
+                          log_every=2)
+    trainer = Trainer(model.loss_fn, tx, tconf)
+
+    def batches(epoch):
+        for i, b in enumerate(
+                DeviceLoader(train_ds.batches(4, seed=epoch))):
+            if epoch == 1 and i == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+    state = trainer.train(state, batches)
+    # epoch 0 ran fully (8 steps); epoch 1 stopped after 3.
+    assert int(state.step) == 8 + 3
+    meta = json.load(open(os.path.join(str(tmp_path), "checkpoints",
+                                       "meta.json")))
+    last = max(meta["checkpoints"], key=lambda c: c["step"])
+    assert last["step"] == 11
+    assert last["metrics"].get("preempted") is True
+    assert last["metrics"]["epoch"] == 1
+    # The handler is gone: SIGTERM would now kill us (don't send it).
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    # Recover: restarts epoch 1 with the preempted optimizer state.
+    state2 = create_train_state(params, tx)
+    trainer2 = Trainer(model.loss_fn, tx, tconf)
+    state2 = trainer2.train(
+        state2,
+        lambda e: DeviceLoader(train_ds.batches(4, seed=e)),
+        recover=True)
+    assert int(state2.step) == 11 + 2 * 8   # epochs 1 and 2 rerun
 
 
 def test_config_load_and_overrides():
