@@ -139,6 +139,7 @@ def train_command(args) -> int:
         accumulate_steps=accum,
         log_every=tcfg.get("log_every", 40),
         summary_interval=tcfg.get("summary_interval", 512),
+        checkpoint_format=tcfg.get("checkpoint_format", "msgpack"),
         seed=tcfg.get("seed", 0)))
 
     def train_batches(epoch):
@@ -249,7 +250,20 @@ def evaluate_command(args) -> int:
                              "serialization"))
     ckpt_dir = os.path.join(serialization_dir, "checkpoints")
     if os.path.isdir(ckpt_dir):
-        store = CheckpointStore(ckpt_dir)
+        # Honor trainer.checkpoint_format; else detect sharded
+        # (directory-per-step) checkpoints on disk.
+        fmt = cfg.get("trainer", {}).get("checkpoint_format")
+        if fmt is None:
+            fmt = ("sharded" if any(
+                e.startswith("ckpt_")
+                and os.path.isdir(os.path.join(ckpt_dir, e))
+                for e in os.listdir(ckpt_dir)) else "msgpack")
+        if fmt == "sharded":
+            from news_image_caption_tpu.training.checkpoint_sharded \
+                import ShardedCheckpointStore
+            store = ShardedCheckpointStore(ckpt_dir)
+        else:
+            store = CheckpointStore(ckpt_dir)
         tx = build_optimizer(cfg)
         state = create_train_state(params, tx)
         which = args.model_path or "best"

@@ -75,6 +75,11 @@ class TrainerConfig:
     # the preemption step instead of the last epoch boundary. The
     # reference loses everything since its last epoch torch.save.
     handle_preemption: bool = True
+    # "msgpack" (default): single-file checkpoints, gathered to host
+    # — right for one host. "sharded": per-shard tensorstore/OCDBT
+    # writes via orbax with resharding-aware restore — the multi-host
+    # production schema (training/checkpoint_sharded.py).
+    checkpoint_format: str = "msgpack"
     seed: int = 0
 
 
@@ -90,7 +95,17 @@ class Trainer:
                                           compute_dtype=compute_dtype,
                                           o2_master=(mp == "bf16_o2"))
         self.eval_step = make_eval_step(eval_loss_fn or loss_fn)
-        self.store = CheckpointStore(
+        if config.checkpoint_format == "sharded":
+            from news_image_caption_tpu.training.checkpoint_sharded \
+                import ShardedCheckpointStore as _Store
+        elif config.checkpoint_format == "msgpack":
+            _Store = CheckpointStore
+        else:
+            raise ValueError(
+                f"unknown checkpoint_format "
+                f"{config.checkpoint_format!r}; use 'msgpack' or "
+                f"'sharded'")
+        self.store = _Store(
             os.path.join(config.serialization_dir, "checkpoints"),
             keep=config.keep_checkpoints,
             best_metric=config.validation_metric,
