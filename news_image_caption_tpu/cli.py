@@ -40,6 +40,18 @@ def main(argv: Optional[list] = None) -> int:
                          "eval_utils attention dumping and the serving "
                          "worker's attention-map response)")
 
+    pp = sub.add_parser(
+        "preprocess",
+        help="materialize raw jsonl records into fixed-shape NICS "
+             "shards (offline frozen-encoder pass; "
+             "data/materialize.py)")
+    pp.add_argument("input_jsonl")
+    pp.add_argument("out_prefix")
+    pp.add_argument("--records-per-shard", type=int, default=1024)
+    pp.add_argument("--caption-len", type=int, default=64)
+    pp.add_argument("--article-len", type=int, default=512)
+    pp.add_argument("--no-copy-masks", action="store_true")
+
     ps = sub.add_parser(
         "serve", help="start the ZMQ captioning server (+HTTP proxy)")
     ps.add_argument("--task", default="flagship",
@@ -72,6 +84,16 @@ def main(argv: Optional[list] = None) -> int:
         return train_command(args)
     if args.command == "serve":
         return serve_command(args)
+    if args.command == "preprocess":
+        from news_image_caption_tpu.data.materialize import \
+            main as materialize_main
+        flags = ["--records-per-shard", str(args.records_per_shard),
+                 "--caption-len", str(args.caption_len),
+                 "--article-len", str(args.article_len)]
+        if args.no_copy_masks:
+            flags.append("--no-copy-masks")
+        return materialize_main(
+            [args.input_jsonl, args.out_prefix] + flags)
     return evaluate_command(args)
 
 
@@ -140,6 +162,8 @@ def train_command(args) -> int:
         log_every=tcfg.get("log_every", 40),
         summary_interval=tcfg.get("summary_interval", 512),
         checkpoint_format=tcfg.get("checkpoint_format", "msgpack"),
+        profile_start=tcfg.get("profile_start", 2),
+        profile_steps=tcfg.get("profile_steps", 0),
         seed=tcfg.get("seed", 0)))
 
     def train_batches(epoch):

@@ -80,6 +80,14 @@ class TrainerConfig:
     # writes via orbax with resharding-aware restore — the multi-host
     # production schema (training/checkpoint_sharded.py).
     checkpoint_format: str = "msgpack"
+    # Windowed jax.profiler capture: trace steps
+    # [profile_start, profile_start + profile_steps) into
+    # <serialization_dir>/profile (0 steps = off). View with
+    # tensorboard/xprof or jax.profiler tooling. Replaces the
+    # reference's print-based timing + GPUtil dumps (SURVEY.md §5:
+    # train.py:135-143, custom_v3.py:450-451) with a real trace.
+    profile_start: int = 2
+    profile_steps: int = 0
     seed: int = 0
 
 
@@ -180,6 +188,48 @@ class Trainer:
                     start_epoch, best, epochs_since_best,
                     guard: PreemptionHandler) -> TrainState:
         cfg = self.config
+        # Host-side step mirror for the profiler window (int(state.
+        # step) every batch would sync the device; one sync here).
+        host_step = int(state.step) if cfg.profile_steps > 0 else 0
+        self._prof_active = False
+        try:
+            return self._run_epochs(state, train_batches, val_batches,
+                                    rng, start_epoch, best,
+                                    epochs_since_best, guard,
+                                    host_step)
+        finally:
+            if self._prof_active:
+                jax.profiler.stop_trace()
+                self._prof_active = False
+
+    def _profile_tick(self, host_step: int, last_loss=None) -> None:
+        """Start/stop the windowed jax.profiler trace at step edges."""
+        cfg = self.config
+        if cfg.profile_steps <= 0:
+            return
+        if (not self._prof_active
+                and host_step == cfg.profile_start):
+            logdir = os.path.join(cfg.serialization_dir, "profile")
+            self.logger.info("profiling steps %d..%d -> %s",
+                             host_step,
+                             host_step + cfg.profile_steps, logdir)
+            jax.profiler.start_trace(logdir)
+            self._prof_active = True
+        elif (self._prof_active and
+              host_step >= cfg.profile_start + cfg.profile_steps):
+            if last_loss is not None:
+                # Flush async dispatch so the traced window actually
+                # contains the device work of the profiled steps.
+                jax.block_until_ready(last_loss)
+            jax.profiler.stop_trace()
+            self._prof_active = False
+            self.logger.info("profile trace written")
+
+    def _run_epochs(self, state, train_batches, val_batches, rng,
+                    start_epoch, best, epochs_since_best,
+                    guard: PreemptionHandler,
+                    host_step: int) -> TrainState:
+        cfg = self.config
         for epoch in range(start_epoch, cfg.num_epochs):
             t_epoch = time.time()
             n_batches = 0
@@ -193,6 +243,7 @@ class Trainer:
             for batch in train_batches(epoch):
                 if guard.triggered:
                     break
+                self._profile_tick(host_step)
                 try:
                     state, metrics = self.train_step(state, batch, rng)
                 except jax.errors.JaxRuntimeError as e:
@@ -212,6 +263,8 @@ class Trainer:
                     continue
                 consecutive_oom = 0
                 n_batches += 1
+                host_step += 1
+                self._profile_tick(host_step, metrics["loss"])
                 window.append((metrics["loss"],
                                metrics.get("sample_size", 0),
                                metrics["skipped"]))

@@ -23,6 +23,36 @@ def tiny_encoders():
 
 
 @pytest.mark.slow
+def test_cli_preprocess_writes_shards(tmp_path, monkeypatch):
+    """`tellax preprocess IN.jsonl PREFIX` — the offline frozen-
+    encoder materialization pass as a first-class CLI command."""
+    from news_image_caption_tpu import cli
+    from news_image_caption_tpu.data import materialize as mat
+
+    src = str(tmp_path / "news.jsonl")
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({
+                "caption": f"Barack Obama visited city number {i}.",
+                "article": f"Barack Obama was seen in city {i}."})
+                + "\n")
+    # The CLI builds full-size frozen encoders; keep the test light.
+    monkeypatch.setattr(mat, "FeatureEncoders",
+                        lambda: tiny_encoders())
+    rc = cli.main(["preprocess", src, str(tmp_path / "t"),
+                   "--records-per-shard", "3",
+                   "--caption-len", "16", "--article-len", "32"])
+    assert rc == 0
+    paths = [str(tmp_path / "t-00000.nics"),
+             str(tmp_path / "t-00001.nics")]
+    loader = NativeShardLoader(paths, batch_size=2)
+    assert len(loader) == 5
+    batch = next(loader.epoch(shuffle=False))
+    assert batch["caption_ids"].shape == (2, 16)
+    loader.close()
+
+
+@pytest.mark.slow
 def test_materialize_and_reload(tmp_path):
     src = str(tmp_path / "news.jsonl")
     rng = np.random.default_rng(0)

@@ -196,6 +196,36 @@ def test_trainer_preemption_checkpoints_and_resumes(tmp_path):
     assert int(state2.step) == 11 + 2 * 8   # epochs 1 and 2 rerun
 
 
+def test_trainer_profile_window_writes_trace(tmp_path):
+    """trainer.profile_steps captures a jax.profiler trace of the
+    configured step window into <serialization_dir>/profile."""
+    from news_image_caption_tpu.data.loader import DeviceLoader
+    from news_image_caption_tpu.training.train_step import \
+        create_train_state
+    from news_image_caption_tpu.training.trainer import (Trainer,
+                                                         TrainerConfig)
+
+    cfg = load_config(TINY)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "train")
+    tx = build_optimizer(cfg)
+    batch = next(ds.batches(4))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    state = create_train_state(params, tx)
+
+    tconf = TrainerConfig(num_epochs=1, serialization_dir=str(tmp_path),
+                          log_every=4, profile_start=2,
+                          profile_steps=3)
+    trainer = Trainer(model.loss_fn, tx, tconf)
+    trainer.train(state, lambda e: DeviceLoader(ds.batches(4)))
+    prof_dir = os.path.join(str(tmp_path), "profile")
+    files = [os.path.join(r, f) for r, _, fs in os.walk(prof_dir)
+             for f in fs]
+    assert files, "no profiler trace written"
+    assert any(f.endswith((".trace.json.gz", ".xplane.pb"))
+               for f in files)
+
+
 def test_config_load_and_overrides():
     cfg = load_config(TINY)
     assert cfg["model"]["decoder"]["embed_dim"] == 16
