@@ -131,6 +131,14 @@ def train_command(args) -> int:
     # sharded along the data axis by the DeviceLoader, and XLA inserts
     # the gradient all-reduce / TP psums (SURVEY.md §2.10; same path
     # __graft_entry__.dryrun_multichip validates).
+    # Multi-host bootstrap: `trainer.distributed: true` (TPU-pod
+    # auto-detect) or a {coordinator_address, num_processes,
+    # process_id} block. Must precede mesh construction.
+    if tcfg.get("distributed"):
+        from news_image_caption_tpu.parallel.distributed import \
+            initialize
+        dist = tcfg["distributed"]
+        initialize(**(dist if isinstance(dist, dict) else {}))
     mesh = batch_sharding = None
     if tcfg.get("mesh"):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -166,14 +174,21 @@ def train_command(args) -> int:
         profile_steps=tcfg.get("profile_steps", 0),
         seed=tcfg.get("seed", 0)))
 
+    # Multi-host: every host draws the same seeded epoch stream and
+    # keeps its round-robin slice (disjoint coverage, deterministic
+    # resume); single-process this is the identity.
+    from news_image_caption_tpu.parallel.distributed import \
+        shard_iterator
+
     def train_batches(epoch):
         return DeviceLoader(
-            train_ds.batches(batch_size, seed=epoch),
+            shard_iterator(train_ds.batches(batch_size, seed=epoch)),
             sharding=batch_sharding)
 
     def val_batches(epoch):
-        return DeviceLoader(val_ds.batches(batch_size, shuffle=False),
-                            sharding=batch_sharding)
+        return DeviceLoader(
+            shard_iterator(val_ds.batches(batch_size, shuffle=False)),
+            sharding=batch_sharding)
 
     trainer.train(state, train_batches, val_batches,
                   recover=args.recover)

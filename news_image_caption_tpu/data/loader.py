@@ -33,6 +33,13 @@ class DeviceLoader:
 
     def _put(self, batch):
         if self._sharding is not None:
+            if jax.process_count() > 1:
+                # Multi-host: each process holds only its local slice
+                # of the global batch; assemble one global array
+                # (plain device_put cannot address remote devices).
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self._sharding, x), batch)
             return jax.tree.map(
                 lambda x: jax.device_put(x, self._sharding), batch)
         return jax.tree.map(jax.device_put, batch)
