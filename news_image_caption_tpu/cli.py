@@ -204,11 +204,21 @@ def serve_command(args) -> int:
     (server/http.py:8-66), as one command.
     """
     import functools
+    import signal
     import time
 
     from news_image_caption_tpu.serving.base import CaptionServer
     from news_image_caption_tpu.serving.worker import (
         CaptioningWorker, default_model_builder, flagship_model_builder)
+    from news_image_caption_tpu.training.preemption import \
+        PreemptionHandler
+
+    # Graceful SIGTERM (systemd/k8s stop, pod eviction): installed
+    # BEFORE worker spawn so a stop during startup still reaches the
+    # finally block, which drains the proxy and terminates the worker
+    # processes instead of orphaning them.
+    guard = PreemptionHandler((signal.SIGTERM,))
+    guard.__enter__()
 
     if args.task == "toy":
         builder = default_model_builder
@@ -243,14 +253,16 @@ def serve_command(args) -> int:
     try:
         if args.exit_after_ready:
             return 0
-        while True:
-            time.sleep(3600)
+        while not guard.triggered:
+            time.sleep(0.5)
+        return 0
     except KeyboardInterrupt:
         return 0
     finally:
         if httpd is not None:
             httpd.shutdown()
         server.stop()
+        guard.__exit__()
 
 
 def evaluate_command(args) -> int:

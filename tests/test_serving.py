@@ -190,6 +190,28 @@ def test_cli_serve_end_to_end():
         proc.wait(timeout=30)
 
 
+def test_cli_serve_sigterm_graceful_shutdown():
+    """SIGTERM to the serve CLI (systemd/k8s stop, pod eviction)
+    drains the proxy and terminates the worker processes — graceful
+    exit 0, no orphaned children."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "news_image_caption_tpu.cli", "serve",
+         "--task", "toy", "--platform", "cpu"],
+        stdout=subprocess.PIPE, text=True, cwd="/root/repo")
+    try:
+        info = json.loads(proc.stdout.readline())   # workers ready
+        assert "frontend_addr" in info
+        proc.terminate()                            # SIGTERM
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
 @pytest.mark.slow
 def test_full_model_builder_objects_and_attention_maps():
     """Objects context is attached to the caption batch and attention
