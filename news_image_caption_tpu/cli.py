@@ -47,10 +47,11 @@ def main(argv: Optional[list] = None) -> int:
              "data/materialize.py)")
     pp.add_argument("input_jsonl")
     pp.add_argument("out_prefix")
-    pp.add_argument("--records-per-shard", type=int, default=1024)
-    pp.add_argument("--caption-len", type=int, default=64)
-    pp.add_argument("--article-len", type=int, default=512)
-    pp.add_argument("--no-copy-masks", action="store_true")
+    # Remaining flags are forwarded verbatim to data/materialize.py
+    # (single definition there): --records-per-shard, --caption-len,
+    # --article-len, --no-copy-masks.
+    pp.add_argument("materialize_flags", nargs=argparse.REMAINDER,
+                    help="flags forwarded to data/materialize.py")
 
     ps = sub.add_parser(
         "serve", help="start the ZMQ captioning server (+HTTP proxy)")
@@ -87,13 +88,8 @@ def main(argv: Optional[list] = None) -> int:
     if args.command == "preprocess":
         from news_image_caption_tpu.data.materialize import \
             main as materialize_main
-        flags = ["--records-per-shard", str(args.records_per_shard),
-                 "--caption-len", str(args.caption_len),
-                 "--article-len", str(args.article_len)]
-        if args.no_copy_masks:
-            flags.append("--no-copy-masks")
-        return materialize_main(
-            [args.input_jsonl, args.out_prefix] + flags)
+        return materialize_main([args.input_jsonl, args.out_prefix]
+                                + args.materialize_flags)
     return evaluate_command(args)
 
 

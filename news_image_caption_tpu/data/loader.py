@@ -37,9 +37,9 @@ class DeviceLoader:
                 # Multi-host: each process holds only its local slice
                 # of the global batch; assemble one global array
                 # (plain device_put cannot address remote devices).
-                return jax.tree.map(
-                    lambda x: jax.make_array_from_process_local_data(
-                        self._sharding, x), batch)
+                from news_image_caption_tpu.parallel.distributed \
+                    import device_put_global
+                return device_put_global(batch, self._sharding)
             return jax.tree.map(
                 lambda x: jax.device_put(x, self._sharding), batch)
         return jax.tree.map(jax.device_put, batch)

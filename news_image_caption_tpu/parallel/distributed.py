@@ -49,14 +49,23 @@ def initialize(coordinator_address: Optional[str] = None,
     global _initialized
     if _initialized:
         return
-    if (coordinator_address is None and num_processes is None
-            and jax.process_count() == 1):
-        # Single-process with no cluster spec: nothing to join.
-        _initialized = True
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes, process_id=process_id, **kwargs)
+    # Do NOT touch jax.process_count()/devices() here: any backend
+    # query initializes XLA, after which jax.distributed.initialize
+    # refuses to run — that would break pod auto-detection.
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            **kwargs)
+    except (ValueError, RuntimeError) as e:
+        if coordinator_address is not None or num_processes is not None:
+            raise   # explicit cluster spec that failed: a real error
+        # No cluster detected (plain single-host run): degrade to
+        # single-process rather than failing the training script.
+        import logging
+        logging.getLogger("distributed").info(
+            "no multi-host cluster detected (%s); running "
+            "single-process", e)
     _initialized = True
 
 
@@ -68,26 +77,47 @@ def shard_iterator(batches: Iterable, index: Optional[int] = None,
     consumes batches index, index+count, ... — disjoint coverage with
     deterministic resume (the FixedStepsLoader index arithmetic
     composes: global_step -> batch i = step*count + index).
+
+    A ragged tail (epoch length not divisible by count) is DROPPED so
+    every host sees the same number of batches — unequal counts would
+    desynchronize the per-host loops and hang the collectives of the
+    extra global step.
     """
     index = jax.process_index() if index is None else index
     count = jax.process_count() if count is None else count
     if count == 1:
         return iter(batches)
-    return itertools.islice(batches, index, None, count)
+
+    def even_slices() -> Iterator:
+        it = iter(batches)
+        while True:
+            group = list(itertools.islice(it, count))
+            if len(group) < count:
+                return
+            yield group[index]
+
+    return even_slices()
 
 
-def device_put_global(batch: Dict[str, Any], mesh: Mesh,
-                      spec: PartitionSpec = PartitionSpec("data")
+def device_put_global(batch: Dict[str, Any], sharding,
+                      spec: Optional[PartitionSpec] = None
                       ) -> Dict[str, Any]:
-    """Host-local numpy batch -> global jax.Array over `mesh`.
+    """Host-local numpy batch -> global jax.Array under `sharding`.
 
-    Each process passes its LOCAL slice of the global batch; the
-    result is one global array whose leading (batch) dim is
-    data-sharded across all hosts' devices. With one process this is
-    exactly a sharded device_put.
+    `sharding` is a NamedSharding, or a Mesh combined with `spec`
+    (default: batch dim over the "data" axis). Each process passes
+    its LOCAL slice of the global batch; the result is one global
+    array data-sharded across all hosts' devices. With one process
+    this is exactly a sharded device_put. This is the production
+    placement path — DeviceLoader routes through it whenever
+    process_count > 1.
     """
+    if isinstance(sharding, Mesh):
+        sharding = NamedSharding(
+            sharding, spec if spec is not None
+            else PartitionSpec("data"))
+
     def put(x):
-        sharding = NamedSharding(mesh, spec)
         return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree.map(put, batch)

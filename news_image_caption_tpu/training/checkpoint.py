@@ -67,7 +67,11 @@ class CheckpointStore:
         pending writes and surface any write errors.
         """
         # Pull to host before serializing (works for sharded arrays).
-        host_state = jax.tree.map(np.asarray, state)
+        # MUST be a real copy: np.asarray aliases numpy leaves and can
+        # be zero-copy for CPU jax.Arrays, so a background writer
+        # would race caller mutation / donated-buffer reuse.
+        host_state = jax.tree.map(lambda x: np.array(x, copy=True),
+                                  state)
         path = self._path(step)
         if blocking:
             # Drain queued async writes first: a blocking save must
@@ -126,11 +130,22 @@ class CheckpointStore:
             self._write_meta()
 
     def wait(self) -> None:
-        """Drain pending async saves; re-raises the first write error."""
+        """Drain pending async saves; re-raises the first write error.
+
+        ALL drained futures are awaited before raising — an early
+        failure must not discard the completion (or errors) of later
+        queued writes."""
         with self._lock:
             pending, self._pending = self._pending, []
+        first: Optional[BaseException] = None
         for fut in pending:
-            fut.result()
+            try:
+                fut.result()
+            except BaseException as e:
+                if first is None:
+                    first = e
+        if first is not None:
+            raise first
 
     def latest_step(self) -> Optional[int]:
         self.wait()

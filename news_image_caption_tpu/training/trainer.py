@@ -192,6 +192,8 @@ class Trainer:
         # step) every batch would sync the device; one sync here).
         host_step = int(state.step) if cfg.profile_steps > 0 else 0
         self._prof_active = False
+        self._prof_done = False
+        self._prof_started_at = 0
         try:
             return self._run_epochs(state, train_batches, val_batches,
                                     rng, start_epoch, best,
@@ -203,27 +205,49 @@ class Trainer:
                 self._prof_active = False
 
     def _profile_tick(self, host_step: int, last_loss=None) -> None:
-        """Start/stop the windowed jax.profiler trace at step edges."""
+        """Start/stop the windowed jax.profiler trace at step edges.
+
+        Start is >= (not ==) so a --recover run resuming PAST
+        profile_start still captures its window (of the first
+        profile_steps steps after resume); stop is relative to the
+        actual start step."""
         cfg = self.config
-        if cfg.profile_steps <= 0:
+        if cfg.profile_steps <= 0 or self._prof_done:
             return
         if (not self._prof_active
-                and host_step == cfg.profile_start):
+                and host_step >= cfg.profile_start):
             logdir = os.path.join(cfg.serialization_dir, "profile")
             self.logger.info("profiling steps %d..%d -> %s",
                              host_step,
                              host_step + cfg.profile_steps, logdir)
             jax.profiler.start_trace(logdir)
             self._prof_active = True
+            self._prof_started_at = host_step
         elif (self._prof_active and
-              host_step >= cfg.profile_start + cfg.profile_steps):
+              host_step >= self._prof_started_at + cfg.profile_steps):
             if last_loss is not None:
                 # Flush async dispatch so the traced window actually
                 # contains the device work of the profiled steps.
                 jax.block_until_ready(last_loss)
             jax.profiler.stop_trace()
             self._prof_active = False
+            self._prof_done = True
             self.logger.info("profile trace written")
+
+    def _preemption_agreed(self, guard: PreemptionHandler) -> bool:
+        """Cross-host agreement on the preemption flag.
+
+        Hosts can observe SIGTERM at different batch boundaries, but
+        the loop exit and the (collective, when sharded) checkpoint
+        save must happen at the SAME step everywhere — take the
+        global OR of the per-host flags. Single-process: the local
+        flag, no collective."""
+        if jax.process_count() == 1:
+            return guard.triggered
+        import numpy as np
+        from jax.experimental import multihost_utils
+        return bool(multihost_utils.process_allgather(
+            np.asarray(guard.triggered)).any())
 
     def _run_epochs(self, state, train_batches, val_batches, rng,
                     start_epoch, best, epochs_since_best,
@@ -240,8 +264,10 @@ class Trainer:
             # steps (the in-jit nonfinite guard already skips bad
             # batches without a round trip).
             window: list = []
+            preempted = False
             for batch in train_batches(epoch):
-                if guard.triggered:
+                if self._preemption_agreed(guard):
+                    preempted = True
                     break
                 self._profile_tick(host_step)
                 try:
@@ -295,7 +321,7 @@ class Trainer:
                         ("train/tokens_per_sec",
                          total_tokens / max(dt, 1e-9)),
                         ("train/skipped_batches", n_skipped)])
-            if guard.triggered:
+            if preempted or self._preemption_agreed(guard):
                 # Eviction imminent: persist NOW (blocking — the
                 # process may not live long enough for async I/O),
                 # tagged with the in-progress epoch so --recover

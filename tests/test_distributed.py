@@ -17,18 +17,38 @@ def test_initialize_single_process_is_noop():
     assert jax.process_count() == 1
 
 
-def test_shard_iterator_round_robin_disjoint_cover():
+def test_shard_iterator_round_robin_equal_counts():
+    """Disjoint round-robin cover with the ragged tail DROPPED —
+    unequal per-host batch counts would desynchronize the global
+    train steps and hang multi-host collectives."""
     batches = list(range(10))
     shards = [list(shard_iterator(iter(batches), index=i, count=3))
               for i in range(3)]
-    assert shards[0] == [0, 3, 6, 9]
+    assert shards[0] == [0, 3, 6]
     assert shards[1] == [1, 4, 7]
-    assert shards[2] == [2, 5, 8]
-    # count=1 (single process) keeps everything, no islice wrapper
+    assert shards[2] == [2, 5, 8]          # 9 is the dropped tail
+    assert len({len(s) for s in shards}) == 1
+    # count=1 (single process) keeps everything including the tail
     assert list(shard_iterator(iter(batches), index=0,
                                count=1)) == batches
     # default index/count come from the runtime (single process here)
     assert list(shard_iterator(iter(batches))) == batches
+
+
+def test_initialize_explicit_bad_spec_raises():
+    """An explicit cluster spec that cannot be joined is a real error
+    (only the no-spec auto-detect path degrades to single-process)."""
+    import news_image_caption_tpu.parallel.distributed as dist
+
+    old = dist._initialized
+    dist._initialized = False
+    try:
+        with np.testing.assert_raises(Exception):
+            initialize(coordinator_address="127.0.0.1:1",
+                       num_processes=2, process_id=0,
+                       initialization_timeout=1)
+    finally:
+        dist._initialized = old
 
 
 def test_device_put_global_single_process_matches_device_put():

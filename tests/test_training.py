@@ -57,25 +57,38 @@ def test_checkpoint_save_load_best_and_retention(tmp_path):
 def test_checkpoint_async_save(tmp_path):
     """blocking=False: writes land on a background thread; readers
     drain pending writes, so load-after-save is always consistent.
-    The host snapshot is synchronous, so mutating the source pytree
-    after save() must not affect what was written."""
-    store = CheckpointStore(str(tmp_path), keep=2, best_metric="loss")
+    The host snapshot must be a REAL copy taken synchronously: the
+    worker is gated here until AFTER the caller mutates the source
+    buffer (donation analog), and the written bytes must still be the
+    pre-mutation values."""
+    import threading
+
+    store = CheckpointStore(str(tmp_path), keep=3, best_metric="loss")
+    release = threading.Event()
+    orig_commit = store._commit
+
+    def gated_commit(host_state, path, step, metrics):
+        release.wait(timeout=10)   # serialize only after the mutation
+        orig_commit(host_state, path, step, metrics)
+
+    store._commit = gated_commit
     w = np.arange(4.0)
-    state = {"w": w, "step": np.asarray(0)}
-    store.save(state, 1, {"loss": 5.0}, blocking=False)
-    w += 100.0  # caller reuses the buffer (donation analog)
+    store.save({"w": w, "step": np.asarray(0)}, 1, {"loss": 5.0},
+               blocking=False)
+    w += 100.0  # caller reuses the buffer while the write is queued
+    release.set()
     store.save({"w": np.ones(4) * 2, "step": np.asarray(2)}, 2,
                {"loss": 3.0}, blocking=False)
     store.save({"w": np.ones(4) * 3, "step": np.asarray(3)}, 3,
                {"loss": 4.0}, blocking=False)
     assert store.latest_step() == 3          # drains pending writes
-    got1 = store.load({"w": np.zeros(4), "step": np.asarray(0)}, "best")
-    np.testing.assert_allclose(np.asarray(got1["w"]), 2.0)
-    # retention applied by the worker too
-    assert not os.path.exists(os.path.join(str(tmp_path),
-                                           "ckpt_1.msgpack"))
+    got1 = store.load({"w": np.zeros(4), "step": np.asarray(0)}, 1)
+    np.testing.assert_allclose(np.asarray(got1["w"]),
+                               np.arange(4.0))  # pre-mutation bytes
+    best = store.load({"w": np.zeros(4), "step": np.asarray(0)}, "best")
+    np.testing.assert_allclose(np.asarray(best["w"]), 2.0)
     # a fresh store sees the meta the worker wrote
-    store2 = CheckpointStore(str(tmp_path), keep=2, best_metric="loss")
+    store2 = CheckpointStore(str(tmp_path), keep=3, best_metric="loss")
     assert store2.latest_step() == 3
     assert store2.best_value() == 3.0
 
