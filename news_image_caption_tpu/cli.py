@@ -315,7 +315,13 @@ def evaluate_command(args) -> int:
         state = create_train_state(params, tx)
         which = args.model_path or "best"
         try:
-            state = store.load(state, which)
+            if isinstance(which, str) and which.startswith("avg:"):
+                # Checkpoint averaging over the newest N (fairseq
+                # average_checkpoints trick): `-m avg:5`.
+                state = store.load_averaged(state,
+                                            last_n=int(which[4:]))
+            else:
+                state = store.load(state, which)
             params = state.params
         except FileNotFoundError:
             print(f"warning: no checkpoint {which!r}; using random init",

@@ -193,3 +193,34 @@ class CheckpointStore:
         self.wait()
         b = self.meta.get("best")
         return None if b is None else b["value"]
+
+    def load_averaged(self, target: Any,
+                      last_n: Optional[int] = None,
+                      steps: Optional[list] = None) -> Any:
+        """Restore the element-wise average of several checkpoints
+        (fairseq's average_checkpoints trick — smooths the tail of
+        training; integer leaves, e.g. step counters, are taken from
+        the newest checkpoint instead of averaged).
+
+        last_n: average the newest N retained checkpoints;
+        steps: explicit step list (overrides last_n).
+        """
+        self.wait()
+        if steps is None:
+            avail = sorted(c["step"] for c in self.meta["checkpoints"])
+            if not avail:
+                raise FileNotFoundError(
+                    f"no checkpoints in {self.dir}")
+            steps = avail[-(last_n or len(avail)):]
+        states = [self.load(target, s) for s in sorted(steps)]
+
+        def avg(*leaves):
+            first = np.asarray(leaves[0])
+            if not np.issubdtype(first.dtype, np.floating):
+                return leaves[-1]          # newest wins for ints
+            acc = np.zeros(first.shape, np.float64)
+            for x in leaves:
+                acc += np.asarray(x, np.float64)
+            return (acc / len(leaves)).astype(first.dtype)
+
+        return jax.tree.map(avg, *states)

@@ -93,6 +93,23 @@ def test_checkpoint_async_save(tmp_path):
     assert store2.best_value() == 3.0
 
 
+def test_checkpoint_load_averaged(tmp_path):
+    """Element-wise average over the newest N checkpoints; integer
+    leaves (step counters) come from the newest instead."""
+    store = CheckpointStore(str(tmp_path), keep=5)
+    for step, val in [(1, 1.0), (2, 2.0), (3, 6.0)]:
+        store.save({"w": np.full(3, val),
+                    "step": np.asarray(step, np.int32)}, step)
+    tgt = {"w": np.zeros(3), "step": np.asarray(0, np.int32)}
+    got = store.load_averaged(tgt, last_n=2)
+    np.testing.assert_allclose(np.asarray(got["w"]), 4.0)  # (2+6)/2
+    assert int(got["step"]) == 3                  # newest, not mean
+    got_all = store.load_averaged(tgt)
+    np.testing.assert_allclose(np.asarray(got_all["w"]), 3.0)
+    got_explicit = store.load_averaged(tgt, steps=[1, 3])
+    np.testing.assert_allclose(np.asarray(got_explicit["w"]), 3.5)
+
+
 def test_checkpoint_blocking_save_orders_after_pending_async(tmp_path):
     """A blocking save drains queued async writes first — otherwise a
     queued write for the SAME step lands after it and clobbers the
