@@ -81,8 +81,7 @@ def generate(step_fn: Callable, init_caches, seed: jax.Array,
     else:
         finished0 = jnp.zeros((B,), bool)
 
-    def body(carry, i):
-        cur, finished, caches, key = carry
+    def step_once(i, cur, finished, caches, key):
         lp, caches = step_fn(cur, i, caches)
         topk_lp, topk_idx = jax.lax.top_k(lp, config.sampling_topk)
         topk_lp = topk_lp / config.sampling_temp
@@ -98,6 +97,36 @@ def generate(step_fn: Callable, init_caches, seed: jax.Array,
         next_tok = jnp.where(finished, config.pad_id, sel_idx)
         out_lp = jnp.where(finished, 0.0, sel_lp)
         finished = finished | (next_tok == config.eos_id)
+        return next_tok, out_lp, finished, caches, key
+
+    if config.early_exit:
+        lps0 = jnp.zeros((B, config.max_len), jnp.float32)
+
+        def cond(carry):
+            i, _, finished, _, _, _ = carry
+            return (i < config.max_len) & ~jnp.all(finished)
+
+        def wbody(carry):
+            i, cur, finished, tokens, lps, (caches, key) = carry
+            next_tok, out_lp, finished, caches, key = step_once(
+                i, cur, finished, caches, key)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, next_tok[:, None], (0, i + 1))
+            lps = jax.lax.dynamic_update_slice(
+                lps, out_lp[:, None].astype(lps.dtype), (0, i))
+            return (i + 1, next_tok, finished, tokens, lps,
+                    (caches, key))
+
+        (_, _, _, tokens, lps, _) = jax.lax.while_loop(
+            cond, wbody,
+            (jnp.int32(0), seed, finished0, tokens0, lps0,
+             (init_caches, rng)))
+        return tokens, lps
+
+    def body(carry, i):
+        cur, finished, caches, key = carry
+        next_tok, out_lp, finished, caches, key = step_once(
+            i, cur, finished, caches, key)
         return (next_tok, finished, caches, key), (next_tok, out_lp)
 
     (_, _, _, _), (toks, lps) = jax.lax.scan(
@@ -346,8 +375,7 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
         (B,))                                              # [B*K]
     finished0 = jnp.zeros((B * K,), bool)
 
-    def body(carry, i):
-        cur, scores, finished, tokens, caches = carry
+    def step_once(i, cur, scores, finished, tokens, caches):
         lp, caches = step_fn(cur, i, caches)               # [B*K, V]
         vocab = lp.shape[-1]
         # Finished beams: only allow emitting pad with 0 added score.
@@ -360,19 +388,37 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
         tok = (top_flat % vocab).astype(jnp.int32)         # [B, K]
         # Gather beam state from source beams.
         flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
-        tokens = tokens[flat_src]
+        tokens = jnp.take(tokens, flat_src, axis=0)
         caches = reorder_fn(caches, flat_src)
         finished = finished[flat_src]
         tok_flat = tok.reshape(-1)
-        tokens = tokens.at[:, i + 1].set(tok_flat)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, tok_flat[:, None], (0, i + 1))
         scores = top_scores.reshape(-1)
         finished = finished | (tok_flat == config.eos_id)
-        return (tok_flat, scores, finished, tokens, caches), None
+        return tok_flat, scores, finished, tokens, caches
 
     init = (flat_seed, scores0, finished0, tokens0, init_caches)
-    (_, scores, _, tokens, _), _ = jax.lax.scan(
-        body, init, jnp.arange(config.max_len),
-        unroll=config.scan_unroll)
+    if config.early_exit:
+        def cond(c):
+            i = c[0]
+            finished = c[3]
+            return (i < config.max_len) & ~jnp.all(finished)
+
+        def wbody(c):
+            i = c[0]
+            out = step_once(i, *c[1:])
+            return (i + 1,) + out
+
+        (_, _, scores, _, tokens, _) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0),) + init)
+    else:
+        def body(carry, i):
+            return step_once(i, *carry), None
+
+        (_, scores, _, tokens, _), _ = jax.lax.scan(
+            body, init, jnp.arange(config.max_len),
+            unroll=config.scan_unroll)
     tokens = tokens.reshape(B, K, -1)
     scores = scores.reshape(B, K)
     # Length penalty: normalize by (non-pad length)^alpha.

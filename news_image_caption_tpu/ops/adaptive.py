@@ -67,7 +67,11 @@ def quantize_embed_tables(embed_tables):
     for table, proj in embed_tables:
         t32 = table.astype(jnp.float32)
         amax = jnp.max(jnp.abs(t32), axis=1, keepdims=True)
-        scale = jnp.maximum(amax, 1e-8) / 127.0
+        # Quantize with the SAME scale dequantization will multiply by
+        # (rounded to the table dtype first) — a fp32-quant/bf16-dequant
+        # mismatch would roughly double the RMS logit error.
+        scale = ((jnp.maximum(amax, 1e-8) / 127.0)
+                 .astype(table.dtype).astype(jnp.float32))
         q = jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
         out.append((QuantTable(q=q, scale=scale[:, 0].astype(
             table.dtype)), proj))
@@ -215,15 +219,22 @@ class AdaptiveSoftmax(nn.Module):
                       preferred_element_type=dtype)
         return jnp.concatenate([word, cls], axis=-1)
 
+    def tail_hidden(self, x: jax.Array, i: int,
+                    deterministic: bool = True) -> jax.Array:
+        """Factor-shrunk projection of x for tail band i (1-based) —
+        the single definition both the XLA and Pallas paths use."""
+        h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
+                    preferred_element_type=self.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            h = dropout(self, h, self.dropout, deterministic=False)
+        return h
+
     def tail_logits(self, x: jax.Array, i: int, embed_tables=None,
                     deterministic: bool = True,
                     out_dtype=None) -> jax.Array:
         """x [N, D] -> logits over band i's words. i is 1-based tail index."""
         dtype = out_dtype or self.dtype
-        h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
-                    preferred_element_type=self.dtype)
-        if self.dropout > 0.0 and not deterministic:
-            h = dropout(self, h, self.dropout, deterministic=False)
+        h = self.tail_hidden(x, i, deterministic=deterministic)
         if embed_tables is not None:
             table_i, _ = embed_tables[i]  # [band_v, d]
             return _word_logits(h, table_i, dtype)
@@ -295,7 +306,11 @@ class AdaptiveSoftmax(nn.Module):
         # full decode loop (pallas_call is a fusion barrier — the
         # neighboring XLA fusions fragment), so it is opt-in.
         if (self.use_pallas_head and jax.default_backend() == "tpu"
-                and embed_tables is not None):
+                and embed_tables is not None
+                and not any(isinstance(t, QuantTable)
+                            for t, _ in embed_tables)):
+            # int8 tables (quantize_head) take the XLA dequant path —
+            # the Pallas kernel streams raw fp/bf16 tables only.
             return self._topk_log_prob_pallas(x, k, embed_tables)
         from news_image_caption_tpu.ops.topk import exact_topk
         c0 = self.cutoff[0]
@@ -342,8 +357,7 @@ class AdaptiveSoftmax(nn.Module):
         cls_l = jnp.dot(x, clsw).astype(jnp.float32)   # [N, n_tails]
         vals, ids = [hv - lse_h], [hi]
         for i in range(1, len(self.cutoff)):
-            h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
-                        preferred_element_type=self.dtype)
+            h = self.tail_hidden(x, i)
             table_i, _ = embed_tables[i]
             tv, ti, lse_t = band_topk_lse(h, table_i.astype(h.dtype),
                                           k)

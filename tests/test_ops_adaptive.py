@@ -171,3 +171,28 @@ def test_quantized_head_tables_rms_and_captions():
                               GenerationConfig(max_len=10, beam_size=3,
                                                quantize_head=True))
     assert np.asarray(out[0]).shape[1] == 3
+
+
+def test_pallas_head_falls_back_to_xla_for_quant_tables(monkeypatch):
+    """use_pallas_head + quantize_head: the Pallas kernel streams raw
+    fp/bf16 tables only, so QuantTable inputs must route to the XLA
+    dequant path (previously an AttributeError at trace time)."""
+    import news_image_caption_tpu.ops.adaptive as ad
+
+    sm = ad.AdaptiveSoftmax(vocab_size=32, input_dim=16,
+                            cutoff=(8, 16, 32), factor=2.0,
+                            use_pallas_head=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    tables = [(jax.random.normal(jax.random.PRNGKey(i + 1),
+                                 (n, d)), None)
+              for i, (n, d) in enumerate([(8, 16), (8, 8), (16, 4)])]
+    sparams = sm.init(jax.random.PRNGKey(2), x, embed_tables=tables,
+                      method=ad.AdaptiveSoftmax.log_prob)
+    qtables = ad.quantize_embed_tables(tables)
+    # Pretend we're on TPU so only the QuantTable guard prevents the
+    # Pallas route.
+    monkeypatch.setattr(ad.jax, "default_backend", lambda: "tpu")
+    v, i = sm.apply(sparams, x, 3, embed_tables=qtables,
+                    method=ad.AdaptiveSoftmax.topk_log_prob)
+    assert v.shape == (4, 3)
+    assert np.isfinite(np.asarray(v)).all()

@@ -158,6 +158,63 @@ def test_early_exit_beam_matches_fixed_scan():
                                atol=1e-6)
 
 
+def _toy_step_fn(vocab=11, eos=2, seed=0):
+    """Full-vocab step_fn: fixed random transition log-probs with an
+    eos-absorbing bias so sequences finish early. caches = step count
+    (exercises cache threading/reordering)."""
+    trans = np.asarray(jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(seed), (vocab, vocab))
+        + 3.0 * jax.nn.one_hot(jnp.full((vocab,), eos), vocab)))
+    trans_j = jnp.asarray(trans)
+
+    def step_fn(cur, i, caches):
+        return trans_j[cur], caches + 1
+
+    return step_fn
+
+
+def test_full_vocab_generate_early_exit_matches_fixed_scan():
+    """The full-vocab generate() path (gen1/gen2/tgnc/LSTM models)
+    honors early_exit with identical outputs to the fixed scan."""
+    from news_image_caption_tpu.generation.generator import (
+        GenerationConfig, generate)
+    step_fn = _toy_step_fn()
+    seed_tok = jnp.array([0, 3, 5], jnp.int32)
+    caches0 = jnp.zeros((3,), jnp.int32)
+    cfg = GenerationConfig(max_len=12, eos_id=2, pad_id=1)
+    cfge = GenerationConfig(max_len=12, eos_id=2, pad_id=1,
+                            early_exit=True)
+    ta, la = jax.jit(lambda: generate(step_fn, caches0, seed_tok,
+                                      cfg))()
+    tb, lb = jax.jit(lambda: generate(step_fn, caches0, seed_tok,
+                                      cfge))()
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+    # the eos bias makes every toy sequence actually finish
+    assert (np.asarray(ta) == 2).any(axis=1).all()
+
+
+def test_full_vocab_beam_search_early_exit_matches_fixed_scan():
+    from news_image_caption_tpu.generation.generator import (
+        GenerationConfig, beam_search)
+    step_fn = _toy_step_fn(seed=7)
+    B, K = 3, 3
+    seed_tok = jnp.array([0, 3, 5], jnp.int32)
+    caches0 = jnp.zeros((B * K,), jnp.int32)
+    cfg = GenerationConfig(max_len=12, eos_id=2, pad_id=1,
+                           beam_size=K)
+    cfge = GenerationConfig(max_len=12, eos_id=2, pad_id=1,
+                            beam_size=K, early_exit=True)
+    reorder = lambda caches, src: caches  # step count is beam-invariant
+    ta, sa = jax.jit(lambda: beam_search(step_fn, caches0, seed_tok,
+                                         cfg, reorder_fn=reorder))()
+    tb, sb = jax.jit(lambda: beam_search(step_fn, caches0, seed_tok,
+                                         cfge, reorder_fn=reorder))()
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                               atol=1e-6)
+
+
 @pytest.mark.slow
 def test_early_exit_greedy_matches_fixed_scan():
     import sys
