@@ -216,16 +216,14 @@ class DynamicConvDecoderLayer(nn.Module):
             # weight-norm folds are loop-invariant and hoisted.
             from news_image_caption_tpu.ops.pallas_decode import \
                 decode_ffn_block
+            from news_image_caption_tpu.ops.linear import \
+                fold_weight_norm
             p1 = self.fc1.variables["params"]
             p2 = self.fc2.variables["params"]
 
             def eff(p):
-                v = p["kernel"]
-                g = p["scale"]
-                norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0,
-                                        keepdims=True))
-                return (v * (g[None, :] / jnp.maximum(norm, 1e-12))
-                        ).astype(x.dtype)
+                return fold_weight_norm(p["kernel"], p["scale"],
+                                        x.dtype)
 
             y = decode_ffn_block(
                 x[:, 0, :], eff(p1), p1["bias"].astype(x.dtype),
@@ -261,17 +259,14 @@ class DynamicConvDecoderLayer(nn.Module):
         loop-invariant: XLA hoists them out of the decode scan."""
         from news_image_caption_tpu.ops.pallas_decode import \
             decode_conv_block
+        from news_image_caption_tpu.ops.linear import fold_weight_norm
         p1 = self.linear1.variables["params"]
         p2 = self.linear2.variables["params"]
         pw = self.conv.variables["params"]["weight_linear"]
 
         def eff(p):
-            v = p["kernel"]
-            g = p["scale"]
-            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0,
-                                    keepdims=True))
-            return (v * (g[None, :] / jnp.maximum(norm, 1e-12))
-                    ).astype(x_t.dtype)
+            return fold_weight_norm(p["kernel"], p["scale"],
+                                    x_t.dtype)
 
         H, K = self.num_heads, self.kernel_size
         wl = pw["kernel"].astype(x_t.dtype)            # [C, H*K]

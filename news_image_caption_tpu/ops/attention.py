@@ -125,7 +125,8 @@ class MultiHeadAttention(nn.Module):
     add_bias_kv: bool = True
     add_zero_attn: bool = True
     param_dtype: Dtype = jnp.float32
-    dtype: Optional[Dtype] = None
+    # Compute dtype follows the ACTIVATIONS (the decoder casts its
+    # stream once); there is deliberately no per-module dtype knob.
     # Fused flash-style kernel for the FULL-SEQUENCE (train /
     # teacher-forced) path: the softmax(qk+bias)->dropout->v chain
     # runs tile-resident per (batch, head) with in-kernel PRNG
@@ -351,6 +352,18 @@ class MultiHeadAttention(nn.Module):
                  deterministic: bool = True,
                  need_weights: bool = False):
         """One-shot attention (projects K/V then attends)."""
+        # kdim/vdim are shape CONTRACTS here, not projection sizes:
+        # XavierLinear infers the K/V input width at call time (the
+        # fairseq separate-kdim projection falls out for free), so
+        # when a config states them we only verify they match.
+        if self.kdim is not None:
+            assert key.shape[-1] == self.kdim, (
+                f"key dim {key.shape[-1]} != configured kdim "
+                f"{self.kdim}")
+        if self.vdim is not None:
+            assert value.shape[-1] == self.vdim, (
+                f"value dim {value.shape[-1]} != configured vdim "
+                f"{self.vdim}")
         kv = self.precompute_kv(key, value, key_padding_mask)
         return self.attend(query, kv, attn_mask=attn_mask,
                            deterministic=deterministic,
@@ -523,6 +536,15 @@ class DownsampledMultiHeadAttention(nn.Module):
             v = jnp.concatenate(
                 [jnp.zeros((B, 1, H, hd), v.dtype), v], axis=1)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        # Rows with NO valid source (e.g. t=0 under strict causal
+        # masking without the scalar-bias column) would softmax the
+        # uniform NEG_INF scores into UNIFORM attention — a silent
+        # causality/padding leak. Attend to nothing instead (the
+        # reference produces NaN here; zeros are the loud-failure-free
+        # equivalent).
+        no_valid = jnp.all(scores <= NEG_INF / 2, axis=-1,
+                           keepdims=True)
+        probs = jnp.where(no_valid, 0.0, probs)
         probs = probs.astype(v.dtype)
         if self.dropout > 0.0 and not deterministic:
             from news_image_caption_tpu.ops.dropout import dropout

@@ -162,9 +162,10 @@ class DynamicConv(nn.Module):
         `step` rewrites the whole [B, K-1, C] history every token
         (shifted copy). Here slot (s mod K-1) permanently holds input
         x_s; each step writes ONE row and permutes the tap WEIGHTS
-        instead of the data: input x_{t-K+1+k} lives in slot
-        (t+k+1) mod (K-1), so slot j takes weight index
-        (j - t - 1) mod (K-1). Zero-initialized slots represent
+        instead of the data: history input x_{t-(K-1)+k} lives in slot
+        (t+k) mod (K-1), so slot j takes weight index
+        (j - t) mod (K-1) (same derivation as the Pallas kernel,
+        ops/pallas_decode.py). Zero-initialized slots represent
         pre-start inputs and contribute nothing (same truncation
         semantics as `step`).
 
@@ -175,6 +176,13 @@ class DynamicConv(nn.Module):
         R = C // H
         Km1 = K - 1
         w = self._weights(x_t, deterministic)          # [B, H, K]
+        if K == 1:
+            # Pointwise conv: no history, nothing to ring.
+            out = (w[:, :, 0:1].repeat(R, axis=-1).reshape(B, C)
+                   * x_t)
+            if self.conv_bias:
+                out = out + self.conv_bias_param.astype(out.dtype)
+            return out, cache
         t = jnp.asarray(t, jnp.int32)
         slots = jnp.arange(Km1, dtype=jnp.int32)
         k_for_slot = jnp.mod(slots - t, Km1)           # [K-1]
@@ -208,6 +216,12 @@ class DynamicConv(nn.Module):
         R = C // H
         Km1 = K - 1
         w = self._weights(x_t, deterministic)          # [B, H, K]
+        if K == 1:
+            out = (w[:, :, 0:1].repeat(R, axis=-1).reshape(B, C)
+                   * x_t)
+            if self.conv_bias:
+                out = out + self.conv_bias_param.astype(out.dtype)
+            return out, cache, slot_map
         t = jnp.asarray(t, jnp.int32)
         slots = jnp.arange(Km1, dtype=jnp.int32)
         k_for_slot = jnp.mod(slots - t, Km1)           # [K-1]
@@ -250,19 +264,23 @@ class LightweightConv(nn.Module):
                 "conv_bias", nn.initializers.zeros, (self.input_size,),
                 self.param_dtype)
 
-    def _weights(self, deterministic: bool) -> jax.Array:
+    def _weights(self, deterministic: bool,
+                 dtype=None) -> jax.Array:
+        """Softmax-normalized taps, cast to the ACTIVATION dtype —
+        fp32 params would otherwise silently re-widen a bf16 conv
+        output (and everything downstream of the residual chain)."""
         w = self.weight
         if self.weight_softmax:
             w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(w.dtype)
         if self.weight_dropout > 0.0 and not deterministic:
             w = dropout(self, w, self.weight_dropout, deterministic=False)
-        return w
+        return w if dtype is None else w.astype(dtype)
 
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         B, T, C = x.shape
         H, K = self.num_heads, self.kernel_size
         R = C // H
-        w = self._weights(deterministic)               # [H, K]
+        w = self._weights(deterministic, x.dtype)      # [H, K]
         wb = jnp.broadcast_to(w[None, None], (B, T, H, K))
         out = _shift_accumulate(x.reshape(B, T, H, R), wb, K)
         out = out.reshape(B, T, C)
@@ -279,7 +297,7 @@ class LightweightConv(nn.Module):
         B, C = x_t.shape
         H, K = self.num_heads, self.kernel_size
         R = C // H
-        w = self._weights(deterministic)               # [H, K]
+        w = self._weights(deterministic, x_t.dtype)    # [H, K]
         hist = jnp.concatenate([cache, x_t[:, None, :]], axis=1)
         hh = hist.reshape(B, K, H, R)
         out = jnp.einsum("hk,bkhr->bhr", w, hh).reshape(B, C)
@@ -294,7 +312,13 @@ class LightweightConv(nn.Module):
         H, K = self.num_heads, self.kernel_size
         R = C // H
         Km1 = K - 1
-        w = self._weights(deterministic)               # [H, K]
+        w = self._weights(deterministic, x_t.dtype)    # [H, K]
+        if K == 1:
+            # Pointwise conv: no history, nothing to ring.
+            out = jnp.repeat(w[:, 0], R) * x_t
+            if self.conv_bias:
+                out = out + self.conv_bias_param.astype(out.dtype)
+            return out, cache
         t = jnp.asarray(t, jnp.int32)
         slots = jnp.arange(Km1, dtype=jnp.int32)
         k_for_slot = jnp.mod(slots - t, Km1)

@@ -24,6 +24,16 @@ from flax import linen as nn
 Dtype = Any
 
 
+def fold_weight_norm(v: jax.Array, g: jax.Array,
+                     dtype=None) -> jax.Array:
+    """w = v * g / max(||v||_col, 1e-12) — the single definition of
+    the weight-norm fold, shared by GehringLinear.effective_kernel
+    and the fused decode kernels (decoder_flattened.py)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0, keepdims=True))
+    kernel = v * (g[None, :] / jnp.maximum(norm, 1e-12))
+    return kernel if dtype is None else kernel.astype(dtype)
+
+
 def gehring_normal(dropout: float = 0.0):
     """Fan-in scaled normal init: std = sqrt((1 - dropout) / fan_in).
 
@@ -82,12 +92,7 @@ class GehringLinear(nn.Module):
         nf = in_features or self.in_features
         assert nf is not None, "pass in_features for weight access"
         v, g, b = self._declare(nf)
-        if self.weight_norm:
-            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=0,
-                                    keepdims=True))
-            kernel = v * (g[None, :] / jnp.maximum(norm, 1e-12))
-        else:
-            kernel = v
+        kernel = fold_weight_norm(v, g) if self.weight_norm else v
         return kernel, b
 
     @nn.compact

@@ -161,6 +161,34 @@ def test_quantized_decode_kv_close_to_exact():
     assert err.max() < 0.05 * scale, (err.max(), scale)
 
 
+def test_downsampled_mha_fully_masked_row_attends_to_nothing():
+    """Strict causal without the scalar-bias column leaves row t=0
+    with NO valid source; it must output zeros (attend to nothing),
+    not the uniform mean of all values (a future/pad leak). The
+    reference NaNs here; zeros are the loud-failure-free equivalent."""
+    from news_image_caption_tpu.ops.attention import \
+        DownsampledMultiHeadAttention
+
+    B, T, E, H = 2, 5, 8, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, E))
+    m = DownsampledMultiHeadAttention(out_channels=E, embed_dim=E,
+                                      num_heads=H, downsample=False,
+                                      project_input=False)
+    p = m.init(jax.random.PRNGKey(1), x, x, x,
+               mask_future_timesteps=True, use_scalar_bias=False)
+    out, w = m.apply(p, x, x, x, mask_future_timesteps=True,
+                     use_scalar_bias=False)
+    # Row 0's attention weights are zero and its output is the
+    # out-proj bias alone — identical across batch items by
+    # construction (it no longer depends on any value vector).
+    np.testing.assert_allclose(np.asarray(w)[:, 0, :], 0.0)
+    np.testing.assert_allclose(np.asarray(out)[0, 0],
+                               np.asarray(out)[1, 0], atol=1e-6)
+    # rows t>0 are proper distributions over s<t
+    sums = np.asarray(w)[:, 1:, :].sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+
 def test_downsampled_mha_nondownsampled_weights_are_head_mean():
     """downsample=False returns head-AVERAGED attention weights
     (reference downsampled_multi_head.py forward, downsample=False

@@ -71,6 +71,53 @@ def test_dynamic_conv_incremental_matches_full():
     np.testing.assert_allclose(np.asarray(full), np.asarray(inc), atol=1e-5)
 
 
+def test_conv_preserves_activation_dtype():
+    """bf16 activations must come back bf16 from BOTH conv types —
+    fp32 tap weights silently re-widened LightweightConv's output
+    (and everything downstream of the decoder residual chain)."""
+    B, T, C, H, K = 2, 5, 8, 2, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, C),
+                          jnp.bfloat16)
+    for conv in (DynamicConv(input_size=C, kernel_size=K, num_heads=H),
+                 LightweightConv(input_size=C, kernel_size=K,
+                                 num_heads=H)):
+        params = conv.init(jax.random.PRNGKey(1), x)
+        assert conv.apply(params, x).dtype == jnp.bfloat16, type(conv)
+        cache = conv.apply(params, B, jnp.bfloat16,
+                           method=type(conv).init_cache)
+        out_t, _ = conv.apply(params, x[:, 0], cache,
+                              method=type(conv).step)
+        assert out_t.dtype == jnp.bfloat16, type(conv)
+
+
+def test_ring_step_kernel_size_one():
+    """K=1 (pointwise) must work on the ring paths the decode scan
+    always uses — mod-by-zero / zero-row updates previously crashed
+    at trace time."""
+    B, C, H = 2, 8, 2
+    x_t = jax.random.normal(jax.random.PRNGKey(0), (B, C))
+    for conv in (DynamicConv(input_size=C, kernel_size=1, num_heads=H),
+                 LightweightConv(input_size=C, kernel_size=1,
+                                 num_heads=H)):
+        params = conv.init(jax.random.PRNGKey(1), x_t[:, None, :])
+        ref = conv.apply(params, x_t[:, None, :])[:, 0]
+        cache = conv.apply(params, B, method=type(conv).init_cache)
+        out, _ = conv.apply(params, x_t, cache, 0,
+                            method=type(conv).step_ring)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+    # lazy-slot-map variant (DynamicConv only)
+    dc = DynamicConv(input_size=C, kernel_size=1, num_heads=H)
+    params = dc.init(jax.random.PRNGKey(1), x_t[:, None, :])
+    ref = dc.apply(params, x_t[:, None, :])[:, 0]
+    cache = dc.apply(params, B, method=DynamicConv.init_cache)
+    slot_map = jnp.zeros((0, B), jnp.int32)
+    out, _, _ = dc.apply(params, x_t, cache, slot_map, 0,
+                         method=DynamicConv.step_ring_lazy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6)
+
+
 def test_lightweight_conv_incremental_matches_full():
     B, T, C, H, K = 2, 7, 8, 2, 3
     conv = LightweightConv(input_size=C, kernel_size=K, num_heads=H)
