@@ -93,12 +93,17 @@ def write_shard(path: str, arrays: Dict[str, np.ndarray]) -> None:
     record_bytes = sum(
         int(np.dtype(f["dtype"]).itemsize * max(np.prod(f["shape"]), 1))
         for f in schema)
+    # One vectorized interleave instead of n * len(fields) Python
+    # tobytes() calls: view each field as (n, field_bytes) uint8 and
+    # concatenate along the record axis.
+    flat = [np.ascontiguousarray(arrays[spec["name"]])
+            .reshape(n, -1).view(np.uint8).reshape(n, -1)
+            for spec in schema]
+    records = np.concatenate(flat, axis=1)
+    assert records.shape[1] == record_bytes
     with open(path, "wb") as f:
         f.write(struct.pack("<QQQ", MAGIC, n, record_bytes))
-        for i in range(n):
-            for spec in schema:
-                f.write(np.ascontiguousarray(
-                    arrays[spec["name"]][i]).tobytes())
+        f.write(records.tobytes())
     with open(path + ".schema", "w") as f:
         json.dump({"record_bytes": record_bytes, "fields": schema}, f)
 
@@ -131,13 +136,19 @@ class NativeShardLoader:
         arr = (ctypes.c_char_p * len(self.paths))(
             *[p.encode() for p in self.paths])
         self._h = lib.shard_open(arr, len(self.paths))
+        self._epoch_gen = 0
         if not self._h:
             raise OSError(f"failed to open shards: {self.paths}")
         assert lib.shard_record_bytes(self._h) == \
             self.schema["record_bytes"], "schema/shard mismatch"
 
+    def _handle(self):
+        if not self._h:
+            raise ValueError("loader is closed")
+        return self._h
+
     def __len__(self):
-        return get_lib().shard_num_records(self._h)
+        return get_lib().shard_num_records(self._handle())
 
     def _field_sizes(self):
         return [int(np.dtype(f["dtype"]).itemsize
@@ -177,11 +188,17 @@ class NativeShardLoader:
               ) -> Iterator[Dict[str, np.ndarray]]:
         lib = get_lib()
         rb = self.schema["record_bytes"]
+        # Epoch generation token: a stale generator's deferred
+        # finalization (GC of an abandoned iterator) must not stop
+        # the CURRENTLY running epoch or touch a closed handle.
+        self._epoch_gen = getattr(self, "_epoch_gen", 0) + 1
+        my_gen = self._epoch_gen
         if self.soa:
             sizes = self._field_sizes()
             arr = (ctypes.c_long * len(sizes))(*sizes)
             rc = lib.shard_start_soa(
-                self._h, self.batch_size, self.n_threads, self.n_slots,
+                self._handle(), self.batch_size, self.n_threads,
+                self.n_slots,
                 int(shuffle), seed, int(self.drop_last), arr,
                 len(sizes))
             if rc < 0:
@@ -190,14 +207,16 @@ class NativeShardLoader:
             pool = [np.empty(self.batch_size * rb, np.uint8)
                     for _ in range(self.pool_size)]
         else:
-            lib.shard_start(self._h, self.batch_size, self.n_threads,
-                            self.n_slots, int(shuffle), seed,
-                            int(self.drop_last))
+            lib.shard_start(self._handle(), self.batch_size,
+                            self.n_threads, self.n_slots,
+                            int(shuffle), seed, int(self.drop_last))
             pool = [np.empty(self.batch_size * rb, np.uint8)]
         view = self._view_soa if self.soa else self._view
         k = 0
         try:
             while True:
+                if not self._h or self._epoch_gen != my_gen:
+                    break      # closed / superseded mid-iteration
                 buf = pool[k % len(pool)]
                 ptr = buf.ctypes.data_as(
                     ctypes.POINTER(ctypes.c_uint8))
@@ -207,7 +226,8 @@ class NativeShardLoader:
                 k += 1
                 yield view(buf, int(n))
         finally:
-            lib.shard_stop(self._h)
+            if self._h and self._epoch_gen == my_gen:
+                lib.shard_stop(self._h)
 
     def close(self):
         if self._h:

@@ -139,10 +139,15 @@ void worker_loop(Reader* rd) {
     }
     rd->cv_ready.notify_all();
   }
-  if (rd->live_workers.fetch_sub(1) == 1) {
-    // last worker out: wake the consumer so it can observe EOF
-    rd->cv_ready.notify_all();
+  {
+    // Decrement + notify under mu: both feed cv_ready wait
+    // predicates, and a bare fetch_sub/notify can slip between a
+    // waiter's predicate check and its block (lost wakeup — the
+    // consumer would sleep forever at EOF).
+    std::lock_guard<std::mutex> lk(rd->mu);
+    rd->live_workers.fetch_sub(1);
   }
+  rd->cv_ready.notify_all();
 }
 
 }  // namespace
@@ -184,8 +189,11 @@ void* shard_open(const char** paths, int n_paths) {
     std::memcpy(&rb, sh.data + 16, 8);
     if (magic != kMagic) return fail(sh);
     if (rd->record_bytes == 0) rd->record_bytes = rb;
-    if (rb != rd->record_bytes || rb == 0 ||
-        sh.size < 24 + n * rb) return fail(sh);
+    // Overflow-safe size check: n * rb can wrap uint64 for a corrupt
+    // header (e.g. n = 2^61, rb = 8), which would accept the file and
+    // read far past the mapping.
+    if (rb != rd->record_bytes || rb == 0 || sh.size < 24 ||
+        n > (sh.size - 24) / rb) return fail(sh);
     sh.n_records = n;
     sh.record_bytes = rb;
     rd->total_records += n;
@@ -319,8 +327,14 @@ long shard_next(void* h, uint8_t* out, long out_bytes) {
 }
 
 void shard_stop(void* h) {
+  if (h == nullptr) return;
   auto* rd = static_cast<Reader*>(h);
-  rd->stop.store(true);
+  {
+    // Set stop under mu (it feeds both cv wait predicates) so the
+    // notify cannot race a waiter between predicate and block.
+    std::lock_guard<std::mutex> lk(rd->mu);
+    rd->stop.store(true);
+  }
   rd->cv_free.notify_all();
   rd->cv_ready.notify_all();
   for (auto& t : rd->threads)
@@ -329,6 +343,7 @@ void shard_stop(void* h) {
 }
 
 void shard_close(void* h) {
+  if (h == nullptr) return;
   auto* rd = static_cast<Reader*>(h);
   shard_stop(h);
   release_shards(rd);

@@ -18,7 +18,8 @@ from news_image_caption_tpu.serving.messages import pack, unpack
 
 class CaptioningClient:
     def __init__(self, frontend_addr: str, sink_pub_addr: str,
-                 timeout_ms: int = 30000):
+                 timeout_ms: int = 30000,
+                 subscribe_settle_s: float = 0.1):
         self.identity = uuid.uuid4().hex.encode()
         self.timeout_ms = timeout_ms
         self._ctx = zmq.Context()
@@ -28,6 +29,14 @@ class CaptioningClient:
         self._sub.connect(sink_pub_addr)
         self._sub.setsockopt(zmq.SUBSCRIBE, self.identity)
         self._job_counter = 0
+        # PUB/SUB slow-joiner: connect + SUBSCRIBE propagate to the
+        # sink asynchronously; a job answered before that lands is
+        # silently dropped by the PUB filter and the first caption()
+        # burns its whole timeout. A short settle closes the window
+        # (the sink lives on this host: propagation is ~sub-ms).
+        if subscribe_settle_s > 0:
+            import time
+            time.sleep(subscribe_settle_s)
 
     def caption(self, job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         """Send one job, block for its result (or raise TimeoutError)."""

@@ -18,6 +18,8 @@ from news_image_caption_tpu.serving.client import CaptioningClient
 
 
 def make_handler(client: CaptioningClient, server_info: dict):
+    client_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -43,7 +45,12 @@ def make_handler(client: CaptioningClient, server_info: dict):
                 job = {k: np.asarray(v["data"], dtype=v["dtype"])
                        if isinstance(v, dict) and "data" in v else v
                        for k, v in req.items()}
-                result = client.caption(job)
+                # ThreadingHTTPServer handlers share ONE client whose
+                # ZMQ sockets are not thread-safe (and whose SUB
+                # stream would interleave results across threads) —
+                # serialize the round trip.
+                with client_lock:
+                    result = client.caption(job)
                 self._json(200, {
                     k: v.tolist() if isinstance(v, np.ndarray) else v
                     for k, v in result.items()})

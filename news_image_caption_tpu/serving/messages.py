@@ -18,6 +18,12 @@ def pack(obj: Dict[str, Any]) -> List[bytes]:
     frames: List[bytes] = [b""]  # placeholder for header
     for k, v in obj.items():
         if isinstance(v, np.ndarray):
+            # Wire dtypes must be vanilla-numpy decodable: a client
+            # without ml_dtypes cannot np.frombuffer('bfloat16')
+            # (attention maps from a bf16 model ship that way).
+            # bf16 -> f32 is value-exact.
+            if v.dtype.name == "bfloat16":
+                v = v.astype(np.float32)
             header["keys"][k] = {
                 "kind": "ndarray", "dtype": str(v.dtype),
                 "shape": list(v.shape), "frame": len(frames)}

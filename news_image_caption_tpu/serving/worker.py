@@ -165,13 +165,10 @@ def flagship_model_builder(max_len: int = 32,
         }
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        b = {
-            "image": jnp.asarray(job["image"], jnp.bfloat16),
-            "image_mask": jnp.asarray(job["image_mask"]),
-            "article": jnp.asarray(job["article"], jnp.bfloat16),
-            "article_mask": jnp.asarray(job["article_mask"]),
-        }
-        return {"tokens": np.asarray(gen(params, b))}
+        # stage() is idempotent (jnp.asarray of staged arrays is a
+        # no-op), so the direct path and the ingest-thread pipelined
+        # path share one staging definition.
+        return {"tokens": np.asarray(gen(params, stage(job)))}
 
     def warmup():
         predict({k: np.asarray(v) for k, v in batch.items()
@@ -235,7 +232,12 @@ class CaptioningWorker(_MP.Process):
         def ingest():
             while True:
                 frames = receiver.recv_multipart()
-                client_id, job_id = frames[0], frames[1]
+                try:
+                    client_id, job_id = frames[0], frames[1]
+                except IndexError:
+                    logger.warning("dropping short multipart message "
+                                   "(%d frames)", len(frames))
+                    continue   # the thread must outlive bad clients
                 try:
                     job = unpack(frames[2:])
                     if stage is not None:

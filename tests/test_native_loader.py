@@ -30,6 +30,55 @@ def test_roundtrip_ordered(tmp_path):
     loader.close()
 
 
+def test_stale_generator_does_not_stop_new_epoch(tmp_path):
+    """An abandoned epoch iterator's GC finalization must not stop
+    the CURRENTLY running epoch (epoch-generation token), and
+    post-close finalization must not touch the freed handle."""
+    import gc
+
+    arrays = make_arrays(12)
+    path = str(tmp_path / "s.nics")
+    write_shard(path, arrays)
+    loader = NativeShardLoader([path], batch_size=4)
+    it1 = loader.epoch(shuffle=False)
+    next(it1)                      # epoch 1 live
+    it2 = loader.epoch(shuffle=False)   # supersedes epoch 1
+    first = next(it2)
+    del it1
+    gc.collect()                   # stale finalizer runs shard_stop?
+    rest = list(it2)               # must still deliver the full epoch
+    got = np.concatenate([first["caption_ids"]]
+                         + [b["caption_ids"] for b in rest])
+    np.testing.assert_array_equal(got, arrays["caption_ids"])
+    # close() with a live iterator, then GC: no segfault/null deref.
+    it3 = loader.epoch(shuffle=False)
+    next(it3)
+    loader.close()
+    del it3
+    gc.collect()
+    with pytest.raises(ValueError):
+        len(loader)
+
+
+def test_corrupt_header_overflow_rejected(tmp_path):
+    """A header whose n*record_bytes wraps uint64 must be rejected,
+    not accepted with a bogus record count (OOB reads)."""
+    import json
+    import struct
+
+    arrays = make_arrays(4)
+    path = str(tmp_path / "o.nics")
+    write_shard(path, arrays)
+    with open(path + ".schema") as f:
+        rb = json.load(f)["record_bytes"]
+    with open(path, "r+b") as f:
+        f.seek(8)
+        # n = 2^64 / rb rounded so n*rb wraps to a tiny value
+        f.write(struct.pack("<Q", (2 ** 64 // rb) + 1))
+    with pytest.raises(OSError):
+        NativeShardLoader([path], batch_size=2)
+
+
 def test_shuffle_deterministic_and_complete(tmp_path):
     arrays = make_arrays(16)
     path = str(tmp_path / "b.nics")

@@ -23,6 +23,36 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(out["d"], obj["d"])
 
 
+def test_pack_upcasts_bfloat16_for_vanilla_numpy_clients():
+    """bf16 result arrays (attention maps from a bf16 model) must be
+    decodable by clients that import only numpy — the wire carries
+    float32 (value-exact upcast), never the 'bfloat16' dtype string."""
+    import jax.numpy as jnp
+    x = np.asarray(jnp.asarray([[1.5, -2.25]], jnp.bfloat16))
+    frames = pack({"attn": x})
+    import json as _json
+    meta = _json.loads(frames[0])["keys"]["attn"]
+    assert meta["dtype"] == "float32"
+    out = unpack(frames)
+    np.testing.assert_array_equal(out["attn"],
+                                  x.astype(np.float32))
+
+
+def test_worker_survives_short_multipart(server_and_client):
+    """A malformed 1-frame message must not kill the ingest thread
+    (the liveness monitor cannot see a wedged-but-alive worker)."""
+    import zmq
+    server, client = server_and_client
+    ctx = zmq.Context()
+    s = ctx.socket(zmq.PUSH)
+    s.connect(server.frontend_addr)
+    s.send_multipart([b"junk-single-frame"])
+    s.close()
+    ctx.term()
+    result = client.caption(make_job())   # worker still serves
+    assert "tokens" in result
+
+
 @pytest.fixture(scope="module")
 def server_and_client():
     from news_image_caption_tpu.serving.base import CaptionServer
