@@ -242,7 +242,7 @@ class TransformerPointer:
                  article_dim: Optional[int] = None,
                  loss_weights: Tuple[float, float, float] = (0., 1., 1.),
                  use_entity_head: bool = True,
-                 max_entities: int = 24,
+                 max_entities: Optional[int] = None,
                  **decoder_kwargs):
         if captioner is None:
             # forward the shared dims into the decoder config
@@ -265,7 +265,9 @@ class TransformerPointer:
                                              kdim=self.article_dim)
         self.loss_weights = loss_weights
         self.use_entity_head = use_entity_head
-        self.max_entities = max_entities
+        # Accepted for config back-compat; the copy loss is segment-
+        # vectorized over ALL entity indices, so no cap applies.
+        del max_entities
 
     # -- init -----------------------------------------------------------
     def init(self, rng, batch):
@@ -306,7 +308,17 @@ class TransformerPointer:
           article_ids [B, S], article (RoBERTa features) [B, S, De].
         """
         deterministic = dropout_rng is None
-        rngs = {} if deterministic else {"dropout": dropout_rng}
+        # Distinct key per top-level apply: flax derives site keys
+        # from the apply's ROOT key by module path, so two applies fed
+        # the same rng produce element-identical masks at same-path
+        # sites (verified: decoder embed dropout vs copy-attn dropout
+        # shared their bit-stream).
+        def _rngs(salt):
+            if deterministic:
+                return {}
+            return {"dropout": jax.random.fold_in(dropout_rng, salt)}
+
+        rngs = _rngs(0)
         params = variables["captioner"]
         x, inp, tgt, ctx = self._decoder_hidden(
             params, batch, deterministic, rngs)
@@ -314,8 +326,8 @@ class TransformerPointer:
 
         # generation loss (adaptive softmax) on the same hidden states
         loss_sum, ntokens = self.captioner.decoder.apply(
-            params, x, tgt, deterministic=deterministic, rngs=rngs,
-            method=DynamicConvDecoder.loss_from_hidden)
+            params, x, tgt, deterministic=deterministic,
+            rngs=_rngs(1), method=DynamicConvDecoder.loss_from_hidden)
         gen_loss = loss_sum / LN2 / jnp.maximum(ntokens, 1)
 
         # entity loss
@@ -337,27 +349,51 @@ class TransformerPointer:
         else:
             entity_loss = jnp.float32(0.0)
 
-        # copy loss
-        copy_attn = self.copy_attn.apply(
-            variables["copy_attn"], x, batch["article"],
-            batch.get("article_mask"), deterministic=deterministic,
-            rngs=rngs)
-        relevant = batch["context_proper_masks"] >= 1    # [B, S]
-        copy_attn = copy_attn * relevant[:, None, :]
-        p_tgt = copy_target_prob(copy_attn, batch["article_ids"], tgt)
-        # Reference quirk (transformer_pointer.py:297-299): log-probs
-        # are only filled where copy mass is positive, so a target with
-        # zero copy probability contributes 0 loss, not -log(eps).
-        log_p = jnp.where(p_tgt > 0,
-                          jnp.log(jnp.maximum(p_tgt, 1e-12)), 0.0)
-        copy_loss = jnp.float32(0.0)
-        for i in range(1, self.max_entities + 1):
-            m = copy_masks == i
-            cnt = jnp.sum(m)
-            mean_i = jnp.sum(jnp.where(m, -log_p, 0.0)) / jnp.maximum(
-                cnt, 1)
-            copy_loss = copy_loss + jnp.where(cnt > 0, mean_i, 0.0)
-        copy_loss = copy_loss / LN2
+        if self.use_entity_head:
+            # copy loss
+            copy_attn = self.copy_attn.apply(
+                variables["copy_attn"], x, batch["article"],
+                batch.get("article_mask"),
+                deterministic=deterministic, rngs=_rngs(2))
+            relevant = batch["context_proper_masks"] >= 1    # [B, S]
+            copy_attn = copy_attn * relevant[:, None, :]
+            p_tgt = copy_target_prob(copy_attn, batch["article_ids"],
+                                     tgt)
+            # Reference quirk (transformer_pointer.py:297-299):
+            # log-probs are only filled where copy mass is positive,
+            # so a target with zero copy probability contributes 0
+            # loss, not -log(eps).
+            log_p = jnp.where(p_tgt > 0,
+                              jnp.log(jnp.maximum(p_tgt, 1e-12)), 0.0)
+            # Per-entity mean of -log_p, summed over the entity
+            # indices present — segment ops instead of a capped
+            # Python loop, so ANY number of entity spans is
+            # supervised (the reference loops to the batch's dynamic
+            # max index, transformer_pointer.py:414).
+            ids = jnp.maximum(copy_masks, 0).reshape(-1)
+            on = (copy_masks >= 1).reshape(-1)
+            num = batch["caption_copy_masks"].shape[1] + 1
+            sums = jax.ops.segment_sum(
+                jnp.where(on, (-log_p).reshape(-1), 0.0), ids,
+                num_segments=num)
+            cnts = jax.ops.segment_sum(
+                on.astype(jnp.float32), ids, num_segments=num)
+            per_entity = jnp.where(cnts > 0,
+                                   sums / jnp.maximum(cnts, 1.0), 0.0)
+            copy_loss = jnp.sum(per_entity[1:]) / LN2
+            # Reference early return (transformer_pointer.py:189-190):
+            # a batch with no entity tokens contributes NEITHER
+            # entity nor copy loss (no gradient on the gate), not an
+            # all-class-0 entity gradient.
+            has_entities = jnp.any(copy_masks >= 1)
+            entity_loss = jnp.where(has_entities, entity_loss, 0.0)
+            copy_loss = jnp.where(has_entities, copy_loss, 0.0)
+        else:
+            # transformer_only_pointer: the reference's copy/entity
+            # machinery is entirely commented out (transformer_only_
+            # pointer.py:81-162) — it trains on the generation loss
+            # alone.
+            copy_loss = jnp.float32(0.0)
 
         wg, we, wc = self.loss_weights
         loss = wg * gen_loss + we * entity_loss + wc * copy_loss
@@ -377,6 +413,17 @@ class TransformerPointer:
         Returns (tokens [B, max_len+1], copied_flags [B, max_len]).
         """
         params = variables["captioner"]
+        if not self.use_entity_head:
+            # transformer_only_pointer: the reference generates from
+            # the decoder distribution alone — its copy gate is
+            # commented out (transformer_only_pointer.py:176,
+            # :536-640) — so there is no discrete copy path here
+            # (previously this hard-set should_copy=True and emitted
+            # strings of article entities).
+            tokens, _ = self.captioner.generate(params, batch, config,
+                                                rng)
+            return tokens, jnp.zeros(
+                (tokens.shape[0], config.max_len), bool)
         dec = self.captioner.decoder
         ctx = self.captioner._contexts(batch)
         B = ctx["image"].shape[0]
@@ -408,8 +455,6 @@ class TransformerPointer:
             ent_logits = self.entity_fc_mod.apply(
                 variables["entity_fc"], h_ent)
             should_copy = jnp.argmax(ent_logits, axis=-1) == 1
-            if not self.use_entity_head:
-                should_copy = jnp.ones((B,), bool)
             # copy distribution over the vocab
             attn = self.copy_attn.apply(
                 variables["copy_attn"], h[:, None, :], article,
@@ -425,15 +470,16 @@ class TransformerPointer:
                     k1, jnp.log(jnp.maximum(topc_p, 1e-9)), axis=-1)
             copy_tok = jnp.take_along_axis(
                 topc_idx, choice_c[:, None], axis=1)[:, 0]
-            copy_p = jnp.take_along_axis(
-                topc_p, choice_c[:, None], axis=1)[:, 0]
             # Reference semantics (transformer_pointer.py:585-625): the
-            # candidate is selected on the UNMASKED distribution; if it
-            # has (near-)zero mass or was already copied, copying is
-            # suppressed for this step (fall back to generation) rather
-            # than re-ranked to the next-best candidate.
+            # candidate is selected on the UNMASKED distribution; if
+            # ANY of the top-k copy probs is (near-)zero — not just the
+            # sampled one: `should_copy &= ~empty_copy.max(dim=1)` —
+            # or the token was already copied, copying is suppressed
+            # for this step (fall back to generation) rather than
+            # re-ranked to the next-best candidate.
             has_copied = copied[jnp.arange(B), copy_tok]
-            should_copy = should_copy & (copy_p >= 1e-6) & ~has_copied
+            all_topk_nonzero = jnp.all(topc_p >= 1e-6, axis=-1)
+            should_copy = should_copy & all_topk_nonzero & ~has_copied
             # generated token
             topg_lp, topg_idx = jax.lax.top_k(lp, config.sampling_topk)
             topg_lp = topg_lp / config.sampling_temp

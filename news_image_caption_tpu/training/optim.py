@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -79,13 +80,39 @@ def bert_adam(lr_schedule, b1: float = 0.9, b2: float = 0.98,
     """
     txs = []
     if max_grad_norm is not None:
-        txs.append(optax.clip_by_global_norm(max_grad_norm))
+        # BertAdam clips EACH parameter tensor's grad norm to
+        # max_grad_norm independently (clip_grad_norm_(p, ...) inside
+        # the per-parameter loop) — NOT the global norm; the global
+        # form would rescale the whole gradient nearly every step at
+        # 0.1 while the reference leaves most tensors untouched.
+        txs.append(clip_by_per_tensor_norm(max_grad_norm))
     txs.append(_scale_by_adam_no_bias_correction(
         b1, b2, eps, mu_dtype=moment_dtype))
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*txs)
+
+
+def clip_by_per_tensor_norm(max_norm: float
+                            ) -> optax.GradientTransformation:
+    """Clip each LEAF's gradient to `max_norm` by its own L2 norm
+    (BertAdam's per-parameter clip_grad_norm_, pytorch-pretrained-
+    bert optimization.py — distinct from optax.clip_by_global_norm)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def c(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
+            return (g * scale.astype(g.dtype)
+                    if g.dtype != jnp.float32 else g * scale)
+
+        return jax.tree.map(c, updates), state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update_fn)
 
 
 def _scale_by_adam_no_bias_correction(b1, b2, eps, mu_dtype=None):
@@ -153,10 +180,13 @@ def noam_adam(model_size: int, factor: float = 1.0, warmup: int = 30000,
 
 
 def gen1_adam(lr: float, decay_start: int, decay_every: int,
-              decay_rate: float = 0.8, grad_clip_value: float = 0.1,
+              decay_rate: float = 0.8, grad_clip_value: float = 5.0,
               b1: float = 0.8, b2: float = 0.999, eps: float = 1e-8
               ) -> optax.GradientTransformation:
-    """Gen-1 trainer: per-element grad clamp + Adam + step decay."""
+    """Gen-1 trainer: per-element grad clamp + Adam + step decay.
+
+    grad_clip_value default matches the reference's opt.grad_clip
+    default of 5.0 (opts.py:59; clamp at misc/utils.py:180-184)."""
     return optax.chain(
         optax.clip(grad_clip_value),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),

@@ -99,9 +99,11 @@ class Trainer:
         mp = config.mixed_precision
         compute_dtype = (jnp.bfloat16
                          if mp in ("bf16", "bf16_o2") else None)
-        self.train_step = make_train_step(loss_fn, tx, donate=True,
-                                          compute_dtype=compute_dtype,
-                                          o2_master=(mp == "bf16_o2"))
+        self.train_step = make_train_step(
+            loss_fn, tx, donate=True,
+            guard_nonfinite=config.skip_nan_batches,
+            compute_dtype=compute_dtype,
+            o2_master=(mp == "bf16_o2"))
         self.eval_step = make_eval_step(eval_loss_fn or loss_fn)
         if config.checkpoint_format == "sharded":
             from news_image_caption_tpu.training.checkpoint_sharded \

@@ -149,6 +149,59 @@ def test_pointer_generation_runs():
     assert np.asarray(tokens).dtype == np.int32
 
 
+def test_only_pointer_generates_from_decoder_distribution():
+    """use_entity_head=False (transformer_only_pointer): the
+    reference's copy gate is commented out entirely, so generation is
+    the plain captioner's — token-identical, no copies flagged."""
+    model = make_pointer(use_entity_head=False)
+    batch = pointer_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    rng = jax.random.PRNGKey(3)
+    tokens, copied = model.generate(variables, batch, cfg, rng=rng)
+    ref_tokens, _ = model.captioner.generate(
+        variables["captioner"], batch, cfg, rng=rng)
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(ref_tokens))
+    assert not np.asarray(copied).any()
+    # And its loss is generation-only (reference trains on gen loss
+    # alone — the pointer_loss calls are commented out).
+    loss, aux = model.loss_fn(variables, batch)
+    assert float(aux["entity_loss"]) == 0.0
+    assert float(aux["copy_loss"]) == 0.0
+
+
+def test_entity_free_batch_has_zero_pointer_losses():
+    """Reference early return (transformer_pointer.py:189-190): no
+    entity tokens anywhere in the batch -> neither entity nor copy
+    loss (no gradient pushing the gate toward 'never copy')."""
+    model = make_pointer()
+    batch = pointer_batch()
+    batch["caption_copy_masks"] = jnp.where(
+        batch["caption_copy_masks"] > 0, 0,
+        batch["caption_copy_masks"])
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    _, aux = model.loss_fn(variables, batch)
+    assert float(aux["entity_loss"]) == 0.0
+    assert float(aux["copy_loss"]) == 0.0
+    assert float(aux["gen_loss"]) > 0.0
+
+
+def test_copy_loss_supervises_high_entity_indices():
+    """The segment-vectorized copy loss covers ANY entity index (the
+    old static loop dropped indices > 24 silently)."""
+    model = make_pointer()
+    batch = pointer_batch(T=32)
+    # relabel sample-0's entity as index 28 (> the old cap of 24;
+    # entity indices are bounded by the caption length, so the
+    # vectorized num_segments = caption_len + 1 always covers them)
+    cm = batch["caption_copy_masks"]
+    batch["caption_copy_masks"] = jnp.where(cm == 1, 28, cm)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    _, aux = model.loss_fn(variables, batch)
+    assert float(aux["copy_loss"]) > 0.0
+
+
 def test_warm_start_merge():
     model = make_pointer()
     batch = pointer_batch()

@@ -29,6 +29,23 @@ def test_warmup_linear_schedule():
     assert float(s(100)) == pytest.approx(0.0)
 
 
+def test_clip_by_per_tensor_norm_is_per_leaf():
+    """BertAdam clips each tensor's grad norm INDEPENDENTLY (the
+    reference calls clip_grad_norm_(p, c) per parameter) — a small
+    leaf must pass through untouched while a large one rescales."""
+    from news_image_caption_tpu.training.optim import \
+        clip_by_per_tensor_norm
+
+    tx = clip_by_per_tensor_norm(0.1)
+    grads = {"big": jnp.ones((4,)),           # norm 2  -> scaled
+             "small": jnp.full((4,), 1e-3)}   # norm 2e-3 -> untouched
+    out, _ = tx.update(grads, tx.init(grads))
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(out["big"])), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["small"]),
+                               np.asarray(grads["small"]))
+
+
 def test_noam_schedule_peak_at_warmup():
     s = noam_schedule(model_size=512, warmup=100)
     vals = [float(s(t)) for t in [1, 50, 100, 200, 400]]
