@@ -92,7 +92,9 @@ def train(opt) -> Dict[str, float]:
         att_feat_size=opt.att_feat_size,
         drop_prob=opt.drop_prob_lm,
         sentence_embed_method=(opt.sentence_embed_method
-                               if opt.sentence_embed else "")))
+                               if opt.sentence_embed else ""),
+        sentence_embed_size=opt.sentence_embed_size,
+        sentence_length=opt.sentence_length))
 
     batch, _ = _gen1_batch(loader, opt, "train", rng)
     iters_per_epoch = max(

@@ -316,18 +316,21 @@ class AdaAttCore(nn.Module):
 
 
 class _INSResBlock(nn.Module):
-    """Instance-norm residual block over [B, L, C] (misc/utils.py:74-92)."""
+    """Instance-norm residual block over [B, L, C]
+    (misc/utils.py:74-92: Conv2d[1,5] + InstanceNorm + ReLU +
+    Conv2d[1,5] + InstanceNorm, residual — the [1,5] kernels give
+    each block a 5-token temporal receptive field)."""
 
     channels: int
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.channels, name="conv1")(x)
+        y = nn.Conv(self.channels, (5,), padding=2, name="conv1")(x)
         y = nn.GroupNorm(num_groups=None, group_size=1,
                          use_bias=False, use_scale=False,
                          name="in1")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.channels, name="conv2")(y)
+        y = nn.Conv(self.channels, (5,), padding=2, name="conv2")(y)
         y = nn.GroupNorm(num_groups=None, group_size=1,
                          use_bias=False, use_scale=False,
                          name="in2")(y)
@@ -346,6 +349,12 @@ class ShowAttendTellCore(nn.Module):
     num_layers: int = 1
     drop_prob: float = 0.5
     sentence_embed_method: str = ""
+    # Dims the 'conv'/'conv_deep' variants need at declaration time
+    # (reference: opt.sentence_embed_size / opt.sentence_length,
+    # OldModel.py:237-238). None falls back to inferring from the
+    # hidden-state projections' output sizes below.
+    sentence_embed_size: Optional[int] = None
+    sentence_length: Optional[int] = None
 
     def setup(self):
         self.rnn = TorchLSTM(self.rnn_size, self.num_layers,
@@ -360,13 +369,23 @@ class ShowAttendTellCore(nn.Module):
             self.h2att_sen = Dense(self.att_hid_size, name="h2att_sen")
         elif m == "conv":
             # LeakyReLUConv2d(1, 32, [E, 5]) over [B, 1, E, L]
-            # (misc/utils.py:60-70; OldModel.py:242-251): in NHWC this
-            # is a conv with kernel (E, 5) collapsing the embed axis.
+            # (misc/utils.py:60-70; OldModel.py:242-251): the (E, 5)
+            # kernel factors into an E->C projection + a (5,) temporal
+            # conv (rank-C approximation of the joint kernel).
             self.sen_conv = nn.Conv(32, (1, 5), padding=((0, 0), (2, 2)),
                                     name="sen_conv")
             self.sen_embed_proj = Dense(32, use_bias=False,
                                         name="sen_embed_proj")
-            self.h2att_sen = Dense(32, name="h2att_sen")
+            # h is added to the SENTENCE EMBEDDINGS before the conv
+            # (OldModel.py:370-372: sen = sen_embed + h2att_sen(h)),
+            # so the projection targets the embed size E.
+            if self.sentence_embed_size is None:
+                raise ValueError(
+                    "sentence_embed_method='conv' needs "
+                    "sentence_embed_size (reference "
+                    "opt.sentence_embed_size)")
+            self.h2att_sen = Dense(self.sentence_embed_size,
+                                   name="h2att_sen")
             self.ch_embed = Dense(1, name="ch_embed")
         elif m == "conv_deep":
             self.sen_conv = nn.Conv(128, (1, 5),
@@ -376,7 +395,17 @@ class ShowAttendTellCore(nn.Module):
                                         name="sen_embed_proj")
             self.res1 = _INSResBlock(128, name="res1")
             self.res2 = _INSResBlock(128, name="res2")
-            self.h2att_sen = Dense(1, name="h2att_sen")
+            # Per-POSITION additive term: Linear(rnn -> L)
+            # (OldModel.py:268-269 h2att_sen = Linear(rnn_size,
+            # sentence_length)); a Dense(1) scalar would cancel in
+            # the softmax, decoupling the weights from the decoder
+            # state.
+            if self.sentence_length is None:
+                raise ValueError(
+                    "sentence_embed_method='conv_deep' needs "
+                    "sentence_length (reference opt.sentence_length)")
+            self.h2att_sen = Dense(self.sentence_length,
+                                   name="h2att_sen")
             self.ch_embed = Dense(1, name="ch_embed")
         elif m == "bnews":
             self.sen_conv = nn.Conv(256, (1, 5), padding="VALID",
@@ -404,31 +433,49 @@ class ShowAttendTellCore(nn.Module):
         m = self.sentence_embed_method
         if m in ("conv", "conv_deep", "bnews"):
             # Treat the sentence sequence [B, L, E] as a 1-wide image:
-            # project E -> channels then depthwise-ish temporal conv
-            # (the reference's Conv2d([E, 5]) collapses E into the
-            # output channels; an E->C projection + (1,5) temporal
-            # conv computes the same family of functions).
+            # project E -> channels then a (1,5) temporal conv — a
+            # rank-C factorization of the reference's joint Conv2d
+            # (E, 5) kernel.
             sen = feats["sen"]                        # [B, L, E]
-            proj = self.sen_embed_proj(sen)           # [B, L, C]
-            conv_in = proj[:, None, :, :]             # [B, 1, L, C]
-            conv = self.sen_conv(conv_in)[:, 0]       # [B, L', C]
             if m == "conv":
-                att_h_sen = self.h2att_sen(h_last)    # [B, 32]
-                dot = jnp.tanh(conv + att_h_sen[:, None, :])
-                w_sen = jax.nn.softmax(
-                    self.ch_embed(dot)[:, :, 0], axis=-1)
+                # OldModel.py:370-379: h projects to E and adds to
+                # the embeddings BEFORE the LeakyReLU conv; the
+                # attention result pools the ORIGINAL embeddings.
+                att_h_sen = self.h2att_sen(h_last)    # [B, E]
+                sen_in = sen + att_h_sen[:, None, :]
+                proj = self.sen_embed_proj(sen_in)
+                conv = self.sen_conv(proj[:, None])[:, 0]
+                conv = jax.nn.leaky_relu(conv, 0.01)  # LeakyReLUConv2d
+                conv = dropout(self, conv, self.drop_prob,
+                               deterministic)
+                dot = jnp.tanh(conv)
+                logits = self.ch_embed(dot)[:, :, 0]  # ch_embed =
+                logits = dropout(self, logits, self.drop_prob,
+                                 deterministic)       # Linear+Dropout
+                w_sen = jax.nn.softmax(logits, axis=-1)
                 sen_res = jnp.einsum("bl,ble->be", w_sen, sen)
                 parts += [att_res, sen_res]
             elif m == "conv_deep":
+                # OldModel.py:381-394: conv stack over the raw
+                # embeddings; h adds a PER-POSITION [B, L] term.
+                proj = self.sen_embed_proj(sen)
+                conv = self.sen_conv(proj[:, None])[:, 0]
                 conv = jax.nn.leaky_relu(conv, 0.01)
                 conv = self.res2(self.res1(conv))
-                att_h_sen = self.h2att_sen(h_last)    # [B, 1]
-                combined = conv + att_h_sen[:, None, :]
-                dot = jnp.tanh(self.ch_embed(combined)[:, :, 0])
+                conv = dropout(self, conv, self.drop_prob,
+                               deterministic)
+                att_h_sen = self.h2att_sen(h_last)    # [B, L]
+                combined = conv + att_h_sen[:, :, None]
+                logits = self.ch_embed(combined)[:, :, 0]
+                logits = dropout(self, logits, self.drop_prob,
+                                 deterministic)  # ch_embed=Lin+Drop
+                dot = jnp.tanh(logits)
                 w_sen = jax.nn.softmax(dot, axis=-1)
                 sen_res = jnp.einsum("bl,blc->bc", w_sen, conv)
                 parts += [att_res, sen_res]           # 128-d context
             else:  # bnews: conv + global max pool + MLP, no attention
+                proj = self.sen_embed_proj(sen)
+                conv = self.sen_conv(proj[:, None])[:, 0]
                 pooled = jnp.max(jax.nn.leaky_relu(conv, 0.01), axis=1)
                 final = nn.relu(self.sen_lin(pooled))
                 parts += [final, att_res]
@@ -505,9 +552,21 @@ class Gen1Captioner(nn.Module):
     drop_prob: float = 0.5
     seq_length: int = 16
     sentence_embed_method: str = ""
+    # Needed by the 'conv'/'conv_deep' sentence-attention variants
+    # (reference opt.sentence_embed_size / opt.sentence_length).
+    sentence_embed_size: Optional[int] = None
+    sentence_length: Optional[int] = None
 
     def setup(self):
         V = self.vocab_size + 1
+        if self.num_layers > 1 and self.model_type not in (
+                "show_tell", "show_attend_tell", "all_img"):
+            # The fc/att2in/adaatt core states are single-layer by
+            # construction; fail loudly instead of a lax.scan carry
+            # structure mismatch at trace time.
+            raise ValueError(
+                f"model_type {self.model_type!r} supports "
+                f"num_layers=1 only (got {self.num_layers})")
         if self.model_type in ("show_tell", "fc", "show_attend_tell",
                                "all_img", "att2in"):
             emb_init = uniform_init(0.1)
@@ -551,7 +610,9 @@ class Gen1Captioner(nn.Module):
         elif mt == "show_attend_tell":
             self.core = ShowAttendTellCore(
                 self.rnn_size, self.att_hid_size, self.num_layers,
-                self.drop_prob, self.sentence_embed_method, name="core")
+                self.drop_prob, self.sentence_embed_method,
+                sentence_embed_size=self.sentence_embed_size,
+                sentence_length=self.sentence_length, name="core")
         elif mt == "all_img":
             self.core = AllImgCore(self.rnn_size, self.num_layers,
                                    self.drop_prob, name="core")
@@ -724,8 +785,11 @@ class Gen1Model:
                     & (t >= 1)
                 sampled = jax.random.categorical(k2, prev_lp, axis=-1)
                 it = jnp.where(use_sample, sampled, it)
+            # t+1: salt 0 belongs to _prepare/seed_image_step — reusing
+            # it at t=0 would repeat those applies' dropout masks at
+            # same-path sites (flax derives site keys per apply root).
             rngs = ({} if deterministic
-                    else {"dropout": jax.random.fold_in(key, t)})
+                    else {"dropout": jax.random.fold_in(key, t + 1)})
             lp, state = self.module.apply(
                 params, it, feats, state, deterministic=deterministic,
                 rngs=rngs, method=Gen1Captioner.decode_step)
@@ -761,6 +825,22 @@ class Gen1Model:
             return lp, state
 
         return step_fn, state, B
+
+    def generate(self, params, batch,
+                 config: Optional[GenerationConfig] = None, rng=None):
+        """Config-respecting decode — the evaluate-CLI contract every
+        model exposes. sample()/sample_beam() keep the classic Gen-1
+        convention (token 0 = bos AND eos); this honors the caller's
+        bos/eos/pad ids so news-convention batches (pad=1, eos=2)
+        actually terminate at their eos. Returns (tokens incl. seed,
+        per-step log-probs)."""
+        import dataclasses
+        config = config or GenerationConfig()
+        # Gen-1 configs may use bos == eos; never mark the seed done.
+        config = dataclasses.replace(config, init_finished=False)
+        step_fn, state, B = self._setup_decode(params, batch)
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        return generate(step_fn, state, seed, config, rng)
 
     def sample(self, params, batch, max_len: Optional[int] = None,
                sample_max: bool = True, temperature: float = 1.0,

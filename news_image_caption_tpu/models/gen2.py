@@ -293,8 +293,12 @@ def label_smoothing_loss(log_probs: jax.Array, targets: jax.Array,
 
     Parity: LabelSmoothing + SimpleLossCompute
     (/root/reference/final/custom_v3.py:180-204, 384-399) — KLDiv
-    against the smoothed distribution equals smoothed CE up to a
-    constant; with smoothing=0 (the shipped config) it's exact CE.
+    against the smoothed distribution equals smoothed CE up to the
+    (gradient-free) entropy constant. The reference's true_dist puts
+    smoothing/(V-2) on every class EXCEPT the target column (which
+    it overwrites with the confidence) and the pad column (which it
+    zeroes), so those two log-probs are excluded from the smoothing
+    sum; with smoothing=0 (the shipped config) it's exact CE.
     """
     V = log_probs.shape[-1]
     lp = log_probs.reshape(-1, V)
@@ -302,8 +306,8 @@ def label_smoothing_loss(log_probs: jax.Array, targets: jax.Array,
     confidence = 1.0 - smoothing
     nll = -jnp.take_along_axis(lp, tgt[:, None], axis=1)[:, 0]
     if smoothing > 0.0:
-        smooth_term = -lp.sum(axis=-1) * (smoothing / (V - 2))
-        loss_tok = confidence * nll + smooth_term
+        smooth_sum = lp.sum(axis=-1) - (-nll) - lp[:, pad_id]
+        loss_tok = confidence * nll - smooth_sum * (smoothing / (V - 2))
     else:
         loss_tok = nll
     mask = tgt != pad_id

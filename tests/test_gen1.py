@@ -101,8 +101,11 @@ def test_sample_and_beam(model_type):
 def test_show_attend_tell_sentence_variants():
     for method in ["fc", "fc_max", "concat", "conv", "conv_deep",
                    "bnews"]:
+        # sen_embed is [B, L=6, E=9] (make_batch); conv/conv_deep
+        # need the dims declared like the reference's opt fields.
         model = make_model("show_attend_tell",
-                           sentence_embed_method=method)
+                           sentence_embed_method=method,
+                           sentence_embed_size=9, sentence_length=6)
         batch = make_batch(sen=True)
         params = model.init(jax.random.PRNGKey(0), batch)
         loss, _ = model.loss_fn(params, batch)

@@ -62,6 +62,28 @@ def test_label_smoothing_loss_zero_smoothing_is_ce():
     assert int(n) == 3
 
 
+def test_label_smoothing_matches_reference_true_dist():
+    """smoothing > 0 must equal KL against the reference's true_dist
+    (custom_v3.py:193-204): smoothing/(V-2) on every class EXCEPT the
+    target column (overwritten with confidence) and the pad column
+    (zeroed) — NOT a uniform sum that rewards pad mass."""
+    V, s = 7, 0.2
+    lp = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (4, V)), -1)
+    tgt = jnp.array([1, 2, 0, 3])   # one pad row (id 0)
+    loss, n = label_smoothing_loss(lp, tgt, pad_id=0, smoothing=s)
+    lp_np, manual = np.asarray(lp), 0.0
+    for i, t in enumerate([1, 2, None, 3]):   # skip the pad row
+        if t is None:
+            continue
+        true = np.full(V, s / (V - 2))
+        true[t] = 1.0 - s
+        true[0] = 0.0                          # pad column zeroed
+        manual += -(true * lp_np[i]).sum()
+    np.testing.assert_allclose(float(loss), manual, rtol=1e-6)
+    assert int(n) == 3
+
+
 @pytest.mark.slow
 def test_loss_and_train_decreases():
     import optax
