@@ -70,8 +70,12 @@ class ByteBPE:
             encoder = json.load(f)
         merges = []
         with open(merges_path, encoding="utf-8") as f:
-            for line in f:
-                if line.startswith("#") or not line.strip():
+            for n, line in enumerate(f):
+                # Skip ONLY the "#version: ..." header — '#' can open
+                # real merges ('# #', '## #'); dropping them breaks id
+                # parity with fairseq/HF on text containing '#'.
+                if (n == 0 and line.startswith("#version")) \
+                        or not line.strip():
                     continue
                 a, b = line.split()[:2]
                 merges.append((a, b))

@@ -39,19 +39,22 @@ class RobertaCopyIndexer:
             u = "".join(bpe.byte_encoder[b]
                         for b in token.encode("utf-8"))
             pieces = bpe.bpe(u).split(" ")
-            # distribute the token's char span over its pieces by
-            # unicode-symbol length (1 byte ~ 1 char for ascii text)
-            total = sum(len(p) for p in pieces)
-            pos = start
+            # EXACT byte->char mapping: every piece is a run of byte
+            # symbols; map its byte range back to the chars those
+            # bytes encode. Proportional rounding assigned zero-width
+            # spans to trailing pieces of multi-byte tokens (café,
+            # José), dropping their entity masks.
+            char_of_byte: List[int] = []
+            for ci, ch in enumerate(token):
+                char_of_byte.extend([ci] * len(ch.encode("utf-8")))
+            bpos = 0
             for p in pieces:
-                frac = len(p) / max(total, 1)
-                width = max(int(round(frac * len(token))), 0)
-                end = min(pos + width, m.end())
+                blen = len(p)
+                cs = char_of_byte[bpos]
+                ce = char_of_byte[bpos + blen - 1] + 1
                 ids.append(bpe.encoder[p] + self.tok.offset)
-                offsets.append((pos, max(end, pos)))
-                pos = end
-            if offsets and offsets[-1][1] < m.end():
-                offsets[-1] = (offsets[-1][0], m.end())
+                offsets.append((start + cs, start + ce))
+                bpos += blen
         return ids, offsets
 
     def encode(self, text: str,

@@ -50,11 +50,21 @@ class NewsRecord:
     metadata: Dict = field(default_factory=dict)
 
 
-@functools.lru_cache(maxsize=65536)
 def _bpe_cost(indexer: RobertaCopyIndexer, text: str) -> int:
     """Memoized BPE token count — articles with several images window
-    the same paragraphs repeatedly in the loader hot path."""
-    return len(indexer.encode_with_offsets(text)[0])
+    the same paragraphs repeatedly in the loader hot path. The cache
+    lives ON the indexer (a module-level lru_cache keyed on
+    (indexer, text) would pin every indexer and 65k paragraph strings
+    for the process lifetime)."""
+    cache = getattr(indexer, "_bpe_cost_cache", None)
+    if cache is None:
+        cache = indexer._bpe_cost_cache = {}
+    cost = cache.get(text)
+    if cost is None:
+        if len(cache) >= 65536:
+            cache.clear()
+        cost = cache[text] = len(indexer.encode_with_offsets(text)[0])
+    return cost
 
 
 def paragraph_window(paragraphs: Sequence[str], image_index: int,
@@ -71,17 +81,29 @@ def paragraph_window(paragraphs: Sequence[str], image_index: int,
     chosen = [i]
     used = _bpe_cost(indexer, paragraphs[i])
     lo, hi = i - 1, i + 1
-    while used < budget and (lo >= 0 or hi < n):
-        for cand in (lo, hi):
-            if 0 <= cand < n:
-                cost = _bpe_cost(indexer, paragraphs[cand])
-                if used + cost <= budget:
-                    chosen.append(cand)
-                    used += cost
-        lo -= 1
-        hi += 1
-        if lo < -1 and hi > n:
-            break
+    # A side STOPS expanding once a paragraph does not fit — skipping
+    # it and continuing outward would join non-adjacent paragraphs
+    # with a silent gap (the reference window is contiguous,
+    # nytimes_faces_ner_matched.py:145-170).
+    lo_open, hi_open = True, True
+    while used < budget and ((lo_open and lo >= 0)
+                             or (hi_open and hi < n)):
+        if lo_open and lo >= 0:
+            cost = _bpe_cost(indexer, paragraphs[lo])
+            if used + cost <= budget:
+                chosen.append(lo)
+                used += cost
+                lo -= 1
+            else:
+                lo_open = False
+        if hi_open and hi < n:
+            cost = _bpe_cost(indexer, paragraphs[hi])
+            if used + cost <= budget:
+                chosen.append(hi)
+                used += cost
+                hi += 1
+            else:
+                hi_open = False
     return " ".join(paragraphs[j] for j in sorted(set(chosen)))
 
 
@@ -135,6 +157,14 @@ class MongoNewsReader:
     def __iter__(self) -> Iterator[NewsRecord]:
         cursor = self.db.splits.find(
             {"split": self.split}, no_cursor_timeout=True)
+        try:
+            yield from self._iter_cursor(cursor)
+        finally:
+            # no_cursor_timeout cursors are immortal server-side until
+            # explicitly closed; early break/exception must not leak.
+            cursor.close()
+
+    def _iter_cursor(self, cursor) -> Iterator[NewsRecord]:
         for sample in cursor:
             article = self.db.articles.find_one(
                 {"_id": sample["article_id"]})
@@ -182,6 +212,11 @@ class InstanceBuilder:
         self.use_paragraph_window = use_paragraph_window
         self.max_faces = max_faces
         self.max_objects = max_objects
+        # Resolve ONCE: get_analyzer() may construct a spaCy pipeline.
+        if analyzer is None and with_copy_masks:
+            from news_image_caption_tpu.evaluation.text_analysis \
+                import get_analyzer
+            analyzer = get_analyzer()
         self.analyzer = analyzer
 
     def build(self, rec: NewsRecord) -> Dict:

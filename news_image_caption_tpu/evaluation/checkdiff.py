@@ -27,15 +27,23 @@ def load(path: str) -> List[Dict]:
 
 
 def diff_runs(path_a: str, path_b: str, limit: int = 20) -> Dict:
-    """Pair records by caption text; report differing generations."""
+    """Pair records by caption text; report differing generations.
+
+    Duplicate captions (one caption generated several times in a run)
+    pair up FIFO — a dict keyed on caption would collapse them to the
+    last record and miscount."""
+    from collections import deque
     a, b = load(path_a), load(path_b)
-    by_cap = {r["caption"]: r for r in b}
+    by_cap: Dict[str, deque] = {}
+    for r in b:
+        by_cap.setdefault(r["caption"], deque()).append(r)
     diffs, same, unmatched = [], 0, 0
     for r in a:
-        other = by_cap.get(r["caption"])
-        if other is None:
+        queue = by_cap.get(r["caption"])
+        if not queue:
             unmatched += 1
             continue
+        other = queue.popleft()
         if r["generation"] == other["generation"]:
             same += 1
         else:

@@ -154,10 +154,13 @@ def compute_metrics(jsonl_path: str,
             ciderer += (gen_clean, [cap_clean])
             meteor_scores.append(meteor(gen_clean, cap_clean))
 
-            if "gen_np" in obj:
+            # Guard BOTH sides: partially enriched records (integrity
+            # counts each field independently) must skip, not crash.
+            if "gen_np" in obj and "caption_np" in obj:
                 gen_ttrs.append(obj["gen_np"]["basic_ttr"])
                 cap_ttrs.append(obj["caption_np"]["basic_ttr"])
-            if "gen_readability" in obj:
+            if ("gen_readability" in obj
+                    and "caption_readability" in obj):
                 gen_flesch.append(
                     obj["gen_readability"]["flesch_reading_ease"])
                 cap_flesch.append(

@@ -30,6 +30,9 @@ class EnrichmentCache:
         return self._cache[key]
 
 
+_DEFAULT_CACHE = EnrichmentCache()
+
+
 def enrich_record(caption: str, generation: str,
                   context: str = "",
                   metadata: Optional[Dict] = None,
@@ -37,7 +40,10 @@ def enrich_record(caption: str, generation: str,
                   analyzer=None,
                   cache: Optional[EnrichmentCache] = None) -> Dict:
     analyzer = analyzer or get_analyzer()
-    cache = cache or EnrichmentCache()
+    # Default to a module-wide cache: contexts repeat across records
+    # (the reference pickles spaCy docs for the same reason); a fresh
+    # cache per call would re-analyze every shared context.
+    cache = cache if cache is not None else _DEFAULT_CACHE
     m = metadata or {}
     cap = cache.analyze(analyzer, caption)
     gen = cache.analyze(analyzer, generation)

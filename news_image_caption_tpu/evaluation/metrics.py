@@ -203,6 +203,8 @@ class RougeScorer:
 
     def calc_score(self, hyps: List[str], refs: List[str]) -> float:
         hyp = hyps[0].split()
+        if not refs:
+            return 0.0     # malformed record: score 0, don't crash
         prec, rec = [], []
         for r in refs:
             ref = r.split()

@@ -128,11 +128,20 @@ class SpacyAnalyzer:
                 for e in self.nlp(text).ents]
 
 
+_ANALYZER = None
+
+
 def get_analyzer():
-    try:
-        return SpacyAnalyzer()
-    except Exception:
-        return HeuristicAnalyzer()
+    """Process-wide analyzer singleton: SpacyAnalyzer() costs a
+    spacy.load() (~seconds); per-record construction turned
+    materialization runs into hours."""
+    global _ANALYZER
+    if _ANALYZER is None:
+        try:
+            _ANALYZER = SpacyAnalyzer()
+        except Exception:
+            _ANALYZER = HeuristicAnalyzer()
+    return _ANALYZER
 
 
 # ---------------------------------------------------------------------

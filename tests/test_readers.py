@@ -50,6 +50,36 @@ def test_encode_offsets_cover_text(indexer):
     assert offsets[-1][1] == len(text)
 
 
+def test_copy_masks_cover_multibyte_entities(indexer):
+    """Multi-byte chars (café, José): every BPE piece of the entity
+    must carry the mask — proportional-rounding offsets used to give
+    the trailing piece a zero-width span and drop its mask."""
+    text = "José spoke"
+    enc = indexer.encode(text, [(0, 4, 1)])
+    ids, masks = enc["ids"], enc["copy_masks"]
+    # decode only the masked pieces: they must reconstruct the name
+    body_ids = [i for i, m in zip(ids[1:-1], masks[1:-1]) if m == 1]
+    assert indexer.decode(body_ids) == "José"
+    # and pieces outside the span stay unmasked
+    assert 0 in masks
+
+
+def test_bpe_from_files_keeps_hash_merges(tmp_path):
+    """Only the '#version' header line is skipped — '#'-initial lines
+    are REAL merges in the canonical GPT-2 merges.txt."""
+    from news_image_caption_tpu.data.bpe import ByteBPE
+
+    enc = {"#": 0, "##": 1, "a": 2, "Ġ": 3, "Ġa": 4}
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n# #\nĠ a\n", encoding="utf-8")
+    (tmp_path / "encoder.json").write_text(json.dumps(enc))
+    bpe = ByteBPE.from_files(str(tmp_path / "encoder.json"),
+                             str(tmp_path / "merges.txt"))
+    assert ("#", "#") in bpe.bpe_ranks       # kept
+    assert ("Ġ", "a") in bpe.bpe_ranks
+    assert bpe.bpe("##") == "##"             # the merge applies
+
+
 def test_copy_masks_mark_entity_tokens(indexer):
     text = "Barack Obama spoke in Paris today."
     start = text.index("Barack")
