@@ -192,25 +192,32 @@ def port_tgnc_model(state_dict: Dict[str, Any],
     # Trunk + embedder + adaptive softmax via the shared decoder
     # porter (head layers are unknown to it -> strict=False here,
     # strictness re-checked at the end).
-    dec_vars, _ = port_tell_decoder(
+    dec_vars, dec_unused = port_tell_decoder(
         own, num_layers=num_layers, embed_dim=embed_dim,
         n_bands=n_bands, strict=False)
     dec_params = dec_vars["params"]
-    # "decoder.head{t}." prefixes only — NOT adaptive_softmax.head.*
+    # Mark only the keys the shared decoder porter ACTUALLY consumed
+    # — blanket-marking every decoder.* key would let strict=True
+    # silently pass over unported trunk weights (e.g. a checkpoint
+    # with more layers than num_layers). Template-head prefixes
+    # ("decoder.head{t}.", NOT adaptive_softmax.head.*) are ported
+    # below.
     import re
     head_re = re.compile(r"^decoder\.head\d+\.")
+    dec_unused_set = {f"decoder.{k}" for k in dec_unused}
     for k in tr.sd:
-        if k.startswith("decoder.") and not head_re.match(k):
+        if (k.startswith("decoder.") and not head_re.match(k)
+                and k not in dec_unused_set):
             tr.used.add(k)
 
     # Per-template heads: decoder.head{t}.0.* == one flattened layer.
+    from news_image_caption_tpu.models.port_tell import _port_mha
     sub = {k: v for k, v in own.items() if head_re.match(k)}
     for t in range(n_templates):
         head_sd = {f"decoder.layers.0.{k.split('.0.', 1)[1]}": v
                    for k, v in sub.items()
                    if k.startswith(f"decoder.head{t}.0.")}
         htr = _KeyTracker(head_sd, prefix="decoder.")
-        from news_image_caption_tpu.models.port_tell import _port_mha
         lk = "layers.0"
         layer = {
             "linear1": _port_gehring(htr, f"{lk}.linear1"),

@@ -158,6 +158,16 @@ def preprocess_image(img_uint8: jax.Array,
     B, H, W, C = x.shape
     if H == crop and W == crop:
         return x
+    if H < crop or W < crop:
+        # A sub-crop image would make randint(maxval<=0) /
+        # dynamic_slice fail or silently clamp to shifted content.
+        # The reference resizes to >= crop first (torchvision
+        # Resize(256) before the crop) — do the same.
+        x = jax.image.resize(
+            x, (B, max(H, crop), max(W, crop), C), method="bilinear")
+        B, H, W, C = x.shape
+        if H == crop and W == crop:
+            return x
     if random_crop and rng is not None:
         ky, kx = jax.random.split(rng)
         top = jax.random.randint(ky, (), 0, H - crop + 1)

@@ -59,12 +59,14 @@ class RobertaLayer(nn.Module):
         ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, S, H)
         attn_out = nn.Dense(self.hidden, name="attn_out",
                             dtype=self.dtype)(ctx)
-        x = nn.LayerNorm(epsilon=self.eps, name="attn_ln")(x + attn_out)
+        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         name="attn_ln")(x + attn_out)
         h = nn.Dense(self.intermediate, name="inter",
                      dtype=self.dtype)(x)
         h = jax.nn.gelu(h, approximate=False)
         out = nn.Dense(self.hidden, name="out", dtype=self.dtype)(h)
-        return nn.LayerNorm(epsilon=self.eps, name="out_ln")(x + out)
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                            name="out_ln")(x + out)
 
 
 class RobertaEncoder(nn.Module):
@@ -92,7 +94,11 @@ class RobertaEncoder(nn.Module):
         tok_type = self.param("token_type_embedding",
                               nn.initializers.zeros, (self.hidden,))
         x = word + pos + tok_type
-        x = nn.LayerNorm(epsilon=self.eps, name="embed_ln")(x)
+        # dtype on every LN: an fp32-param LN would re-promote the
+        # bf16 residual stream at all 48 sublayers (same footgun the
+        # flattened decoder guards, decoder_flattened.py:106-109).
+        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         name="embed_ln")(x)
         hiddens = [x]
         for i in range(self.num_layers):
             x = RobertaLayer(self.hidden, self.heads, self.intermediate,

@@ -129,6 +129,10 @@ class TemplateGuidedDecoder(nn.Module):
                deterministic: bool = True):
         kvs = self.precompute_kv(contexts)
         x = self.embedder(token_ids)
+        # Post-embedding input dropout (decoder_tgnc.py applies
+        # F.dropout right after the embedder, like the flattened
+        # decoder's _drop_embed).
+        x = dropout(self, x, self.dropout, deterministic)
         for layer, kv in zip(self.layers, kvs[:self.num_layers]):
             x, _ = layer(x, kv, deterministic=deterministic)
         outs = [head(x, kv, deterministic=deterministic)[0]
@@ -239,14 +243,21 @@ class TGNC:
         sigmoid(template_logits)-mixed heads so the classifier trains
         from the caption objective alone (decoder_tgnc.py:239-243).
         """
-        if self.use_template_decoder:
-            deterministic0 = dropout_rng is None
+        deterministic0 = dropout_rng is None
+        template_logits = None
+        want_bce = (self.template_loss_weight > 0.0
+                    and "template_label" in batch)
+        if self.use_template_decoder or want_bce:
+            # ONE classifier forward per step: the BCE must supervise
+            # the same logits that mixed the decoder heads (and the
+            # reference computes them once, tgnc.py:70-120).
             crngs = {} if deterministic0 else {
                 "dropout": jax.random.fold_in(dropout_rng, 2)}
             template_logits = self.classifier.apply(
                 variables["classifier"], batch["article"],
                 batch["image"], deterministic=deterministic0,
                 rngs=crngs)
+        if self.use_template_decoder:
             inp, tgt = shift_caption(batch["caption_ids"])
             drngs = {} if deterministic0 else {
                 "dropout": jax.random.fold_in(dropout_rng, 3)}
@@ -261,15 +272,8 @@ class TGNC:
             cap_loss, aux = self.captioner.loss_fn(
                 variables["captioner"], batch, dropout_rng)
         loss = cap_loss
-        if (self.template_loss_weight > 0.0
-                and "template_label" in batch):
-            deterministic = dropout_rng is None
-            rngs = {} if deterministic else {
-                "dropout": jax.random.fold_in(dropout_rng, 1)}
-            logits = self.classifier.apply(
-                variables["classifier"], batch["article"],
-                batch["image"], deterministic=deterministic, rngs=rngs)
-            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        if want_bce:
+            probs = jax.nn.sigmoid(template_logits.astype(jnp.float32))
             y = batch["template_label"].astype(jnp.float32)
             bce = -(y * jnp.log(jnp.maximum(probs, 1e-7))
                     + (1 - y) * jnp.log(jnp.maximum(1 - probs, 1e-7)))

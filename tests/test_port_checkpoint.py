@@ -269,6 +269,23 @@ def tgnc_bundle():
     return tmodel, model, variables, batch, contexts_t
 
 
+def test_tgnc_port_strict_catches_extra_decoder_keys(tgnc_bundle):
+    """strict=True must surface UNPORTED trunk keys (a checkpoint
+    with more decoder layers than num_layers previously passed the
+    audit while silently dropping them)."""
+    import pytest as _pytest
+
+    from news_image_caption_tpu.models.port_checkpoint import \
+        port_tgnc_model
+    tmodel = tgnc_bundle[0]
+    sd = dict(tmodel.state_dict())
+    sd["decoder.layers.9.linear1.weight_v"] = \
+        sd["decoder.layers.0.linear1.weight_v"].clone()
+    with _pytest.raises(ValueError, match="unported tgnc keys"):
+        port_tgnc_model(sd, num_layers=len(KERNELS), embed_dim=D,
+                        n_bands=len(CUTOFF), n_templates=5)
+
+
 def test_tgnc_loss_parity(tgnc_bundle):
     tmodel, model, variables, batch, contexts_t = tgnc_bundle
     _, aux = model.loss_fn(variables, batch)
