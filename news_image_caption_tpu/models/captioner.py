@@ -95,16 +95,15 @@ class TransformerFlattened:
 
     # -- generation ----------------------------------------------------
     def _decode_setup(self, params, contexts: Dict[str, jax.Array],
-                      batch_size: int, quantize_kv: bool = False):
+                      quantize_kv: bool = False):
         from news_image_caption_tpu.ops.attention import decode_kv_tree
         kvs = self.decoder.apply(
             params, contexts, method=DynamicConvDecoder.precompute_kv)
         # One-time head-major relayout (outside the decode scan): the
         # per-step attention einsums become clean batched matmuls.
         # quantize_kv additionally stores K/V as int8 (+row scales).
-        kvs = decode_kv_tree(kvs, quantize=quantize_kv)
-        caches = self.decoder.init_cache(batch_size)
-        return kvs, caches
+        # Callers build their own caches (ring_major / B*K sizing).
+        return decode_kv_tree(kvs, quantize=quantize_kv)
 
     def _head_tables(self, params, config):
         """Opt-in int8 head tables, quantized ONCE per generation
@@ -113,13 +112,6 @@ class TransformerFlattened:
             return None
         return self.decoder.apply(
             params, method=DynamicConvDecoder.quantized_embed_tables)
-
-    def _step_fn(self, params, kvs):
-        def step(tok, i, caches):
-            return self.decoder.apply(
-                params, tok, i, kvs, caches,
-                method=DynamicConvDecoder.step)
-        return step
 
     def generate(self, params, batch: Dict[str, jax.Array],
                  config: GenerationConfig = GenerationConfig(),
@@ -132,8 +124,8 @@ class TransformerFlattened:
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         ring_major = self.decoder.fused_decode_ok()
-        kvs, _ = self._decode_setup(params, contexts, B,
-                                    quantize_kv=config.quantize_kv)
+        kvs = self._decode_setup(params, contexts,
+                                 quantize_kv=config.quantize_kv)
         caches = self.decoder.init_cache(B, ring_major=ring_major)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
         tables = self._head_tables(params, config)
@@ -178,8 +170,8 @@ class TransformerFlattened:
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         K = config.beam_size
-        kvs, _ = self._decode_setup(params, contexts, B,
-                                    quantize_kv=config.quantize_kv)
+        kvs = self._decode_setup(params, contexts,
+                                 quantize_kv=config.quantize_kv)
         seed = jnp.full((B,), config.bos_id, jnp.int32)
 
         if impl == "topk":

@@ -210,13 +210,20 @@ class LSTMFlattenedModel:
 
         def body(carry, t):
             state, key = carry
-            rngs = ({} if deterministic
-                    else {"dropout": jax.random.fold_in(key, t)})
+            # Distinct keys for the two applies: flax rng counters
+            # reset per apply, so sharing one key would give the
+            # embed dropout and the first inter-layer dropout
+            # bit-identical masks (both [B, 1024]).
+            kt = jax.random.fold_in(key, t)
+            rngs_e = ({} if deterministic
+                      else {"dropout": jax.random.fold_in(kt, 0)})
+            rngs_s = ({} if deterministic
+                      else {"dropout": jax.random.fold_in(kt, 1)})
             x = self.decoder.apply(
-                params, inp[:, t], t, deterministic, rngs=rngs,
+                params, inp[:, t], t, deterministic, rngs=rngs_e,
                 method=LSTMDecoder.embed)
             out, state = self.decoder.apply(
-                params, x, state, contexts, deterministic, rngs=rngs,
+                params, x, state, contexts, deterministic, rngs=rngs_s,
                 method=LSTMDecoder.step)
             return (state, key), out
 

@@ -149,15 +149,32 @@ class InceptionResnetV1(nn.Module):
 # ----------------------------------------------------------------------
 
 
+def _ceil_max_pool(x, window: int, stride: int):
+    """torch MaxPool2d(ceil_mode=True): pad only at the END so the
+    output is ceil((n - k)/s) + 1 (flax "SAME" pads evenly and gives
+    ceil(n/s), a DIFFERENT geometry for k=3,s=2)."""
+    pads = []
+    for d in (1, 2):
+        n = x.shape[d]
+        out = -(-(n - window) // stride) + 1
+        pads.append((0, max((out - 1) * stride + window - n, 0)))
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=pads)
+
+
 class PNet(nn.Module):
+    # All convs VALID like the torch reference (facenet-pytorch
+    # mtcnn.py uses default padding=0): a 12x12 window must produce a
+    # 1x1 map so detect()'s stride-2/cell-12 corner mapping holds,
+    # and the dense layers below see the reference feature counts.
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(10, (3, 3), name="conv1")(x)
+        x = nn.Conv(10, (3, 3), padding="VALID", name="conv1")(x)
         x = _prelu(self, x, "prelu1")
-        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
-        x = nn.Conv(16, (3, 3), name="conv2")(x)
+        x = _ceil_max_pool(x, 2, 2)
+        x = nn.Conv(16, (3, 3), padding="VALID", name="conv2")(x)
         x = _prelu(self, x, "prelu2")
-        x = nn.Conv(32, (3, 3), name="conv3")(x)
+        x = nn.Conv(32, (3, 3), padding="VALID", name="conv3")(x)
         x = _prelu(self, x, "prelu3")
         probs = nn.softmax(nn.Conv(2, (1, 1), name="conv4_1")(x))
         reg = nn.Conv(4, (1, 1), name="conv4_2")(x)
@@ -167,15 +184,15 @@ class PNet(nn.Module):
 class RNet(nn.Module):
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(28, (3, 3), name="conv1")(x)
+        x = nn.Conv(28, (3, 3), padding="VALID", name="conv1")(x)
         x = _prelu(self, x, "prelu1")
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = nn.Conv(48, (3, 3), name="conv2")(x)
+        x = _ceil_max_pool(x, 3, 2)
+        x = nn.Conv(48, (3, 3), padding="VALID", name="conv2")(x)
         x = _prelu(self, x, "prelu2")
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(64, (2, 2), name="conv3")(x)
+        x = _ceil_max_pool(x, 3, 2)
+        x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
         x = _prelu(self, x, "prelu3")
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1)       # 24px input -> 3*3*64=576
         x = nn.Dense(128, name="dense4")(x)
         x = _prelu(self, x, "prelu4")
         probs = nn.softmax(nn.Dense(2, name="dense5_1")(x))
@@ -186,18 +203,18 @@ class RNet(nn.Module):
 class ONet(nn.Module):
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (3, 3), name="conv1")(x)
+        x = nn.Conv(32, (3, 3), padding="VALID", name="conv1")(x)
         x = _prelu(self, x, "prelu1")
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
-        x = nn.Conv(64, (3, 3), name="conv2")(x)
+        x = _ceil_max_pool(x, 3, 2)
+        x = nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x)
         x = _prelu(self, x, "prelu2")
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(64, (3, 3), name="conv3")(x)
+        x = _ceil_max_pool(x, 3, 2)
+        x = nn.Conv(64, (3, 3), padding="VALID", name="conv3")(x)
         x = _prelu(self, x, "prelu3")
-        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
-        x = nn.Conv(128, (2, 2), name="conv4")(x)
+        x = _ceil_max_pool(x, 2, 2)
+        x = nn.Conv(128, (2, 2), padding="VALID", name="conv4")(x)
         x = _prelu(self, x, "prelu4")
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1)     # 48px input -> 3*3*128=1152
         x = nn.Dense(256, name="dense5")(x)
         x = _prelu(self, x, "prelu5")
         probs = nn.softmax(nn.Dense(2, name="dense6_1")(x))
@@ -241,9 +258,15 @@ def nms(boxes: np.ndarray, scores: np.ndarray,
 class MTCNN:
     """Host-orchestrated 3-stage cascade over jitted Flax nets.
 
-    Simplified relative to the reference pipeline (single-scale PNet
-    windows replaced by a proper image pyramid; landmark alignment
-    kept): detect(image uint8 HWC) -> (boxes [N,4], probs [N]).
+    Simplified relative to the reference pipeline: ONet's landmark
+    head is computed but NOT used for alignment — extract_faces does
+    an axis-aligned crop (the reference embedder also consumes plain
+    crops). detect(image uint8 HWC) -> (boxes [N,4], probs [N]).
+
+    Note: each distinct input image size triggers fresh PNet
+    compilations per pyramid scale (and RNet/ONet per distinct crop
+    count). For serving with arbitrary client sizes, letterbox to a
+    canonical size first.
     """
 
     def __init__(self, pnet_vars=None, rnet_vars=None, onet_vars=None,
@@ -322,6 +345,10 @@ class MTCNN:
             crops = []
             for b in boxes:
                 x1, y1, x2, y2 = [int(max(v, 0)) for v in b[:4]]
+                # Clamp the TOP-LEFT corner too: a box regressed fully
+                # past the right/bottom edge would otherwise give a
+                # zero-width crop and crash cv2.resize.
+                x1, y1 = min(x1, W - 1), min(y1, H - 1)
                 x2 = min(max(x2, x1 + 1), W)
                 y2 = min(max(y2, y1 + 1), H)
                 crop = image[y1:y2, x1:x2]
@@ -356,7 +383,8 @@ class MTCNN:
         out = []
         for b in boxes:
             x1, y1, x2, y2 = [int(v) for v in b]
-            x1, y1 = max(x1, 0), max(y1, 0)
+            x1 = min(max(x1, 0), W - 1)
+            y1 = min(max(y1, 0), H - 1)
             x2 = min(max(x2, x1 + 1), W)
             y2 = min(max(y2, y1 + 1), H)
             out.append(self._norm(

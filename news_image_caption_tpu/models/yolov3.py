@@ -9,13 +9,15 @@ features (tasks/captioner.py).
 TPU-first: the cfg parser/module-builder is replaced by the fixed
 YOLOv3-SPP architecture in Flax (the reference only ever loads
 yolov3-spp.cfg); anchor decoding is vectorized; NMS/letterbox are
-host-side numpy. `features()` exposes the 1024-channel SPP neck map
-used as object embeddings.
+host-side numpy. The model returns (per-scale heads, SPP neck map) —
+the 1024-channel neck is what the object-feature extractor pools for
+object embeddings.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -195,11 +197,22 @@ def letterbox(img: np.ndarray, new_shape: int = 416,
 
 
 def scale_coords(boxes: np.ndarray, ratio: float,
-                 pad: Tuple[int, int]) -> np.ndarray:
-    """Map letterboxed xyxy boxes back to original image coords."""
+                 pad: Tuple[int, int],
+                 orig_shape: Optional[Tuple[int, int]] = None
+                 ) -> np.ndarray:
+    """Map letterboxed xyxy boxes back to original image coords.
+
+    orig_shape (H, W): clip to the image bounds like the reference's
+    scale_coords + clip_coords (utils.py:167) — detections touching
+    the letterbox padding otherwise map to negative / out-of-range
+    coordinates."""
     out = boxes.copy()
     out[:, [0, 2]] = (out[:, [0, 2]] - pad[0]) / ratio
     out[:, [1, 3]] = (out[:, [1, 3]] - pad[1]) / ratio
+    if orig_shape is not None:
+        h, w = orig_shape
+        out[:, [0, 2]] = out[:, [0, 2]].clip(0, w)
+        out[:, [1, 3]] = out[:, [1, 3]].clip(0, h)
     return out
 
 
@@ -222,6 +235,15 @@ def non_max_suppression(pred: np.ndarray, conf_thres: float = 0.3,
     conf = conf[mask]
     cls_id = cls_id[mask]
     xy, wh = p[:, :2], p[:, 2:4]
+    # Reference box sanity filter (utils.py:539 min_wh, max_wh =
+    # 2, 4096) — also what makes the 4096 class-offset trick sound:
+    # a degenerate >4096px box would span multiple class slots and
+    # suppress across classes.
+    ok = ((wh > 2).all(axis=1)) & ((wh < 4096).all(axis=1))
+    if not ok.any():
+        return np.zeros((0, 6), np.float32)
+    xy, wh = xy[ok], wh[ok]
+    conf, cls_id = conf[ok], cls_id[ok]
     boxes = np.concatenate([xy - wh / 2, xy + wh / 2], axis=1)
     # class-offset trick: boxes of different classes never overlap
     offset = cls_id[:, None] * 4096.0
@@ -290,7 +312,7 @@ def port_darknet_weights(weights, template) -> dict:
     """
     import jax
 
-    if isinstance(weights, (str, bytes)) and not isinstance(weights, bytes):
+    if isinstance(weights, (str, os.PathLike)):
         with open(weights, "rb") as f:
             raw = f.read()
     else:
@@ -395,6 +417,7 @@ class ObjectFeatureExtractor:
             feats.append(neck[y1:y2, x1:x2].mean(axis=(0, 1)))
         feats = (np.stack(feats) if feats
                  else np.zeros((0, neck.shape[-1]), np.float32))
-        boxes = scale_coords(dets[:, :4], ratio, pad) if len(dets) \
-            else np.zeros((0, 4), np.float32)
+        boxes = (scale_coords(dets[:, :4], ratio, pad,
+                              orig_shape=image.shape[:2])
+                 if len(dets) else np.zeros((0, 4), np.float32))
         return boxes, feats
