@@ -77,10 +77,13 @@ def eval_split(model, params, batches: Iterable, *,
         total_loss += float(loss) * n
         total_n += n
         if hasattr(model, "sample"):
-            toks, _ = model.sample(params, batch, max_len=max_len)
+            toks = np.asarray(
+                model.sample(params, batch, max_len=max_len)[0])
         else:
-            toks, _ = model.generate(params, batch)
-        caps = decode_sequence(ix_to_word, np.asarray(toks))
+            # generate() includes the bos seed (a special id that
+            # would terminate decoding at position 0) — strip it.
+            toks = np.asarray(model.generate(params, batch)[0])[:, 1:]
+        caps = decode_sequence(ix_to_word, toks)
         refs = decode_sequence(
             ix_to_word,
             np.asarray(batch.get("seq", batch.get("caption_ids")))[:, 1:])
@@ -121,7 +124,7 @@ def eval_split_visual_news(model, params, batches: Iterable, *,
         elif hasattr(model, "sample"):
             toks, _ = model.sample(params, batch, max_len=max_len)
         else:
-            toks, _ = model.generate(params, batch)
+            toks = np.asarray(model.generate(params, batch)[0])[:, 1:]
         caps = decode_sequence(ix_to_word, np.asarray(toks))
         refs = decode_sequence(
             ix_to_word,

@@ -76,7 +76,10 @@ def test(opt) -> dict:
         if bi >= opt.max_batches:
             break
         toks, _ = gen(params, batch)
-        caps = decode_sequence(None, np.asarray(toks))
+        # generate() returns tokens INCLUDING the bos seed; the seed
+        # id is a special, so decoding it would terminate every
+        # caption at position 0.
+        caps = decode_sequence(None, np.asarray(toks)[:, 1:])
         refs = decode_sequence(
             None, np.asarray(batch["caption_ids"])[:, 1:])
         preds.extend({"image_id": len(preds) + i, "caption": c,

@@ -55,11 +55,23 @@ def _gen1_batch(loader, opt, split: str, rng: np.random.Generator):
         P = 49
         att = images.reshape(B, -1, C)
         att = att[:, :P * (att.shape[1] // P), :].reshape(B, P, -1, C)
-        att = att.mean(axis=2).repeat(
-            max(1, opt.att_feat_size // C), axis=-1)[..., :opt.att_feat_size]
+        # ceil-division so the declared att_feat_size is honored
+        # exactly (floor gave 2046 for 2048/C=3 — silently building
+        # the model at a different width than the flag says).
+        rep = -(-opt.att_feat_size // C)
+        att = att.mean(axis=2).repeat(rep, axis=-1)[
+            ..., :opt.att_feat_size]
+        # One image feeds seq_per_img captions (reference replicates
+        # features per caption, dataloader.py:300-320).
+        spi = max(1, data["labels"].shape[0] // max(B, 1))
+        if spi > 1:
+            att = att.repeat(spi, axis=0)
         return {
             "seq": data["labels"],
-            "mask": (data["labels"] != 0).astype(np.float32),
+            # The loader's masks keep the slot AFTER the last word
+            # (the <end> token) supervised; (labels != 0) would drop
+            # eos supervision and captions would never terminate.
+            "mask": data["masks"].astype(np.float32),
             "fc_feats": att.mean(axis=1),
             "att_feats": att,
         }, data.get("wrapped", False)
@@ -79,7 +91,16 @@ def train(opt) -> Dict[str, float]:
 
     loader = _build_loader(opt)
     rng = np.random.default_rng(0)
-    vocab_size = getattr(loader, "vocab_size", opt.tpu_vocab_size)
+    vocab_size = (getattr(loader, "vocab_size", None)
+                  or opt.tpu_vocab_size)
+    if opt.cnn_weight:
+        import logging
+        logging.getLogger("compat.train").warning(
+            "--cnn_weight %s is not used by this driver (feature "
+            "extraction is the offline pipeline's job here — "
+            "`tellax preprocess` + models/resnet.py porters); "
+            "training proceeds on pooled-pixel feature stand-ins",
+            opt.cnn_weight)
 
     model = Gen1Model(Gen1Captioner(
         model_type=opt.caption_model,
@@ -103,7 +124,13 @@ def train(opt) -> Dict[str, float]:
             or opt.tpu_synthetic_size) // opt.batch_size)
 
     # Reference schedules, converted from epochs to steps.
-    decay_start = max(opt.learning_rate_decay_start, 0) * iters_per_epoch
+    # decay_start < 0 DISABLES decay (reference train.py:108 gates on
+    # `>= 0`); mapping -1 to 0 would decay from the first step.
+    if opt.learning_rate_decay_start < 0:
+        decay_start = 10 ** 12          # never reached
+    else:
+        decay_start = (opt.learning_rate_decay_start
+                       * iters_per_epoch)
     decay_every = opt.learning_rate_decay_every * iters_per_epoch
     tx = gen1_adam(lr=opt.learning_rate, decay_start=decay_start,
                    decay_every=decay_every,
@@ -121,13 +148,31 @@ def train(opt) -> Dict[str, float]:
                               f"infos_{opt.id}.json")
     best_cider: Optional[float] = None
     start_iter = 0
-    if opt.start_from and os.path.exists(infos_path):
-        with open(infos_path) as f:
-            infos = json.load(f)
-        start_iter = infos.get("iter", 0)
-        if opt.load_best_score:
-            best_cider = infos.get("best_val_score")
-        state, _ = store.load_with_fallback(state)
+    if opt.start_from:
+        # Resume FROM the start_from directory (reference
+        # train.py:52-104 loads infos/optimizer from opt.start_from,
+        # which may differ from the new checkpoint_path).
+        src_infos = os.path.join(opt.start_from,
+                                 f"infos_{opt.id}.json")
+        if not os.path.exists(src_infos):
+            src_infos = infos_path      # same-dir resume
+        if os.path.exists(src_infos):
+            with open(src_infos) as f:
+                infos = json.load(f)
+            start_iter = infos.get("iter", 0)
+            if opt.load_best_score:
+                best_cider = infos.get("best_val_score")
+            src_store = CheckpointStore(
+                os.path.join(opt.start_from, "checkpoints"),
+                keep=5, best_metric="cider", maximize=True)
+            if src_store.latest_step() is None:
+                src_store = store
+            state, _ = src_store.load_with_fallback(state)
+        else:
+            import logging
+            logging.getLogger("compat.train").warning(
+                "--start_from %s: no infos_%s.json found; starting "
+                "from scratch", opt.start_from, opt.id)
 
     def ss_prob_for(epoch: int) -> float:
         if opt.scheduled_sampling_start < 0:

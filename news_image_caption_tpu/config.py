@@ -99,27 +99,35 @@ def build_optimizer(cfg: Dict):
         "optimizer", {"type": "bert_adam"}))
     otype = ocfg.pop("type")
     if otype == "bert_adam":
-        return optim.make_bert_adam(
-            lr=ocfg.get("lr", 1e-4),
-            t_total=ocfg.get("t_total", 437600),
-            warmup=ocfg.get("warmup", 0.05),
-            b1=ocfg.get("b1", 0.9), b2=ocfg.get("b2", 0.98),
-            eps=ocfg.get("e", 1e-6),
-            weight_decay=ocfg.get("weight_decay", 1e-5),
-            max_grad_norm=ocfg.get("max_grad_norm", 0.1))
-    if otype == "noam":
-        return optim.noam_adam(
-            model_size=ocfg.get("model_size", 512),
-            factor=ocfg.get("factor", 1.0),
-            warmup=ocfg.get("warmup", 30000))
-    if otype == "gen1_adam":
-        return optim.gen1_adam(
-            lr=ocfg.get("lr", 5e-4),
-            decay_start=ocfg.get("decay_start", 0),
-            decay_every=ocfg.get("decay_every", 10000),
-            decay_rate=ocfg.get("decay_rate", 0.8),
-            grad_clip_value=ocfg.get("grad_clip", 0.1))
-    raise KeyError(f"unknown optimizer type {otype!r}")
+        tx = optim.make_bert_adam(
+            lr=ocfg.pop("lr", 1e-4),
+            t_total=ocfg.pop("t_total", 437600),
+            warmup=ocfg.pop("warmup", 0.05),
+            b1=ocfg.pop("b1", 0.9), b2=ocfg.pop("b2", 0.98),
+            eps=ocfg.pop("e", 1e-6),
+            weight_decay=ocfg.pop("weight_decay", 1e-5),
+            max_grad_norm=ocfg.pop("max_grad_norm", 0.1))
+    elif otype == "noam":
+        tx = optim.noam_adam(
+            model_size=ocfg.pop("model_size", 512),
+            factor=ocfg.pop("factor", 1.0),
+            warmup=ocfg.pop("warmup", 30000))
+    elif otype == "gen1_adam":
+        tx = optim.gen1_adam(
+            lr=ocfg.pop("lr", 5e-4),
+            decay_start=ocfg.pop("decay_start", 0),
+            decay_every=ocfg.pop("decay_every", 10000),
+            decay_rate=ocfg.pop("decay_rate", 0.8),
+            grad_clip_value=ocfg.pop("grad_clip", 5.0))
+    else:
+        raise KeyError(f"unknown optimizer type {otype!r}")
+    if ocfg:
+        # A misspelled hyperparameter (e.g. learning_rate for lr)
+        # must not silently train at the default.
+        raise ValueError(
+            f"unknown {otype} optimizer config keys: "
+            f"{sorted(ocfg)}")
+    return tx
 
 
 def _tupleize(v: Any) -> Any:

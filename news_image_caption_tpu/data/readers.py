@@ -301,6 +301,12 @@ class H5DataLoader:
         with open(split_json) as f:
             info = json.load(f)
         self.images_info = info["images"]
+        # vocab size from the split JSON's ix_to_word, like the
+        # reference (dataloader.py:67-75) — training drivers size the
+        # embedding/logit layers from this.
+        self.ix_to_word = info.get("ix_to_word", {})
+        self.vocab_size = (max(int(k) for k in self.ix_to_word)
+                           if self.ix_to_word else None)
         self.seq_per_img = seq_per_img
         self.splits: Dict[str, List[int]] = {}
         for i, img in enumerate(self.images_info):

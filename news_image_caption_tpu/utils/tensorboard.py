@@ -127,10 +127,17 @@ class SummaryWriter:
         w.add_scalar("train/loss", 2.3, step=100)
     """
 
+    _seq = 0   # per-process uniquifier
+
     def __init__(self, logdir: str, filename_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
-        name = "events.out.tfevents.%010d.%s%s" % (
-            int(time.time()), socket.gethostname(), filename_suffix)
+        # pid + sequence keep two writers created in the same second
+        # (parallel runs, back-to-back trainers in tests) from
+        # appending interleaved frames to one file.
+        SummaryWriter._seq += 1
+        name = "events.out.tfevents.%010d.%s.%d.%d%s" % (
+            int(time.time()), socket.gethostname(), os.getpid(),
+            SummaryWriter._seq, filename_suffix)
         self.path = os.path.join(logdir, name)
         self._f = open(self.path, "ab")
         # TensorBoard requires a leading file_version event.
