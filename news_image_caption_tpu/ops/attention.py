@@ -217,7 +217,7 @@ class MultiHeadAttention(nn.Module):
             from news_image_caption_tpu.ops.pallas_flash import (
                 flash_cross_attention, supported_head_dim)
             if self.flash_interpret or supported_head_dim(
-                    self.head_dim):
+                    self.head_dim, self.num_heads):
                 # Flat [B, T, E] / [B, S, E] layouts straight from
                 # the projections — no transposes (see
                 # ops/pallas_flash.py design notes).

@@ -14,6 +14,10 @@ which the hash itself is 3.6 ms (BASELINE.md) — the same reasoning
 as the flash kernel's in-kernel HW-PRNG dropout
 (ops/pallas_flash.py). Set `dropout.use_hw_prng = False` to restore
 threefry masks (bit-identical to pre-r03 behavior).
+
+The flag is read at TRACE time: set it before jitting (functions
+already compiled keep the branch they were traced with — flip the
+flag and rebuild/re-jit, e.g. via jax.clear_caches(), to switch).
 """
 
 from __future__ import annotations

@@ -57,10 +57,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def supported_head_dim(head_dim: int) -> bool:
-    """Compiled-mode support: head groups must tile 128 lanes."""
-    return (head_dim >= 128 and head_dim % 128 == 0) or \
-        (head_dim < 128 and 128 % head_dim == 0)
+def supported_head_dim(head_dim: int, num_heads: int = 1) -> bool:
+    """Compiled-mode support: head groups must tile 128 lanes AND the
+    head count must divide into whole groups — otherwise the kernel's
+    `range(E // W)` slice loop would skip the trailing heads and
+    return uninitialized VMEM for their output lanes."""
+    if head_dim >= 128:
+        return head_dim % 128 == 0
+    if 128 % head_dim != 0:
+        return False
+    return num_heads % (128 // head_dim) == 0
 
 
 def _group_layout(E: int, H: int, interpret: bool):

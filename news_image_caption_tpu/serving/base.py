@@ -13,6 +13,7 @@ worker's compute becomes a jitted JAX generate function (worker.py).
 from __future__ import annotations
 
 import multiprocessing
+import shutil
 import tempfile
 import threading
 from typing import Callable, List, Optional
@@ -28,9 +29,15 @@ class ServerCmd:
     new_job = b"REGISTER"
 
 
-def auto_bind(socket: zmq.Socket) -> str:
-    """Bind to a random IPC path (parity: server/utils.py auto_bind)."""
+def auto_bind(socket: zmq.Socket, created_dirs: Optional[list] = None
+              ) -> str:
+    """Bind to a random IPC path (parity: server/utils.py auto_bind).
+
+    created_dirs: pass a list to record the tmpdir for cleanup —
+    otherwise every bind leaks one /tmp/tellax-ipc-* directory."""
     tmp_dir = tempfile.mkdtemp(prefix="tellax-ipc-")
+    if created_dirs is not None:
+        created_dirs.append(tmp_dir)
     addr = f"ipc://{tmp_dir}/socket"
     socket.bind(addr)
     return addr
@@ -85,9 +92,16 @@ class CaptionServer:
         self.worker_factory = worker_factory
         self.num_workers = num_workers
         self.monitor_workers = monitor_workers
+        # Crash-loop bound: a deterministically-failing worker (bad
+        # checkpoint, device already held) must not respawn forever.
+        self.max_respawns = 20
         self.logger = setup_logger("server")
         self._procs: List[multiprocessing.Process] = []
         self._workers: List[multiprocessing.Process] = []
+        # Created in __init__ so stop() is safe before/without start().
+        self._stop = threading.Event()
+        self._stopped = False
+        self._ipc_dirs: List[str] = []
         self.respawn_count = 0
         self.frontend_addr: Optional[str] = None
         self.sink_pub_addr: Optional[str] = None
@@ -99,7 +113,7 @@ class CaptionServer:
         ctx = zmq.Context()
         self._ctx = ctx
         frontend = ctx.socket(zmq.PULL)
-        self.frontend_addr = auto_bind(frontend)
+        self.frontend_addr = auto_bind(frontend, self._ipc_dirs)
 
         addr_q = _MP.Queue()
         sink = Sink(addr_q)
@@ -109,7 +123,10 @@ class CaptionServer:
         self._sink_recv_addr = sink_recv_addr
 
         backend = ctx.socket(zmq.PUSH)
-        backend_addr = auto_bind(backend)
+        # Bounded send so the relay can observe _stop even when every
+        # worker is wedged and the PUSH high-water mark is full.
+        backend.setsockopt(zmq.SNDTIMEO, 200)
+        backend_addr = auto_bind(backend, self._ipc_dirs)
 
         self._backend_addr = backend_addr
         for i in range(self.num_workers):
@@ -127,22 +144,41 @@ class CaptionServer:
                 if frontend in events:
                     frames = frontend.recv_multipart()
                     if frames[0] == ServerCmd.terminate:
+                        # Full shutdown like the reference's control
+                        # path — not just this thread (a half-dead
+                        # server would keep respawning workers).
+                        self._stop.set()
+                        threading.Thread(target=self.stop,
+                                         daemon=True).start()
                         break
-                    backend.send_multipart(frames)
+                    while not self._stop.is_set():
+                        try:
+                            backend.send_multipart(frames)
+                            break
+                        except zmq.Again:   # workers wedged: retry,
+                            continue        # but stay stoppable
                 if self._stop.is_set():
                     break
-            frontend.close()
-            backend.close()
+            frontend.close(linger=0)
+            backend.close(linger=0)
 
-        self._stop = threading.Event()
         self._thread = threading.Thread(target=relay, daemon=True)
         self._thread.start()
 
         def monitor():
-            while not self._stop.wait(1.0):
+            import time as _time
+            delay, last_respawn = 1.0, 0.0
+            while not self._stop.wait(delay):
                 for i, w in enumerate(self._workers):
-                    if w.is_alive():
+                    if w.is_alive() or self._stop.is_set():
                         continue
+                    if self.respawn_count >= self.max_respawns:
+                        self.logger.error(
+                            "worker %d died but max_respawns (%d) "
+                            "reached — a deterministic startup "
+                            "failure? Not respawning.",
+                            i, self.max_respawns)
+                        return
                     self.logger.warning(
                         "worker %d died (exitcode %s); respawning",
                         i, w.exitcode)
@@ -153,6 +189,12 @@ class CaptionServer:
                     nw.start()
                     self._workers[i] = nw
                     self.respawn_count += 1
+                    now = _time.monotonic()
+                    # Exponential backoff when deaths come fast
+                    # (crash loop), reset once a worker survives.
+                    delay = (min(delay * 2, 30.0)
+                             if now - last_respawn < 10.0 else 1.0)
+                    last_respawn = now
 
         if self.monitor_workers:
             self._monitor = threading.Thread(target=monitor,
@@ -163,23 +205,34 @@ class CaptionServer:
         return self
 
     def stop(self):
+        if self._stopped:
+            return
+        self._stopped = True
         self._stop.set()
-        if self._thread is not None:
+        me = threading.current_thread()
+        if self._thread is not None and self._thread is not me:
             self._thread.join(timeout=2)
-        if self._monitor is not None:
-            self._monitor.join(timeout=2)
+        if self._monitor is not None and self._monitor is not me:
+            # Generous join: a mid-respawn spawn can take seconds;
+            # snapshotting workers BEFORE the monitor finishes would
+            # leak the freshly respawned process.
+            self._monitor.join(timeout=15)
         # tell the sink to stop
-        try:
-            ctx = zmq.Context()
-            s = ctx.socket(zmq.PUSH)
-            s.connect(self._sink_recv_addr)
-            s.send_multipart([ServerCmd.terminate])
-            s.close()
-            ctx.term()
-        except Exception:
-            pass
+        if getattr(self, "_sink_recv_addr", None):
+            try:
+                ctx = zmq.Context()
+                s = ctx.socket(zmq.PUSH)
+                s.connect(self._sink_recv_addr)
+                s.send_multipart([ServerCmd.terminate])
+                s.close(linger=0)
+                ctx.term()
+            except Exception:
+                pass
         for p in self._procs + self._workers:
             p.terminate()
             p.join(timeout=2)
         if self._ctx is not None:
             self._ctx.term()
+        for d in self._ipc_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._ipc_dirs.clear()
