@@ -79,8 +79,10 @@ class SyntheticNewsDataset:
         order = np.arange(self.size)
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        for s in range(0, self.size - batch_size + 1, batch_size):
+        for s in range(0, self.size, batch_size):
             idxs = order[s:s + batch_size]
+            if len(idxs) < batch_size and drop_last:
+                break
             yield self.collate([self[int(i)] for i in idxs])
 
     def collate(self, examples: List[Example]) -> Dict[str, np.ndarray]:

@@ -137,6 +137,11 @@ def materialize(input_jsonl: str, out_prefix: str,
                 "article_ids": p["article_ids"],
                 "image": patch.astype(np.float32),
                 "article": feat.astype(np.float32),
+                # Masks baked alongside (True = pad): RoBERTa outputs
+                # at pad positions are nonzero, and a consumer without
+                # the mask would cross-attend to them.
+                "article_mask": (p["article_ids"] == 1),
+                "image_mask": np.zeros((patch.shape[0],), bool),
             }
             if with_copy_masks:
                 rec["caption_copy_masks"] = p["caption_copy_masks"]
@@ -162,8 +167,19 @@ def materialize(input_jsonl: str, out_prefix: str,
                 list(inst["context_proper_masks"]), article_len, pad=0)
         if rec.image is not None:
             img = rec.image
-        elif inst.get("image_path") and os.path.exists(
-                inst["image_path"]):
+            if img.shape[:2] != (image_size, image_size):
+                from PIL import Image
+                img = np.asarray(Image.fromarray(img).resize(
+                    (image_size, image_size)))
+        elif inst.get("image_path"):
+            if not os.path.exists(inst["image_path"]):
+                # Reference behavior: skip missing-image samples
+                # (goodnews_flattened.py:90-93) — baking a black
+                # image's features into the shard would silently
+                # train on garbage.
+                logger.warning("skipping record: missing image %s",
+                               inst["image_path"])
+                continue
             from PIL import Image
             img = np.asarray(Image.open(
                 inst["image_path"]).convert("RGB").resize(

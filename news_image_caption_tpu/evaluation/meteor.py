@@ -8,9 +8,11 @@ egress), so this module vendors the METEOR algorithm itself:
 
 - staged unigram alignment: exact surface match first, then Porter-stem
   match on the remainder (optionally a synonym stage when a synonym
-  lookup is supplied); within each stage, greedy first-available
-  matching in hypothesis order — the same discipline as nltk's
-  `meteor_score` aligner, against which the core is validated
+  lookup is supplied); the exact/stem stages use greedy REVERSE
+  hypothesis order, each word taking the last available reference
+  occurrence — the same discipline as nltk's `meteor_score` aligner
+  (the optional synonym stage matches forward/first-available),
+  against which the core is validated
   (tests/test_metrics.py: score-identical with nltk's parameters and
   its synonym stage stubbed out);
 - parameterized scoring: fmean = P·R / (α·P + (1-α)·R), fragmentation
@@ -101,9 +103,11 @@ def align(hyp_tokens: Sequence[str], ref_tokens: Sequence[str],
     stems, h, r = _greedy_stage(h, r, stem)
     syn: List[Tuple[int, int]] = []
     if synonyms is not None:
+        # Synonym stage matches in FORWARD hypothesis order,
+        # first-available reference (exact/stem use nltk's reverse
+        # discipline via _greedy_stage — see module docstring).
         matches = []
         used = set()
-        left_h = []
         for i, w in h:
             sw = synonyms(w) | {w}
             for idx, (j, v) in enumerate(r):
@@ -113,8 +117,6 @@ def align(hyp_tokens: Sequence[str], ref_tokens: Sequence[str],
                     used.add(idx)
                     matches.append((i, j))
                     break
-            else:
-                left_h.append((i, w))
         syn = matches
     stages = [exact, stems, syn]
     all_matches = sorted(exact + stems + syn)

@@ -105,6 +105,17 @@ class TransformerFlattened:
         # Callers build their own caches (ring_major / B*K sizing).
         return decode_kv_tree(kvs, quantize=quantize_kv)
 
+    def _check_max_len(self, config: GenerationConfig) -> None:
+        """Positions past the sinusoidal table would silently CLAMP
+        (jnp.take clips out-of-bounds under jit) — every token after
+        max_positions would reuse the last positional row. Fail
+        loudly at trace time instead."""
+        mp = getattr(self.decoder, "max_positions", None)
+        if mp is not None and config.max_len > mp:
+            raise ValueError(
+                f"max_len {config.max_len} exceeds the decoder's "
+                f"max_positions {mp}; positions would clamp")
+
     def _head_tables(self, params, config):
         """Opt-in int8 head tables, quantized ONCE per generation
         (outside the decode scan), like the KV relayout."""
@@ -123,6 +134,7 @@ class TransformerFlattened:
         """
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
+        self._check_max_len(config)
         ring_major = self.decoder.fused_decode_ok()
         kvs = self._decode_setup(params, contexts,
                                  quantize_kv=config.quantize_kv)
@@ -170,6 +182,7 @@ class TransformerFlattened:
         contexts = self._contexts(batch)
         B = contexts["image"].shape[0]
         K = config.beam_size
+        self._check_max_len(config)
         kvs = self._decode_setup(params, contexts,
                                  quantize_kv=config.quantize_kv)
         seed = jnp.full((B,), config.bos_id, jnp.int32)

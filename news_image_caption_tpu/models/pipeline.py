@@ -52,14 +52,14 @@ class Gen3Pipeline:
             "resnet": self.resnet.init(r1, batch["image"]),
             "roberta": self.roberta.init(r2, batch["article_ids"]),
         }
-        ctx = self.encode(variables, batch)
         if self.weigh_bert:
-            # weighted-sum params initialized on the hiddens
+            # weighted-sum params initialized on the hiddens (one
+            # RoBERTa pass; encode() below reuses the finished tree)
             _, hiddens = self.roberta.apply(variables["roberta"],
                                             batch["article_ids"])
             variables["weighted_sum"] = self.weighted_sum.init(
                 r4, hiddens)
-            ctx = self.encode(variables, batch)
+        ctx = self.encode(variables, batch)
         dec_batch = {**ctx, "caption_ids": batch["caption_ids"]}
         variables["captioner"] = self.captioner.init(r3, dec_batch)
         return variables
@@ -70,7 +70,15 @@ class Gen3Pipeline:
                                     method=ResNetTrunk.patches)
         last, hiddens = self.roberta.apply(variables["roberta"],
                                            batch["article_ids"])
-        if self.weigh_bert and "weighted_sum" in variables:
+        if self.weigh_bert:
+            if "weighted_sum" not in variables:
+                # Config says 25-layer weighted sum but the variable
+                # tree lacks it (checkpoint trained without it?) —
+                # falling back to last-layer features would silently
+                # run a different model.
+                raise KeyError(
+                    "weigh_bert=True but variables have no "
+                    "'weighted_sum' collection")
             article = self.weighted_sum.apply(variables["weighted_sum"],
                                               hiddens)
         else:

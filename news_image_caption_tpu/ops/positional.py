@@ -56,7 +56,8 @@ def sinusoidal_table(n_embeds: int, embed_dim: int,
     """
     max_ts, min_ts = 10000.0, 1.0
     n_timescales = embed_dim // 2
-    increment = math.log(max_ts / min_ts) / (n_timescales - 1)
+    # max(.., 1): embed_dim < 4 gives a single timescale (t2t guard).
+    increment = math.log(max_ts / min_ts) / max(n_timescales - 1, 1)
     inv_timescales = min_ts * np.exp(np.arange(n_timescales) * -increment)
     scaled_time = np.arange(n_embeds)[:, None] * inv_timescales[None, :]
     signal = np.concatenate(
@@ -116,7 +117,10 @@ class LearnedPositionalEmbedding(nn.Module):
 
     max_positions: int
     embedding_dim: int
-    padding_idx: int = 0
+    # Default matches the repo-wide RoBERTa convention (pad=1, bos=0)
+    # like the sinusoidal sibling — padding_idx=0 would zero every
+    # BOS position while giving real positions to actual pads.
+    padding_idx: int = 1
     param_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
