@@ -39,6 +39,35 @@ def _cast_bf16(tree):
         if x.dtype == jnp.float32 else x, tree)
 
 
+def _wait_for_device(max_wait_s: float = 1800.0,
+                     probe_timeout_s: float = 120.0) -> bool:
+    """The axon tunnel goes down for stretches (hours observed); a
+    probe op in a watchdogged subprocess tells us whether the chip is
+    reachable without hanging the whole bench. Retries up to
+    max_wait_s, returns False if the device never comes up."""
+    import subprocess
+    import sys
+    code = ("import jax, numpy as np; "
+            "print(float(np.asarray(jax.numpy.ones((8,8)).sum())))")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=probe_timeout_s)
+            if out.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# device probe {attempt} failed; retrying "
+              f"({int(deadline - time.time())}s left)", flush=True)
+        time.sleep(min(240.0, max(deadline - time.time(), 1.0)))
+
+
 def main():
     import __graft_entry__ as ge
     from news_image_caption_tpu.generation.generator import GenerationConfig
@@ -99,4 +128,14 @@ def main():
 
 
 if __name__ == "__main__":
+    if not _wait_for_device():
+        print(json.dumps({
+            "metric": "captions_per_sec_beam5",
+            "value": 0.0, "unit": "captions/s",
+            "vs_baseline": 0.0,
+            "error": "tpu device unreachable after 30 min of probes "
+                     "(axon tunnel down); see BASELINE.md / "
+                     "BENCH_r02.json for the last measured value "
+                     "(252.5 captions/s exact beam-5)"}))
+        raise SystemExit(0)
     main()
