@@ -27,6 +27,11 @@ class DeviceLoader:
     def __init__(self, batches: Iterable[Dict[str, np.ndarray]],
                  prefetch: int = 2,
                  sharding=None):
+        if prefetch < 1:
+            # queue.Queue(maxsize=0) means UNBOUNDED — "no prefetch"
+            # would actually device_put the whole epoch with no
+            # backpressure.
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         self._batches = batches
         self._prefetch = prefetch
         self._sharding = sharding
@@ -48,25 +53,44 @@ class DeviceLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
         sentinel = object()
         err: list = []
+        # Abandonment handshake: a consumer that breaks mid-epoch
+        # (preemption, exception) finalizes this generator; without
+        # the stop event the worker would block in q.put forever,
+        # pinning prefetch+1 device batches in HBM for the process
+        # lifetime.
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self._batches:
-                    q.put(self._put(b))
+                    if not put_or_stop(self._put(b)):
+                        return
             except Exception as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put_or_stop(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 class FixedStepsLoader:
@@ -101,20 +125,27 @@ class FixedStepsLoader:
 
     @staticmethod
     def _check_accepts_start(fn) -> bool:
+        # Only an EXPLICIT `start` parameter counts: a **kwargs
+        # factory that ignores unknown keywords would silently skip
+        # zero batches and replay trained data on resume.
         try:
             params = inspect.signature(fn).parameters
         except (TypeError, ValueError):
             return False
-        return "start" in params or any(
-            p.kind == inspect.Parameter.VAR_KEYWORD
-            for p in params.values())
+        return "start" in params
 
     def _stream_from(self, seed: int, offset: int):
         consecutive_empty = 0
         while True:
             used_start = False
             consumed = 0
-            if offset and self._accepts_start:
+            # The start= fast path needs a KNOWN per-seed batch count:
+            # with batches_per_seed the offset is < one seed by
+            # construction, so a short seed cannot silently swallow
+            # part of the skip (which the factory-side skip could not
+            # report back).
+            if (offset and self._accepts_start
+                    and self.batches_per_seed):
                 it = iter(self.make_batches(seed, start=offset))
                 used_start = True
                 offset = 0
@@ -179,7 +210,12 @@ class TokenBucketBatcher:
         for b in self.bucket_lengths:
             if length <= b:
                 return b
-        return self.bucket_lengths[-1]
+        # No bucket fits: collate would SILENTLY truncate to the
+        # largest bucket; instances must be pre-truncated (the
+        # indexer's max_len) or the caller must widen bucket_lengths.
+        raise ValueError(
+            f"instance length {length} exceeds the largest bucket "
+            f"{self.bucket_lengths[-1]}")
 
     def batches(self, instances: Iterable) -> Iterator[tuple]:
         """Yields (list_of_instances, bucket_len)."""

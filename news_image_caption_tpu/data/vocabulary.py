@@ -49,7 +49,9 @@ class WordVocab:
         items = [(w, c) for w, c in counts.most_common()
                  if c >= min_count and w not in vocab.word2idx]
         if max_size is not None:
-            items = items[: max_size - len(vocab.word2idx)]
+            # max(0, ..): max_size below the specials count must keep
+            # NOTHING, not wrap into a negative slice keeping all.
+            items = items[: max(0, max_size - len(vocab.word2idx))]
         for w, _ in items:
             vocab.add(w)
         return vocab

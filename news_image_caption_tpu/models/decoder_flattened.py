@@ -538,7 +538,11 @@ class DynamicConvDecoder(nn.Module):
                 and jax.default_backend() == "tpu"
                 and self.dtype == jnp.bfloat16
                 and self.conv_type == "dynamic" and self.decoder_glu
-                and self.weight_softmax and not self.normalize_before)
+                and self.weight_softmax and not self.normalize_before
+                # pointwise (K=1) layers have no ring cache: the XLA
+                # step handles them; the fused kernel's zero-size
+                # cache BlockSpec / mod-(K-1) math cannot
+                and min(self.kernel_sizes) > 1)
 
     def quantized_embed_tables(self):
         """int8 head tables for the opt-in quantized decode head

@@ -143,7 +143,11 @@ def decode_ffn_block(x: jax.Array, w1: jax.Array, b1: jax.Array,
     N, C = x.shape
     F = w1.shape[1]
     if F % chunk:
-        chunk = F
+        # Largest divisor of F that fits the requested chunk — falling
+        # back to chunk=F would abandon streaming and put BOTH full
+        # weight matrices in VMEM (overflow for large ffn_dim).
+        chunk = next(c for c in range(min(chunk, F), 0, -1)
+                     if F % c == 0)
     n_chunks = F // chunk
     return pl.pallas_call(
         functools.partial(_ffn_kernel, n_chunks=n_chunks),
