@@ -1,3 +1,5 @@
+from news_image_caption_tpu.parallel.distributed import (
+    device_put_global, initialize, shard_iterator)
 from news_image_caption_tpu.parallel.mesh import make_mesh, MeshConfig
 from news_image_caption_tpu.parallel.partition import (
     param_shardings, batch_shardings, shard_params)
@@ -8,4 +10,7 @@ __all__ = [
     "param_shardings",
     "batch_shardings",
     "shard_params",
+    "initialize",
+    "shard_iterator",
+    "device_put_global",
 ]

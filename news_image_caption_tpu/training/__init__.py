@@ -1,5 +1,7 @@
+from news_image_caption_tpu.training.checkpoint import CheckpointStore
 from news_image_caption_tpu.training.optim import (
     bert_adam, noam_schedule, warmup_linear_schedule, make_bert_adam)
+from news_image_caption_tpu.training.preemption import PreemptionHandler
 from news_image_caption_tpu.training.train_step import (
     TrainState, make_train_step, make_eval_step)
 
@@ -11,4 +13,6 @@ __all__ = [
     "TrainState",
     "make_train_step",
     "make_eval_step",
+    "CheckpointStore",
+    "PreemptionHandler",
 ]
