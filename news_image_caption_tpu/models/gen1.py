@@ -422,7 +422,12 @@ class ShowAttendTellCore(nn.Module):
                 feats["p_sen"] = self.sentence_att(sen_embed)
         return feats
 
-    def step(self, xt, feats, state, deterministic=True):
+    def step(self, xt, feats, state, deterministic=True,
+             need_attention: bool = False):
+        """One LSTM step. need_attention additionally returns
+        (visual alpha [B, P], sentence alpha [B, L] — zeros when the
+        variant has no sentence attention), the reference's
+        return_attention path (OldModel.py:321,405-407)."""
         h_last = state.h[-1]
         att_h = self.h2att(h_last)
         dot = jnp.tanh(feats["p_att"] + att_h[:, None, :])
@@ -482,7 +487,13 @@ class ShowAttendTellCore(nn.Module):
             out, (h, c) = self.rnn(
                 jnp.concatenate(parts, axis=-1),
                 (state.h, state.c), deterministic)
+            if need_attention:
+                if m == "bnews":   # pooled — no positional weights
+                    w_sen = jnp.zeros(
+                        (xt.shape[0], sen.shape[1]), alpha.dtype)
+                return out, Gen1State(h, c), (alpha, w_sen)
             return out, Gen1State(h, c)
+        w_sen = None
         if m in ("fc", "fc_max"):
             att_h_sen = self.h2att_sen(h_last)
             dot_s = jnp.tanh(feats["p_sen"] + att_h_sen[:, None, :])
@@ -502,6 +513,10 @@ class ShowAttendTellCore(nn.Module):
             parts += [att_res]
         out, (h, c) = self.rnn(jnp.concatenate(parts, axis=-1),
                                (state.h, state.c), deterministic)
+        if need_attention:
+            if w_sen is None:
+                w_sen = jnp.zeros((xt.shape[0], 1), alpha.dtype)
+            return out, Gen1State(h, c), (alpha, w_sen)
         return out, Gen1State(h, c)
 
 
@@ -675,6 +690,17 @@ class Gen1Captioner(nn.Module):
         xt = self._token_embed(token_t, deterministic)
         out, state = self.core.step(xt, feats, state, deterministic)
         return self._logits(out, deterministic), state
+
+    def decode_step_attn(self, token_t, feats, state,
+                         deterministic=True):
+        """decode_step + (visual alpha, sentence alpha) — only the
+        show_attend_tell core supports attention return (reference
+        return_attention, OldModel.py:321)."""
+        xt = self._token_embed(token_t, deterministic)
+        out, state, atts = self.core.step(xt, feats, state,
+                                          deterministic,
+                                          need_attention=True)
+        return self._logits(out, deterministic), state, atts
 
     def seed_image_step(self, fc_feats, feats, state,
                         deterministic=True):
@@ -855,6 +881,45 @@ class Gen1Model:
         seed = jnp.zeros((B,), jnp.int32)
         tokens, lps = generate(step_fn, state, seed, cfg, rng)
         return tokens[:, 1:], lps
+
+    def sample_with_attention(self, params, batch,
+                              max_len: Optional[int] = None):
+        """Greedy decode returning per-step attention maps.
+
+        Parity: the reference's return_attention sampling used by
+        eval_split_visual_news (eval_utils.py:115-245; OldModel.py
+        forward(..., return_attention=True) returns [visual weights,
+        sentence weights]). Returns (tokens [B, T], log_probs [B, T],
+        (vis_att [T, B, P], sen_att [T, B, L])) — only for the
+        show_attend_tell core.
+        """
+        if self.module.model_type != "show_attend_tell":
+            raise ValueError(
+                "sample_with_attention supports model_type="
+                "'show_attend_tell' (the reference's "
+                "return_attention path)")
+        max_len = max_len or self.module.seq_length
+        nbatch = self.adapt_batch(batch)
+        feats, state = self._prepare(params, nbatch)
+        B = nbatch["fc_feats"].shape[0]
+
+        def body(carry, _):
+            tok, state, finished = carry
+            lp, state, (vis, sen) = self.module.apply(
+                params, tok, feats, state,
+                method=Gen1Captioner.decode_step_attn)
+            nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            sel = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
+            nxt = jnp.where(finished, 0, nxt)
+            sel = jnp.where(finished, 0.0, sel)
+            finished = finished | (nxt == 0)
+            return (nxt, state, finished), (nxt, sel, vis, sen)
+
+        seed = jnp.zeros((B,), jnp.int32)
+        finished0 = jnp.zeros((B,), bool)
+        _, (toks, lps, vis, sen) = jax.lax.scan(
+            body, (seed, state, finished0), None, length=max_len)
+        return toks.T, lps.T, (vis, sen)
 
     def sample_beam(self, params, batch, beam_size: int = 5,
                     max_len: Optional[int] = None):

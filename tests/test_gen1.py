@@ -97,6 +97,36 @@ def test_sample_and_beam(model_type):
     assert np.isfinite(np.asarray(bscores)).all()
 
 
+def test_sample_with_attention_feeds_visual_news_eval():
+    """Reference return_attention path (OldModel.py:321 ->
+    eval_split_visual_news vis_att/sen_att): greedy decode returns
+    per-step visual + sentence attention distributions and the compat
+    eval loop attaches them to predictions."""
+    from news_image_caption_tpu.compat.eval_utils import \
+        eval_split_visual_news
+
+    model = make_model("show_attend_tell", sentence_embed_method="fc",
+                       sentence_embed_size=9, sentence_length=6)
+    batch = make_batch(sen=True)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    toks, lps, (vis, sen) = model.sample_with_attention(
+        params, batch, max_len=6)
+    assert toks.shape == (2, 6) and lps.shape == (2, 6)
+    assert np.asarray(vis).shape == (6, 2, 5)       # [T, B, P]
+    np.testing.assert_allclose(np.asarray(vis).sum(-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sen).sum(-1), 1.0,
+                               atol=1e-5)
+    # and the greedy tokens match plain sample()
+    ref_toks, _ = model.sample(params, batch, max_len=6)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    _, preds, _ = eval_split_visual_news(
+        model, params, [batch], max_len=6, return_attention=True,
+        language_eval_flag=False)
+    assert all("vis_att" in p and "sen_att" in p for p in preds)
+
+
 @pytest.mark.slow
 def test_show_attend_tell_sentence_variants():
     for method in ["fc", "fc_max", "concat", "conv", "conv_deep",
