@@ -150,6 +150,55 @@ class TransformerFlattened:
 
         return generate_candidates(step, caches, seed, config, rng)
 
+    def generate_speculative(self, params, batch: Dict[str, jax.Array],
+                             config: GenerationConfig = GenerationConfig(),
+                             spec_k: int = 8,
+                             draft_source: Optional[jax.Array] = None,
+                             ngram_n: int = 2):
+        """Greedy captions via prompt-lookup speculative decoding.
+
+        Token-for-token identical to `generate` with sampling_topk=1
+        (draft-and-verify — see generation/speculative.py), but each
+        verification forward scores `spec_k` positions at once, so
+        wall-clock shrinks by the tokens-committed-per-chunk factor.
+        Drafts continue the caption's trailing `ngram_n`-gram from its
+        first occurrence in `draft_source` (default:
+        batch["article_ids"], the article's BPE ids — news captions
+        copy entity spans from their articles, so acceptance is high
+        on trained models).
+
+        Returns (tokens [B, max_len+1], log_probs [B, max_len],
+        n_chunks) — n_chunks counts verification forwards (the
+        wall-clock unit).
+        """
+        from news_image_caption_tpu.generation.speculative import (
+            commit_conv_caches, ngram_drafts, speculative_greedy)
+        if config.sampling_topk != 1:
+            raise ValueError("speculative decoding is greedy-only "
+                             "(sampling_topk must be 1)")
+        contexts = self._contexts(batch)
+        B = contexts["image"].shape[0]
+        self._check_max_len(config)
+        kvs = self._decode_setup(params, contexts,
+                                 quantize_kv=config.quantize_kv)
+        caches = self.decoder.init_cache(B)   # shifted-copy layout
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        tables = self._head_tables(params, config)
+        source = (draft_source if draft_source is not None
+                  else batch["article_ids"])
+
+        def chunk_fn(toks, pos, caches):
+            return self.decoder.apply(
+                params, toks, pos, kvs, caches, tables=tables,
+                method=DynamicConvDecoder.step_chunk)
+
+        def draft_fn(tokens, pos, finished):
+            return ngram_drafts(source, tokens, pos, spec_k - 1,
+                                n=ngram_n, pad_id=config.pad_id)
+
+        return speculative_greedy(chunk_fn, commit_conv_caches, caches,
+                                  seed, config, spec_k, draft_fn)
+
     def attention_maps(self, params, batch: Dict[str, jax.Array],
                        token_ids: jax.Array):
         """[L] list of {context: [B, T, S']} head-averaged attention

@@ -317,6 +317,30 @@ class DynamicConvDecoderLayer(nn.Module):
         x = self._ffn_block(x, deterministic)
         return x[:, 0, :], new_cache
 
+    def chunk(self, x: jax.Array, kv: LayerKV, conv_cache: jax.Array,
+              deterministic: bool = True):
+        """Multi-token decode over [B, k, D] with conv history.
+
+        Identical math to k sequential `step` calls (the conv is the
+        only temporal mixing in the layer; context attention and FFN
+        are per-position). Returns (y [B, k, D], h [B, k, Cv]) where
+        h are the conv-INPUT activations — speculative decoding
+        commits a verified prefix of them into the history
+        (generation/speculative.py::commit_conv_caches).
+        """
+        residual = x
+        h = self._conv_block_pre(x, deterministic)
+        out = self.conv.chunk(h, conv_cache, deterministic=deterministic)
+        x = self._conv_block_post(out, residual, deterministic)
+        # Context attention: a k-chunk is exactly a "beam" of k
+        # positions sharing each row's K/V, so the beam-folded path
+        # applies unchanged (and handles DecodeKV/QuantDecodeKV).
+        B, k, D = x.shape
+        x = self._contexts_block_beam(x.reshape(B * k, D), kv, k,
+                                      deterministic).reshape(B, k, D)
+        x = self._ffn_block(x, deterministic)
+        return x, h
+
     def step_lazy_beam(self, x_t: jax.Array, kv: LayerKV,
                        conv_cache: jax.Array, slot_map: jax.Array,
                        step_idx, beam: int,
@@ -629,6 +653,39 @@ class DynamicConvDecoder(nn.Module):
             tables = self.embedder.embed_tables()
         v, ids = self.adaptive_softmax.topk_log_prob(x, k, tables)
         return v, ids, new_caches
+
+    def step_chunk(self, tokens: jax.Array, pos: jax.Array | int,
+                   kvs: List[LayerKV], caches: List[jax.Array],
+                   tables=None):
+        """Chunked greedy decode step (speculative verification).
+
+        tokens: [B, k] — the last committed token followed by k-1
+        draft tokens; pos: [B] (or scalar) per-row count of tokens
+        already consumed; caches: shifted-copy conv histories
+        ([B, K-1, C], oldest first — `init_cache(B)` layout).
+
+        Returns (log_probs [B, k], argmax_ids [B, k], h_list) where
+        position t's output is the greedy next token given inputs
+        0..t (identical to t+1 sequential `step_topk(k=1)` calls),
+        and h_list[l] = [B, k, C] conv-input activations for
+        `commit_conv_caches`. The conv caches are NOT advanced here —
+        the caller commits the verified prefix.
+        """
+        pos = jnp.asarray(pos, jnp.int32)
+        start = pos[:, None] if pos.ndim == 1 else pos
+        x = self.embedder(tokens, start_pos=start)
+        hs = []
+        for layer, kv, cache in zip(self.layers, kvs, caches):
+            x, h = layer.chunk(x, kv, cache)
+            hs.append(h)
+        if self.normalize_before and self.final_norm:
+            x = self.layer_norm(x)
+        B, k, D = x.shape
+        if tables is None:
+            tables = self.embedder.embed_tables()
+        v, ids = self.adaptive_softmax.topk_log_prob(
+            x.reshape(B * k, D), 1, tables)
+        return v.reshape(B, k), ids.reshape(B, k), hs
 
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,

@@ -155,6 +155,38 @@ class DynamicConv(nn.Module):
             out = out + self.conv_bias_param.astype(out.dtype)
         return out, hist[:, 1:, :]
 
+    def chunk(self, x_c: jax.Array, cache: jax.Array,
+              deterministic: bool = True) -> jax.Array:
+        """Multi-token decode: k sequential `step`s in one causal pass.
+
+        x_c: [B, k, C] chunk inputs; cache: [B, K-1, C] previous
+        inputs (oldest first, zero-filled before the sequence start —
+        same truncation semantics as `step`). Returns out [B, k, C],
+        identical to feeding the chunk token-by-token through `step`.
+
+        The cache is NOT advanced here: speculative decoding commits a
+        data-dependent PREFIX of the chunk after verification
+        (generation/speculative.py::commit_conv_caches), so the caller
+        owns the cache update.
+        """
+        B, k, C = x_c.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        w = self._weights(x_c, deterministic)          # [B, k, H, K]
+        full = jnp.concatenate([cache, x_c], axis=1)   # [B, K-1+k, C]
+        fh = full.reshape(B, K - 1 + k, H, R)
+        out = jnp.zeros((B, k, H, R), x_c.dtype)
+        # out[b,t] = sum_j w[b,t,:,j] * full[b, t+j]  (tap j of the
+        # causal window ending at chunk position t) — the same
+        # shift-accumulate as __call__, with real left context in
+        # place of zero padding.
+        for j in range(K):  # static unroll, fuses on the VPU
+            out = out + w[:, :, :, j:j + 1] * fh[:, j:j + k]
+        out = out.reshape(B, k, C)
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        return out
+
     def step_ring(self, x_t: jax.Array, cache: jax.Array,
                   t: jax.Array | int, deterministic: bool = True):
         """Ring-buffer decode step: O(1) cache writes.
@@ -304,6 +336,23 @@ class LightweightConv(nn.Module):
         if self.conv_bias:
             out = out + self.conv_bias_param.astype(out.dtype)
         return out, hist[:, 1:, :]
+
+    def chunk(self, x_c: jax.Array, cache: jax.Array,
+              deterministic: bool = True) -> jax.Array:
+        """Multi-token decode (see DynamicConv.chunk); shared kernels."""
+        B, k, C = x_c.shape
+        H, K = self.num_heads, self.kernel_size
+        R = C // H
+        w = self._weights(deterministic, x_c.dtype)    # [H, K]
+        full = jnp.concatenate([cache, x_c], axis=1)   # [B, K-1+k, C]
+        fh = full.reshape(B, K - 1 + k, H, R)
+        out = jnp.zeros((B, k, H, R), x_c.dtype)
+        for j in range(K):
+            out = out + w[None, None, :, j, None] * fh[:, j:j + k]
+        out = out.reshape(B, k, C)
+        if self.conv_bias:
+            out = out + self.conv_bias_param.astype(out.dtype)
+        return out
 
     def step_ring(self, x_t: jax.Array, cache: jax.Array,
                   t: jax.Array | int, deterministic: bool = True):

@@ -1,0 +1,292 @@
+"""Speculative greedy decoding: chunk-step parity + exactness vs greedy.
+
+The contract under test (generation/speculative.py): draft-and-verify
+greedy decoding is token-for-token IDENTICAL to the plain greedy scan
+(`generator.generate` with sampling_topk=1) for any draft quality —
+drafts only change wall-clock, never output.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.generation.speculative import (
+    commit_conv_caches, ngram_drafts, speculative_greedy)
+from news_image_caption_tpu.models.captioner import TransformerFlattened
+from news_image_caption_tpu.models.decoder_flattened import DynamicConvDecoder
+
+VOCAB = 40
+CUTOFF = (12, 24, 40)
+
+
+def tiny_decoder(**kw):
+    kw.setdefault("vocab_size", VOCAB)
+    kw.setdefault("embed_dim", 16)
+    kw.setdefault("ffn_dim", 32)
+    kw.setdefault("num_heads", 4)
+    kw.setdefault("num_layers", 2)
+    kw.setdefault("kernel_sizes", (3, 5))
+    kw.setdefault("cutoff", CUTOFF)
+    kw.setdefault("image_dim", 12)
+    kw.setdefault("article_dim", 10)
+    kw.setdefault("max_positions", 64)
+    return DynamicConvDecoder(**kw)
+
+
+def tiny_batch(B=3, T=7, P=4, S=6, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 4)
+    caption = jax.random.randint(ks[0], (B, T), 2, VOCAB)
+    caption = caption.at[:, 0].set(0)
+    caption = caption.at[:, -1].set(1)
+    article_mask = jnp.zeros((B, S), bool).at[:, S - 1:].set(True)
+    return {
+        "caption_ids": caption,
+        "image": jax.random.normal(ks[1], (B, P, 12)),
+        "image_mask": jnp.zeros((B, P), bool),
+        "article": jax.random.normal(ks[2], (B, S, 10)),
+        "article_mask": article_mask,
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = TransformerFlattened(tiny_decoder())
+    batch = tiny_batch()
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, batch
+
+
+def _decode_setup(model, params, batch):
+    dec = model.decoder
+    contexts = model._contexts(batch)
+    kvs = model._decode_setup(params, contexts)
+    B = contexts["image"].shape[0]
+    return dec, kvs, dec.init_cache(B)
+
+
+def test_chunk_step_matches_sequential(model_and_params):
+    """step_chunk over k tokens == k sequential step_shift calls,
+    both from a fresh cache and from mid-sequence history."""
+    model, params, batch = model_and_params
+    dec, kvs, caches0 = _decode_setup(model, params, batch)
+    B = batch["image"].shape[0]
+    key = jax.random.PRNGKey(7)
+    toks = jax.random.randint(key, (B, 9), 2, VOCAB)
+
+    for start in (0, 4):  # fresh cache / history longer than K-1
+        # Sequential reference: shifted-copy steps.
+        caches = caches0
+        seq_lp = []
+        for t in range(toks.shape[1]):
+            lp, caches = dec.apply(params, toks[:, t], t, kvs, caches,
+                                   method=DynamicConvDecoder.step_shift)
+            seq_lp.append(lp)
+            if t == start - 1:
+                caches_mid = caches
+        caches_mid = caches0 if start == 0 else caches_mid
+
+        k = toks.shape[1] - start
+        pos = jnp.full((B,), start, jnp.int32)
+        lp_c, ids_c, hs = dec.apply(
+            params, toks[:, start:], pos, kvs, caches_mid,
+            method=DynamicConvDecoder.step_chunk)
+        for j in range(k):
+            full = np.asarray(seq_lp[start + j])
+            np.testing.assert_allclose(
+                np.asarray(lp_c[:, j]), full.max(axis=-1), atol=2e-4)
+            np.testing.assert_array_equal(
+                np.asarray(ids_c[:, j]), full.argmax(axis=-1))
+        # hs shapes: one [B, k, C] per layer.
+        assert len(hs) == dec.num_layers
+        assert all(h.shape[:2] == (B, k) for h in hs)
+
+
+def test_commit_conv_caches_matches_sequential(model_and_params):
+    """Committing m chunk inputs leaves the exact cache m sequential
+    steps would have left."""
+    model, params, batch = model_and_params
+    dec, kvs, caches0 = _decode_setup(model, params, batch)
+    B = batch["image"].shape[0]
+    toks = jax.random.randint(jax.random.PRNGKey(3), (B, 6), 2, VOCAB)
+
+    _, _, hs = dec.apply(params, toks, jnp.zeros((B,), jnp.int32),
+                         kvs, caches0,
+                         method=DynamicConvDecoder.step_chunk)
+    for m_val in (0, 1, 3, 6):
+        committed = commit_conv_caches(
+            caches0, hs, jnp.full((B,), m_val, jnp.int32))
+        caches = caches0
+        for t in range(m_val):
+            _, caches = dec.apply(params, toks[:, t], t, kvs, caches,
+                                  method=DynamicConvDecoder.step_shift)
+        for got, want in zip(committed, caches):
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want), atol=2e-5)
+
+    # Per-row mixed m: row b commits b+1 inputs.
+    mixed = jnp.arange(1, B + 1, dtype=jnp.int32)
+    committed = commit_conv_caches(caches0, hs, mixed)
+    for b in range(B):
+        caches = caches0
+        for t in range(int(mixed[b])):
+            _, caches = dec.apply(params, toks[:, t], t, kvs, caches,
+                                  method=DynamicConvDecoder.step_shift)
+        for got, want in zip(committed, caches):
+            np.testing.assert_allclose(np.asarray(got[b]),
+                                       np.asarray(want[b]), atol=2e-5)
+
+
+def _greedy_reference(model, params, batch, cfg):
+    tokens, lps = model.generate(params, batch, cfg)
+    return np.asarray(tokens), np.asarray(lps)
+
+
+def _spec_run(model, params, batch, cfg, spec_k, draft_fn):
+    dec, kvs, caches = _decode_setup(model, params, batch)
+    B = batch["image"].shape[0]
+    tables = None
+
+    def chunk_fn(toks, pos, caches):
+        return dec.apply(params, toks, pos, kvs, caches, tables=tables,
+                         method=DynamicConvDecoder.step_chunk)
+
+    seed = jnp.full((B,), cfg.bos_id, jnp.int32)
+    return speculative_greedy(chunk_fn, commit_conv_caches, caches,
+                              seed, cfg, spec_k, draft_fn)
+
+
+def test_speculative_oracle_drafts_exact_and_fast(model_and_params):
+    """Perfect drafts: identical output, ~max_steps/spec_k chunks."""
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=12, sampling_topk=1)
+    ref_toks, ref_lps = _greedy_reference(model, params, batch, cfg)
+    spec_k = 4
+    oracle = jnp.asarray(ref_toks)
+
+    def draft_fn(tokens, pos, finished):
+        idx = pos[:, None] + 1 + jnp.arange(spec_k - 1)[None, :]
+        idx = jnp.clip(idx, 0, oracle.shape[1] - 1)
+        return jnp.take_along_axis(oracle, idx, axis=1)
+
+    toks, lps, n_chunks = _spec_run(model, params, batch, cfg,
+                                    spec_k, draft_fn)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+    np.testing.assert_allclose(np.asarray(lps), ref_lps, atol=2e-4)
+    # Each row needs ceil(steps_b / spec_k) chunks; iterations = max.
+    steps = (ref_toks[:, 1:] != cfg.pad_id).sum(axis=1)
+    steps = np.maximum(steps, (ref_toks[:, 1:] == cfg.eos_id).argmax(1) + 1)
+    bound = int(np.ceil(steps.max() / spec_k)) if steps.max() else 1
+    assert int(n_chunks) <= max(bound, 1)
+
+
+def test_speculative_garbage_drafts_exact(model_and_params):
+    """Useless drafts: still identical output (one commit per chunk)."""
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=12, sampling_topk=1)
+    ref_toks, ref_lps = _greedy_reference(model, params, batch, cfg)
+
+    def draft_fn(tokens, pos, finished):
+        return jnp.full((tokens.shape[0], 3), cfg.pad_id, jnp.int32)
+
+    toks, lps, n_chunks = _spec_run(model, params, batch, cfg, 4,
+                                    draft_fn)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+    np.testing.assert_allclose(np.asarray(lps), ref_lps, atol=2e-4)
+
+
+def test_speculative_eos_handling(model_and_params):
+    """An eos actually emitted by the model finishes rows identically
+    in both paths (committed-eos truncation)."""
+    model, params, batch = model_and_params
+    base = GenerationConfig(max_len=12, sampling_topk=1, eos_id=-1)
+    ref0, _ = _greedy_reference(model, params, batch, base)
+    eos = int(ref0[0, 3])  # a token the model genuinely emits
+    cfg = GenerationConfig(max_len=12, sampling_topk=1, eos_id=eos)
+    ref_toks, ref_lps = _greedy_reference(model, params, batch, cfg)
+
+    def draft_fn(tokens, pos, finished):
+        idx = pos[:, None] + 1 + jnp.arange(4)[None, :]
+        idx = jnp.clip(idx, 0, ref_toks.shape[1] - 1)
+        return jnp.take_along_axis(jnp.asarray(ref_toks), idx, axis=1)
+
+    toks, lps, _ = _spec_run(model, params, batch, cfg, 5, draft_fn)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+    np.testing.assert_allclose(np.asarray(lps), ref_lps, atol=2e-4)
+
+
+def test_generate_speculative_ngram_article(model_and_params):
+    """The captioner entry point with prompt-lookup drafting from a
+    synthetic 'article' that contains the caption: identical to
+    greedy, fewer chunks than steps."""
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=12, sampling_topk=1)
+    ref_toks, ref_lps = _greedy_reference(model, params, batch, cfg)
+
+    # Article ids: noise prefix, then the true caption continuation.
+    B = ref_toks.shape[0]
+    noise = jax.random.randint(jax.random.PRNGKey(9), (B, 4), 2, VOCAB)
+    source = jnp.concatenate(
+        [noise, jnp.asarray(ref_toks)[:, :], noise], axis=1)
+    b2 = dict(batch)
+    b2["article_ids"] = source
+
+    toks, lps, n_chunks = model.generate_speculative(
+        params, b2, cfg, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+    np.testing.assert_allclose(np.asarray(lps), ref_lps, atol=2e-4)
+    steps = (ref_toks[:, 1:] != cfg.pad_id).sum(axis=1).max()
+    if steps >= 8:  # enough room for lookup to actually accelerate
+        assert int(n_chunks) < int(steps)
+
+
+def test_speculative_jits(model_and_params):
+    """The whole speculative loop compiles under jit."""
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    b2 = dict(batch)
+    b2["article_ids"] = jax.random.randint(
+        jax.random.PRNGKey(2), (batch["image"].shape[0], 16), 2, VOCAB)
+
+    fn = jax.jit(lambda p, b: model.generate_speculative(
+        p, b, cfg, spec_k=4))
+    toks, lps, n = fn(params, b2)
+    ref_toks, ref_lps = _greedy_reference(model, params, batch, cfg)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+
+
+def test_ngram_drafts_basic():
+    source = jnp.asarray([[5, 6, 7, 8, 9, 10],
+                          [5, 6, 7, 8, 9, 10]], jnp.int32)
+    tokens = jnp.asarray([[0, 6, 7, 0, 0],
+                          [0, 3, 4, 0, 0]], jnp.int32)
+    pos = jnp.asarray([2, 2], jnp.int32)
+    drafts = ngram_drafts(source, tokens, pos, k_draft=3, n=2, pad_id=1)
+    # Row 0: suffix (6,7) matches source[1:3] -> drafts 8,9,10.
+    np.testing.assert_array_equal(np.asarray(drafts[0]), [8, 9, 10])
+    # Row 1: no match -> all pad.
+    np.testing.assert_array_equal(np.asarray(drafts[1]), [1, 1, 1])
+
+
+def test_ngram_drafts_match_at_end_pads():
+    source = jnp.asarray([[3, 4, 5, 6]], jnp.int32)
+    tokens = jnp.asarray([[0, 5, 6, 0]], jnp.int32)
+    pos = jnp.asarray([2], jnp.int32)
+    drafts = ngram_drafts(source, tokens, pos, k_draft=2, n=2, pad_id=1)
+    # Match at the very end: continuation runs off source -> pads.
+    np.testing.assert_array_equal(np.asarray(drafts[0]), [1, 1])
+
+
+def test_ngram_drafts_short_prefix():
+    """At pos=0 only the seed is available; matching falls back to the
+    1-gram suffix."""
+    source = jnp.asarray([[9, 0, 7, 8, 9]], jnp.int32)
+    tokens = jnp.asarray([[0, 1, 1]], jnp.int32)
+    pos = jnp.asarray([0], jnp.int32)
+    drafts = ngram_drafts(source, tokens, pos, k_draft=2, n=2, pad_id=1)
+    # First window whose LAST token == seed(0) is source[0:2]=(9,0)
+    # -> continuation 7, 8.
+    np.testing.assert_array_equal(np.asarray(drafts[0]), [7, 8])
