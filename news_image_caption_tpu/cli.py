@@ -328,6 +328,16 @@ def evaluate_command(args) -> int:
                   file=sys.stderr)
 
     gen = jax.jit(lambda p, b: model.generate(p, b, gcfg))
+    # Opt-in speculative greedy decode (generation.speculative_k: N):
+    # token-identical to greedy, drafts from the article's BPE ids
+    # (generation/speculative.py). Applies when the batch carries
+    # article_ids and decoding is greedy.
+    spec_k = int(gcfg_raw.get("speculative_k", 0) or 0)
+    spec_gen = None
+    if (spec_k >= 2 and gcfg.sampling_topk == 1
+            and hasattr(model, "generate_speculative")):
+        spec_gen = jax.jit(lambda p, b: model.generate_speculative(
+            p, b, gcfg, spec_k=spec_k))
     dump_attn = getattr(args, "dump_attention", None)
     attn_fn = None
     if dump_attn:
@@ -347,7 +357,10 @@ def evaluate_command(args) -> int:
     batch_idx = 0
     with open(out_path, "w") as f:
         for batch in ds.batches(batch_size, shuffle=False):
-            tokens, _ = gen(params, batch)
+            if spec_gen is not None and "article_ids" in batch:
+                tokens, _, _ = spec_gen(params, batch)
+            else:
+                tokens, _ = gen(params, batch)
             tokens = np.asarray(tokens)
             if dump_attn:
                 maps = attn_fn(params, batch, tokens)

@@ -63,8 +63,18 @@ class SyntheticNewsDataset:
         caption = [0] + body.tolist() + [2]
         art_lo = min(4, self.article_len - 1)
         art_len = int(rng.integers(art_lo, self.article_len))
+        # Article BPE ids, news-like: the caption body appears inside
+        # the article (captions copy entity spans from their articles
+        # — the property the pointer family and speculative decoding's
+        # prompt-lookup drafter both exploit).
+        art_ids = rng.integers(4, self.vocab_size, size=art_len)
+        span = min(len(body), art_len)
+        if span > 0:
+            off = int(rng.integers(0, art_len - span + 1))
+            art_ids[off:off + span] = body[:span]
         return Example(
             caption_ids=caption,
+            article_ids=art_ids.tolist(),
             image_feats=rng.standard_normal(
                 (self.n_patches, self.image_dim)).astype(np.float32),
             article_feats=rng.standard_normal(
@@ -89,6 +99,7 @@ class SyntheticNewsDataset:
         B = len(examples)
         cap = np.full((B, self.caption_len), 1, np.int32)
         art = np.zeros((B, self.article_len, self.article_dim), np.float32)
+        art_ids = np.full((B, self.article_len), 1, np.int32)
         art_mask = np.ones((B, self.article_len), bool)
         img = np.zeros((B, self.n_patches, self.image_dim), np.float32)
         for i, ex in enumerate(examples):
@@ -97,11 +108,15 @@ class SyntheticNewsDataset:
             s = min(ex.article_feats.shape[0], self.article_len)
             art[i, :s] = ex.article_feats[:s]
             art_mask[i, :s] = False
+            if ex.article_ids is not None:
+                m = min(len(ex.article_ids), self.article_len)
+                art_ids[i, :m] = ex.article_ids[:m]
             img[i] = ex.image_feats
         return {
             "caption_ids": cap,
             "image": img,
             "image_mask": np.zeros((B, self.n_patches), bool),
             "article": art,
+            "article_ids": art_ids,
             "article_mask": art_mask,
         }

@@ -349,6 +349,29 @@ def test_cli_evaluate_writes_generations(tmp_path):
     assert "bleu-4" in metrics and "cider" in metrics
 
 
+def test_cli_evaluate_speculative_matches_greedy(tmp_path):
+    """`generation.speculative_k` produces byte-identical
+    generations.jsonl to the plain greedy evaluate (the speculative
+    contract), driven through the CLI."""
+    import shutil
+
+    from news_image_caption_tpu.cli import main
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    shutil.copy(TINY, cfg_path)
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    ser = tmp_path / "serialization"
+    plain = (ser / "generations.jsonl").read_text()
+
+    rc = main(["evaluate", cfg_path, "--split", "test", "-s", "_spec",
+               "-o", json.dumps(
+                   {"generation": {"speculative_k": 4}})])
+    assert rc == 0
+    spec = (ser / "generations_spec.jsonl").read_text()
+    assert spec == plain
+
+
 def test_cli_evaluate_dumps_attention_maps(tmp_path):
     """--dump-attention writes per-batch npz with per-layer,
     per-context attention over the generated captions (parity:
