@@ -70,6 +70,11 @@ def main(argv: Optional[list] = None) -> int:
                     help="request batch the workers pre-compile for")
     ps.add_argument("--quantize-kv", action="store_true")
     ps.add_argument("--quantize-head", action="store_true")
+    ps.add_argument("--speculative-k", type=int, default=0,
+                    help=">=2 enables exact speculative greedy decode "
+                         "for jobs shipping article_ids (token-"
+                         "identical to greedy; see "
+                         "generation/speculative.py)")
     ps.add_argument("--no-early-exit", action="store_true")
     ps.add_argument("--params", default=None,
                     help=".npz checkpoint ('/'-joined flat keys) for "
@@ -226,7 +231,8 @@ def serve_command(args) -> int:
             quantize_kv=args.quantize_kv,
             quantize_head=args.quantize_head,
             params_path=args.params,
-            batch_size=args.batch_size)
+            batch_size=args.batch_size,
+            speculative_k=args.speculative_k)
     server = CaptionServer(
         worker_factory=lambda **kw: CaptioningWorker(
             model_builder=builder, platform=args.platform, **kw),

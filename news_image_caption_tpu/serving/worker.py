@@ -25,8 +25,13 @@ from news_image_caption_tpu.serving.messages import pack, unpack
 from news_image_caption_tpu.utils.logging import setup_logger
 
 
-def default_model_builder():
-    """Tiny random-weight captioner (smoke/serving tests)."""
+def default_model_builder(speculative_k: int = 0):
+    """Tiny random-weight captioner (smoke/serving tests).
+
+    speculative_k >= 2 enables the same exact speculative-greedy
+    routing as the flagship builder (jobs with `article_ids` use it,
+    others fall back) so the serving contract is testable on CPU.
+    """
     import jax
 
     from news_image_caption_tpu.generation.generator import \
@@ -50,6 +55,10 @@ def default_model_builder():
     params = model.init(jax.random.PRNGKey(0), batch)
     cfg = GenerationConfig(max_len=16)
     gen = jax.jit(lambda b: model.generate(params, b, cfg)[0])
+    spec_gen = None
+    if speculative_k >= 2:
+        spec_gen = jax.jit(lambda b: model.generate_speculative(
+            params, b, cfg, spec_k=speculative_k)[0])
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         b = {
@@ -58,6 +67,10 @@ def default_model_builder():
             "article": jnp.asarray(job["article"]),
             "article_mask": jnp.asarray(job["article_mask"]),
         }
+        if spec_gen is not None and "article_ids" in job:
+            b["article_ids"] = jnp.asarray(job["article_ids"],
+                                           jnp.int32)
+            return {"tokens": np.asarray(spec_gen(b))}
         tokens = np.asarray(gen(b))
         return {"tokens": tokens}
 
@@ -65,8 +78,12 @@ def default_model_builder():
         # Compile before signalling ready: the first REAL job must not
         # pay the jit (measured 2.7 s p99 without this —
         # benchmarks/serving_bench.py).
-        predict({k: np.asarray(v) for k, v in batch.items()
-                 if k != "caption_ids"})
+        base = {k: np.asarray(v) for k, v in batch.items()
+                if k != "caption_ids"}
+        predict(base)
+        if spec_gen is not None:
+            base["article_ids"] = np.ones((B, 6), np.int32)
+            predict(base)
 
     predict.warmup = warmup
     return predict
@@ -91,7 +108,8 @@ def flagship_model_builder(max_len: int = 32,
                            quantize_kv: bool = False,
                            quantize_head: bool = False,
                            params_path: Optional[str] = None,
-                           batch_size: int = 1):
+                           batch_size: int = 1,
+                           speculative_k: int = 0):
     """Production serving builder: the FLAGSHIP captioner at the
     reference's serving shapes (article 512×1024, image 49×2048,
     tasks/captioner.py:79-144), bf16 end-to-end, greedy decode with
@@ -103,6 +121,12 @@ def flagship_model_builder(max_len: int = 32,
       logit error; halves the head-table stream);
     both approximate — captions can differ from exact bf16 decoding
     near ties, so they are off by default.
+    - speculative_k: >= 2 enables exact speculative greedy decode
+      (generation/speculative.py) for jobs that ship `article_ids`
+      [B, S] int32 alongside the features — tokens identical to
+      plain greedy, wall-clock shrinks with draft acceptance. Jobs
+      without article_ids fall back to the plain path (both paths
+      are pre-compiled in warmup).
 
     params_path: .npz of flattened params ('/'-joined keys, e.g. from
     `np.savez(path, **flatten(port_checkpoint(...)))`); random init
@@ -152,27 +176,43 @@ def flagship_model_builder(max_len: int = 32,
     # flagship weights (~450 MB) embed into the HLO as literals and
     # overwhelm the remote-compile path.
     gen = jax.jit(lambda p, b: model.generate(p, b, cfg)[0])
+    spec_gen = None
+    if speculative_k >= 2:
+        spec_gen = jax.jit(
+            lambda p, b: model.generate_speculative(
+                p, b, cfg, spec_k=speculative_k)[0])
 
     def stage(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         # Host->device transfer, run by the worker's ingest thread so
         # it overlaps the previous job's decode (device_put is async;
         # jnp.asarray below is then a no-op on the staged arrays).
-        return {
+        staged = {
             "image": jnp.asarray(job["image"], jnp.bfloat16),
             "image_mask": jnp.asarray(job["image_mask"]),
             "article": jnp.asarray(job["article"], jnp.bfloat16),
             "article_mask": jnp.asarray(job["article_mask"]),
         }
+        if spec_gen is not None and "article_ids" in job:
+            staged["article_ids"] = jnp.asarray(job["article_ids"],
+                                                jnp.int32)
+        return staged
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         # stage() is idempotent (jnp.asarray of staged arrays is a
         # no-op), so the direct path and the ingest-thread pipelined
         # path share one staging definition.
-        return {"tokens": np.asarray(gen(params, stage(job)))}
+        b = stage(job)
+        if spec_gen is not None and "article_ids" in b:
+            return {"tokens": np.asarray(spec_gen(params, b))}
+        return {"tokens": np.asarray(gen(params, b))}
 
     def warmup():
-        predict({k: np.asarray(v) for k, v in batch.items()
-                 if k != "caption_ids"})
+        base = {k: np.asarray(v) for k, v in batch.items()
+                if k != "caption_ids"}
+        predict(base)
+        if spec_gen is not None:  # pre-compile the speculative path
+            base["article_ids"] = np.ones((B, S), np.int32)
+            predict(base)
 
     predict.warmup = warmup
     predict.stage = stage

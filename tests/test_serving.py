@@ -86,6 +86,44 @@ def test_zmq_round_trip(server_and_client):
     assert result["tokens"].shape == (1, 17)
 
 
+def test_speculative_worker_matches_plain(server_and_client):
+    """A speculative_k worker returns token-identical captions for
+    jobs WITH article_ids (speculative path) and without (fallback),
+    both matching the plain worker's greedy output."""
+    import functools
+
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import (
+        CaptioningWorker, default_model_builder)
+
+    _, plain_client = server_and_client
+    ref = plain_client.caption(make_job())["tokens"]
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(
+            model_builder=functools.partial(default_model_builder,
+                                            speculative_k=3),
+            platform="cpu", **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=120000)
+    try:
+        job = make_job()
+        no_ids = client.caption(job)["tokens"]
+        job_ids = dict(job)
+        # Article containing the greedy caption: lookup drafts accept.
+        job_ids["article_ids"] = np.concatenate(
+            [np.asarray(ref, np.int32),
+             np.ones((1, 4), np.int32)], axis=1)
+        with_ids = client.caption(job_ids)["tokens"]
+    finally:
+        client.close()
+        server.stop()
+    np.testing.assert_array_equal(no_ids, ref)
+    np.testing.assert_array_equal(with_ids, ref)
+
+
 def test_multiple_jobs_in_order(server_and_client):
     _, client = server_and_client
     r1 = client.caption(make_job())
