@@ -222,7 +222,8 @@ def serve_command(args) -> int:
     guard.__enter__()
 
     if args.task == "toy":
-        builder = default_model_builder
+        builder = functools.partial(default_model_builder,
+                                    speculative_k=args.speculative_k)
     else:
         builder = functools.partial(
             flagship_model_builder,

@@ -175,14 +175,19 @@ class DynamicConv(nn.Module):
         w = self._weights(x_c, deterministic)          # [B, k, H, K]
         full = jnp.concatenate([cache, x_c], axis=1)   # [B, K-1+k, C]
         fh = full.reshape(B, K - 1 + k, H, R)
-        out = jnp.zeros((B, k, H, R), x_c.dtype)
         # out[b,t] = sum_j w[b,t,:,j] * full[b, t+j]  (tap j of the
         # causal window ending at chunk position t) — the same
         # shift-accumulate as __call__, with real left context in
-        # place of zero padding.
+        # place of zero padding. Accumulate in fp32 like `step`'s
+        # einsum (MXU fp32 accumulation): bf16 products are exactly
+        # representable in fp32, so the chunk trunk matches the
+        # single-step trunk instead of drifting by K-1 bf16
+        # rounding steps (the speculative-decode exactness contract).
+        out = jnp.zeros((B, k, H, R), jnp.float32)
         for j in range(K):  # static unroll, fuses on the VPU
-            out = out + w[:, :, :, j:j + 1] * fh[:, j:j + k]
-        out = out.reshape(B, k, C)
+            out = out + (w[:, :, :, j:j + 1].astype(jnp.float32)
+                         * fh[:, j:j + k].astype(jnp.float32))
+        out = out.astype(x_c.dtype).reshape(B, k, C)
         if self.conv_bias:
             out = out + self.conv_bias_param.astype(out.dtype)
         return out
@@ -346,10 +351,12 @@ class LightweightConv(nn.Module):
         w = self._weights(deterministic, x_c.dtype)    # [H, K]
         full = jnp.concatenate([cache, x_c], axis=1)   # [B, K-1+k, C]
         fh = full.reshape(B, K - 1 + k, H, R)
-        out = jnp.zeros((B, k, H, R), x_c.dtype)
+        # fp32 accumulation to match `step`'s einsum (see DynamicConv).
+        out = jnp.zeros((B, k, H, R), jnp.float32)
         for j in range(K):
-            out = out + w[None, None, :, j, None] * fh[:, j:j + k]
-        out = out.reshape(B, k, C)
+            out = out + (w[None, None, :, j, None].astype(jnp.float32)
+                         * fh[:, j:j + k].astype(jnp.float32))
+        out = out.astype(x_c.dtype).reshape(B, k, C)
         if self.conv_bias:
             out = out + self.conv_bias_param.astype(out.dtype)
         return out

@@ -68,8 +68,10 @@ def default_model_builder(speculative_k: int = 0):
             "article_mask": jnp.asarray(job["article_mask"]),
         }
         if spec_gen is not None and "article_ids" in job:
-            b["article_ids"] = jnp.asarray(job["article_ids"],
-                                           jnp.int32)
+            ids = job["article_ids"]
+            if ids.shape[1] != 6:        # keep the compiled shape
+                ids = _fit_ids(ids, 6)
+            b["article_ids"] = jnp.asarray(ids, jnp.int32)
             return {"tokens": np.asarray(spec_gen(b))}
         tokens = np.asarray(gen(b))
         return {"tokens": tokens}
@@ -87,6 +89,24 @@ def default_model_builder(speculative_k: int = 0):
 
     predict.warmup = warmup
     return predict
+
+
+def _fit_ids(ids, S: int, pad_id: int = 1):
+    """Right-pad or trim article_ids to length S (host-side).
+
+    The speculative path is pre-compiled for [B, S]; any other length
+    would re-jit on the hot request path (minutes on the
+    remote-compile path). Features are already served at S, so ids
+    beyond S have no aligned features anyway.
+    """
+    ids = np.asarray(ids)
+    if ids.shape[1] == S:
+        return ids
+    if ids.shape[1] > S:
+        return ids[:, :S]
+    out = np.full((ids.shape[0], S), pad_id, ids.dtype)
+    out[:, :ids.shape[1]] = ids
+    return out
 
 
 def unflatten_params(flat: Dict[str, Any]):
@@ -193,8 +213,10 @@ def flagship_model_builder(max_len: int = 32,
             "article_mask": jnp.asarray(job["article_mask"]),
         }
         if spec_gen is not None and "article_ids" in job:
-            staged["article_ids"] = jnp.asarray(job["article_ids"],
-                                                jnp.int32)
+            ids = job["article_ids"]
+            if ids.shape[1] != S:        # keep the compiled shape
+                ids = _fit_ids(ids, S)
+            staged["article_ids"] = jnp.asarray(ids, jnp.int32)
         return staged
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:

@@ -124,6 +124,20 @@ def test_speculative_worker_matches_plain(server_and_client):
     np.testing.assert_array_equal(with_ids, ref)
 
 
+def test_fit_ids_pads_and_trims():
+    """article_ids are shaped to the pre-compiled [B, S] host-side so
+    odd lengths never re-jit the speculative path mid-serving."""
+    from news_image_caption_tpu.serving.worker import _fit_ids
+
+    ids = np.arange(8, dtype=np.int32).reshape(1, 8)
+    np.testing.assert_array_equal(_fit_ids(ids, 8), ids)
+    np.testing.assert_array_equal(_fit_ids(ids, 4), ids[:, :4])
+    padded = _fit_ids(ids, 11)
+    assert padded.shape == (1, 11)
+    np.testing.assert_array_equal(padded[:, :8], ids)
+    assert (padded[:, 8:] == 1).all()
+
+
 def test_multiple_jobs_in_order(server_and_client):
     _, client = server_and_client
     r1 = client.caption(make_job())
