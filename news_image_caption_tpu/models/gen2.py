@@ -198,6 +198,49 @@ class Gen2DecoderLayer(nn.Module):
         return x, (k_cache, v_cache)
 
 
+    def chunk(self, x, pos, self_kv, kvs, src_masks,
+              deterministic=True):
+        """Multi-token decode: x [B, k, d], pos [B] per-row count of
+        tokens already consumed. Identical math to k sequential `step`
+        calls. Cache entries are written at pos..pos+k-1 per row;
+        REWIND is free — entries past a row's committed length are
+        never attended (the valid mask is keyed on pos), so the next
+        chunk simply overwrites them (speculative decoding,
+        generation/speculative.py).
+        Returns (out [B, k, d], updated self_kv)."""
+        k_cache, v_cache = self_kv
+        B, L, H, hd = k_cache.shape
+        kq = x.shape[1]
+
+        def sub(i, q, fn):
+            return q + fn(self.norms[i](q))
+
+        xn = self.norms[0](x)
+        k_new, v_new = self.self_attn.project_kv(xn, xn)
+
+        def wrow(c, n, p):
+            return jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+
+        k_cache = jax.vmap(wrow)(k_cache, k_new, pos)
+        v_cache = jax.vmap(wrow)(v_cache, v_new, pos)
+        # Query chunk-position t attends cache slots <= pos + t
+        # (committed prefix + the chunk's own causal prefix).
+        slot = jnp.arange(L, dtype=jnp.int32)
+        valid = (slot[None, None, :]
+                 <= (pos[:, None] + jnp.arange(kq, dtype=jnp.int32)
+                     [None, :])[:, :, None])        # [B, kq, L]
+        x = x + self.self_attn.attend(xn, k_cache, v_cache, valid,
+                                      deterministic)
+        x_img = sub(1, x, lambda q: self.img_attn.attend(
+            q, *kvs["image"], src_masks.get("image"), deterministic))
+        x_art = sub(2, x, lambda q: self.article_attn.attend(
+            q, *kvs["article"], src_masks.get("article"),
+            deterministic))
+        x = self.context_fc(jnp.concatenate([x_img, x_art], axis=-1))
+        x = sub(3, x, lambda h: self.ff(h, deterministic))
+        return x, (k_cache, v_cache)
+
+
 class Gen2Transformer(nn.Module):
     """OnlyDecoder captioner over image+article memory."""
 
@@ -230,10 +273,14 @@ class Gen2Transformer(nn.Module):
                deterministic: bool = True):
         x = self.embed(tgt) * math.sqrt(self.d_model)
         T = tgt.shape[1]
-        pe = jax.lax.dynamic_slice(
-            self.pe, (jnp.asarray(start, jnp.int32), jnp.asarray(0)),
-            (T, self.d_model))
-        x = x + pe[None]
+        start = jnp.asarray(start, jnp.int32)
+        if start.ndim == 1:      # per-row offsets (chunk decode)
+            idx = start[:, None] + jnp.arange(T, dtype=jnp.int32)
+            x = x + jnp.take(self.pe, idx, axis=0)
+        else:
+            pe = jax.lax.dynamic_slice(
+                self.pe, (start, jnp.asarray(0)), (T, self.d_model))
+            x = x + pe[None]
         return dropout(self, x, self.dropout_rate, deterministic)
 
     def decode(self, memory: Dict[str, jax.Array], tgt: jax.Array,
@@ -284,6 +331,30 @@ class Gen2Transformer(nn.Module):
         x = self.final_norm(x)
         lp = jax.nn.log_softmax(self.proj(x[:, 0, :]), axis=-1)
         return lp, new_caches
+
+
+    def step_chunk(self, tokens: jax.Array, pos, kvs, caches,
+                   src_masks: Optional[Dict] = None):
+        """Chunked greedy decode step (speculative verification).
+
+        tokens [B, k] (last committed token + drafts), pos [B].
+        Caches must be sized init_cache(B, max_len + k). Returns
+        (log_probs [B, k], argmax_ids [B, k], new_caches) — position
+        t's output is the greedy next token given inputs 0..t; the
+        updated caches ARE the commit (stale rows are masked by pos,
+        so commit_fn just adopts them).
+        """
+        src_masks = src_masks or {}
+        pos = jnp.asarray(pos, jnp.int32)
+        x = self._embed(tokens, pos)
+        new_caches = []
+        for layer, layer_kv, cache in zip(self.layers, kvs, caches):
+            x, nc = layer.chunk(x, pos, cache, layer_kv, src_masks)
+            new_caches.append(nc)
+        x = self.final_norm(x)
+        lp = jax.nn.log_softmax(self.proj(x), axis=-1)   # [B, k, V]
+        v, ids = jax.lax.top_k(lp, 1)
+        return v[..., 0], ids[..., 0].astype(jnp.int32), new_caches
 
 
 def label_smoothing_loss(log_probs: jax.Array, targets: jax.Array,
@@ -381,3 +452,45 @@ class Gen2Captioner:
 
         seed = jnp.full((B,), config.bos_id, jnp.int32)
         return generate(step_fn, caches, seed, config, rng)
+
+    def generate_speculative(self, params, batch,
+                             config: GenerationConfig = GenerationConfig(
+                                 max_len=50, bos_id=1, eos_id=2,
+                                 pad_id=0),
+                             spec_k: int = 8,
+                             draft_source: Optional[jax.Array] = None,
+                             ngram_n: int = 2):
+        """Greedy decode via prompt-lookup speculative decoding —
+        token-identical to `generate` with sampling_topk=1 (see
+        generation/speculative.py). draft_source: [B, S] token ids to
+        draft from (defaults to batch['article_ids'])."""
+        from news_image_caption_tpu.generation.speculative import (
+            ngram_drafts, speculative_greedy)
+        if config.sampling_topk != 1:
+            raise ValueError("speculative decoding is greedy-only")
+        memory = self._memory(batch)
+        src_masks = self._src_masks(batch)
+        B = memory["image"].shape[0]
+        kvs = self.module.apply(params, memory,
+                                method=Gen2Transformer.precompute_kv)
+        # +spec_k slots: a chunk at pos = max_len-1 writes through
+        # pos + spec_k - 1 (the tail past each row's commit is masked).
+        caches = self.module.init_cache(B, config.max_len + spec_k)
+        source = (draft_source if draft_source is not None
+                  else batch["article_ids"])
+
+        def chunk_fn(toks, pos, caches):
+            return self.module.apply(params, toks, pos, kvs, caches,
+                                     src_masks,
+                                     method=Gen2Transformer.step_chunk)
+
+        def commit_fn(caches, aux, m):
+            return aux   # stale rows are masked by pos; see step_chunk
+
+        def draft_fn(tokens, pos, finished):
+            return ngram_drafts(source, tokens, pos, spec_k - 1,
+                                n=ngram_n, pad_id=config.pad_id)
+
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        return speculative_greedy(chunk_fn, commit_fn, caches, seed,
+                                  config, spec_k, draft_fn)

@@ -258,6 +258,96 @@ def test_speculative_jits(model_and_params):
     np.testing.assert_array_equal(np.asarray(toks), ref_toks)
 
 
+@pytest.fixture(scope="module")
+def gen2_model_and_params():
+    from news_image_caption_tpu.models.gen2 import Gen2Captioner
+
+    model = Gen2Captioner(vocab_size=50, d_model=16, d_ff=32,
+                          num_heads=4, num_layers=2, img_dim=12,
+                          sent_dim=10, max_len=64)
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    B = 3
+    batch = {
+        "caption_ids": jax.random.randint(ks[0], (B, 9), 3, 50)
+        .at[:, 0].set(1),
+        "image": jax.random.normal(ks[1], (B, 4, 12)),
+        "article": jax.random.normal(ks[2], (B, 7, 10)),
+        "article_mask": jnp.zeros((B, 7), bool).at[:, 6:].set(True),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return model, params, batch
+
+
+def test_gen2_chunk_matches_sequential(gen2_model_and_params):
+    """Gen-2 step_chunk == sequential step (causal self-attn chunk
+    over the bounded KV cache), from fresh and mid-sequence states."""
+    from news_image_caption_tpu.models.gen2 import Gen2Transformer
+
+    model, params, batch = gen2_model_and_params
+    mod = model.module
+    memory = model._memory(batch)
+    src_masks = model._src_masks(batch)
+    kvs = mod.apply(params, memory,
+                    method=Gen2Transformer.precompute_kv)
+    B = batch["image"].shape[0]
+    T = 8
+    toks = jax.random.randint(jax.random.PRNGKey(11), (B, T), 3, 50)
+
+    caches = mod.init_cache(B, T + 2)
+    seq_lp = []
+    for t in range(T):
+        lp, caches = mod.apply(params, toks[:, t], t, kvs, caches,
+                               src_masks, method=Gen2Transformer.step)
+        seq_lp.append(lp)
+
+    for start in (0, 3):
+        caches = mod.init_cache(B, T + 2)
+        for t in range(start):
+            _, caches = mod.apply(params, toks[:, t], t, kvs, caches,
+                                  src_masks,
+                                  method=Gen2Transformer.step)
+        pos = jnp.full((B,), start, jnp.int32)
+        lp_c, ids_c, _ = mod.apply(params, toks[:, start:], pos, kvs,
+                                   caches, src_masks,
+                                   method=Gen2Transformer.step_chunk)
+        for j in range(T - start):
+            full = np.asarray(seq_lp[start + j])
+            np.testing.assert_allclose(np.asarray(lp_c[:, j]),
+                                       full.max(axis=-1), atol=2e-4)
+            np.testing.assert_array_equal(np.asarray(ids_c[:, j]),
+                                          full.argmax(axis=-1))
+
+
+def test_gen2_speculative_matches_greedy(gen2_model_and_params):
+    """Gen-2 generate_speculative == generate (greedy) for oracle,
+    garbage, and article-lookup drafts."""
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+
+    model, params, batch = gen2_model_and_params
+    cfg = GenerationConfig(max_len=14, sampling_topk=1, bos_id=1,
+                           eos_id=2, pad_id=0, init_finished=False)
+    ref_toks, ref_lps = model.generate(params, batch, cfg)
+    ref_toks, ref_lps = np.asarray(ref_toks), np.asarray(ref_lps)
+
+    b2 = dict(batch)
+    noise = jax.random.randint(jax.random.PRNGKey(13),
+                               (ref_toks.shape[0], 4), 3, 50)
+    b2["article_ids"] = jnp.concatenate(
+        [noise, jnp.asarray(ref_toks), noise], axis=1)
+    toks, lps, n_chunks = jax.jit(
+        lambda p, b: model.generate_speculative(p, b, cfg, spec_k=4)
+    )(params, b2)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+    np.testing.assert_allclose(np.asarray(lps), ref_lps, atol=2e-4)
+
+    # Garbage drafts: still exact.
+    b3 = dict(batch)
+    b3["article_ids"] = jnp.full((ref_toks.shape[0], 10), 3, jnp.int32)
+    toks3, _, _ = model.generate_speculative(params, b3, cfg, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks3), ref_toks)
+
+
 def test_ngram_drafts_basic():
     source = jnp.asarray([[5, 6, 7, 8, 9, 10],
                           [5, 6, 7, 8, 9, 10]], jnp.int32)
