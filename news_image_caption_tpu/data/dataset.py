@@ -66,11 +66,14 @@ class SyntheticNewsDataset:
         # Article BPE ids, news-like: the caption body appears inside
         # the article (captions copy entity spans from their articles
         # — the property the pointer family and speculative decoding's
-        # prompt-lookup drafter both exploit).
-        art_ids = rng.integers(4, self.vocab_size, size=art_len)
+        # prompt-lookup drafter both exploit). Separate rng stream so
+        # the caption/feature draws stay bit-identical to the pre-
+        # article_ids dataset (loss-trajectory tests pin them).
+        rng_ids = np.random.default_rng(self.seed * 7_000_003 + idx)
+        art_ids = rng_ids.integers(4, self.vocab_size, size=art_len)
         span = min(len(body), art_len)
         if span > 0:
-            off = int(rng.integers(0, art_len - span + 1))
+            off = int(rng_ids.integers(0, art_len - span + 1))
             art_ids[off:off + span] = body[:span]
         return Example(
             caption_ids=caption,

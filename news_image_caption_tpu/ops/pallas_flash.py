@@ -80,13 +80,24 @@ def _group_layout(E: int, H: int, interpret: bool):
 
 
 def _keep_mask(seed, head_index, shape, p, interpret):
-    """Regenerable per-(seed, head) dropout keep mask in {0,1} fp32."""
+    """Regenerable per-(seed, head) dropout keep mask in {0,1} fp32.
+
+    The call-site seed is spread by a Knuth multiplicative hash
+    BEFORE adding the per-(batch, head) offset: with plain
+    `seed + head_index`, two attention sites whose drawn seeds differ
+    by less than B*H would reuse bitwise-identical masks for the
+    overlapping (b, h) slots (correlated dropout across layers). The
+    hash makes distinct seeds map to well-separated stream bases; the
+    fwd/bwd mask identity is unaffected (both recompute the same
+    value).
+    """
+    mixed = (jnp.asarray(seed, jnp.uint32) * jnp.uint32(2654435761)
+             + jnp.asarray(head_index, jnp.uint32)).astype(jnp.int32)
     if interpret:
-        key = jax.random.fold_in(jax.random.PRNGKey(0),
-                                 seed + head_index)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), mixed)
         u = jax.random.uniform(key, shape)
         return (u >= p).astype(jnp.float32)
-    pltpu.prng_seed(seed + head_index)
+    pltpu.prng_seed(mixed)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     threshold = jnp.uint32(min(int(p * (2 ** 32)), 2 ** 32 - 1))
     return (bits >= threshold).astype(jnp.float32)

@@ -47,7 +47,13 @@ def noam_schedule(model_size: int, factor: float = 1.0, warmup: int = 30000):
 
 def step_decay_schedule(lr: float, decay_start: int, decay_every: int,
                         decay_rate: float = 0.8):
-    """Gen-1 epoch-based LR decay (train.py:106-113), in steps."""
+    """Gen-1 epoch-based LR decay (train.py:106-113), in steps.
+
+    decay_start < 0 DISABLES decay entirely — the reference gates on
+    `epoch > start and start >= 0` (train.py:108) and opts.py:77-78
+    documents -1 as "don't decay"."""
+    if decay_start < 0:
+        return lambda step: jnp.asarray(lr, jnp.float32)
 
     def schedule(step):
         frac = jnp.maximum(step - decay_start, 0) // jnp.maximum(
@@ -63,12 +69,10 @@ def bert_adam(lr_schedule, b1: float = 0.9, b2: float = 0.98,
               moment_dtype=None) -> optax.GradientTransformation:
     """BertAdam-style chain: clip -> adam(no bias corr) -> decoupled wd.
 
-    Note: the original BertAdam does NOT use bias correction; optax's
-    scale_by_adam does. We disable it by using the raw moments via
-    scale_by_adam with b1/b2 and then relying on the warmup ramp to
-    mask the early-step difference — the reference behavior
-    (pytorch-pretrained-bert) is matched by `bias_correction=False`
-    semantics below.
+    Note: the original BertAdam does NOT use bias correction (optax's
+    scale_by_adam does), so the Adam stage here is
+    `_scale_by_adam_no_bias_correction` — raw EMA moments, matching
+    pytorch-pretrained-bert's optimization.py exactly.
 
     moment_dtype=jnp.bfloat16 (opt-in) STORES the first moment in
     bf16 (EMA updates still compute in fp32): on the 112M-param
@@ -106,8 +110,7 @@ def clip_by_per_tensor_norm(max_norm: float
         def c(g):
             n = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
             scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
-            return (g * scale.astype(g.dtype)
-                    if g.dtype != jnp.float32 else g * scale)
+            return g * scale.astype(g.dtype)
 
         return jax.tree.map(c, updates), state
 
@@ -121,7 +124,6 @@ def _scale_by_adam_no_bias_correction(b1, b2, eps, mu_dtype=None):
     mu_dtype: storage dtype for the first moment (None = same as the
     params, i.e. fp32 masters). The EMA update computes in the grad
     dtype (fp32) and rounds once on store."""
-    import jax
 
     def init_fn(params):
         # mu and nu must be distinct buffers (donation requires it).

@@ -96,6 +96,40 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     optimizer state; gradients reach the optimizer in fp32.
     """
 
+    def _finish(state, loss, aux, grads, _update):
+        """Shared guard/skip/metrics tail of both step variants.
+
+        A skipped batch must leave params AND optimizer state
+        untouched (reference: callback_apex_trainer.py:225-227).
+        lax.cond — not jnp.where over every buffer — so the COMMON
+        (finite) path pays nothing: a per-leaf select streams
+        old+new+out for ~1.5 GB of state (measured ~7 ms/step at
+        B=64, train_profile.py r03). The guard checks the GRADIENT
+        norm as well as the loss: a finite loss with NaN/Inf grads
+        (masked-where backward, bf16 overflow) would otherwise
+        poison the params permanently — every later step skips and
+        the run silently stalls. grad_norm is already computed for
+        metrics, so the extra check is free (the reference's apex
+        loss scaler also skips on gradient overflow).
+        """
+        grad_norm = optax.global_norm(grads)
+        if guard_nonfinite:
+            good = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            params, opt_state = jax.lax.cond(
+                good, _update,
+                lambda op: (op[1], op[2]),
+                (grads, state.params, state.opt_state))
+            skipped = (~good).astype(jnp.int32)
+        else:
+            params, opt_state = _update(
+                (grads, state.params, state.opt_state))
+            skipped = jnp.zeros((), jnp.int32)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "skipped": skipped, **aux}
+        return new_state, metrics
+
     def o2_train_step(state: TrainState, batch: Dict[str, jax.Array],
                       rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -117,28 +151,7 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
             return (_cast_floats(master, cdtype),
                     {"master": master, "inner": inner})
 
-        if guard_nonfinite:
-            # A skipped batch must leave params AND optimizer state
-            # untouched (reference: callback_apex_trainer.py:225-227).
-            # lax.cond — not jnp.where over every buffer — so the
-            # COMMON (finite) path pays nothing: a per-leaf select
-            # streams old+new+out for ~1.5 GB of state (measured
-            # ~7 ms/step at B=64, train_profile.py r03).
-            good = jnp.isfinite(loss)
-            params, opt_state = jax.lax.cond(
-                good, _update,
-                lambda op: (op[1], op[2]),
-                (grads, state.params, state.opt_state))
-            skipped = (~good).astype(jnp.int32)
-        else:
-            params, opt_state = _update(
-                (grads, state.params, state.opt_state))
-            skipped = jnp.zeros((), jnp.int32)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                   "skipped": skipped, **aux}
-        return new_state, metrics
+        return _finish(state, loss, aux, grads, _update)
 
     if o2_master:
         return jax.jit(o2_train_step,
@@ -163,29 +176,23 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
             updates, opt_state = tx.update(grads, opt_old, params_old)
             return optax.apply_updates(params_old, updates), opt_state
 
-        if guard_nonfinite:
-            # lax.cond, not per-leaf select — see o2_train_step.
-            good = jnp.isfinite(loss)
-            params, opt_state = jax.lax.cond(
-                good, _update,
-                lambda op: (op[1], op[2]),
-                (grads, state.params, state.opt_state))
-            skipped = (~good).astype(jnp.int32)
-        else:
-            params, opt_state = _update(
-                (grads, state.params, state.opt_state))
-            skipped = jnp.zeros((), jnp.int32)
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                   "skipped": skipped, **aux}
-        return new_state, metrics
+        return _finish(state, loss, aux, grads, _update)
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(loss_fn: Callable) -> Callable:
+def make_eval_step(loss_fn: Callable,
+                   compute_dtype: Optional[Any] = None) -> Callable:
+    """Validation step. compute_dtype mirrors the train step's mixed
+    precision so early stopping / best-checkpoint selection evaluates
+    under the SAME numeric policy as training (the apex-O2 reference
+    validates the fp16 model). With o2-true storage the params are
+    already the stored compute dtype; the cast is then a no-op."""
+
     def eval_step(params, batch):
+        if compute_dtype is not None:
+            params = _cast_floats(params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
         loss, aux = loss_fn(params, batch, None)
         return {"loss": loss, **aux}
 

@@ -104,7 +104,11 @@ class Trainer:
             guard_nonfinite=config.skip_nan_batches,
             compute_dtype=compute_dtype,
             o2_master=(mp == "bf16_o2"))
-        self.eval_step = make_eval_step(eval_loss_fn or loss_fn)
+        # Validation runs under the SAME precision policy as training
+        # (the apex-O2 reference validates the fp16 model), so the
+        # early-stopping metric is consistent with the trained model.
+        self.eval_step = make_eval_step(eval_loss_fn or loss_fn,
+                                        compute_dtype=compute_dtype)
         if config.checkpoint_format == "sharded":
             from news_image_caption_tpu.training.checkpoint_sharded \
                 import ShardedCheckpointStore as _Store

@@ -43,6 +43,55 @@ def test_nan_batch_does_not_pollute_params():
     assert np.isfinite(float(m3["loss"]))
 
 
+def test_nan_grads_under_finite_loss_skip_update():
+    """A FINITE loss with non-finite gradients (the jnp.where masked-
+    branch trap, bf16 backward overflow) must also skip — otherwise
+    the NaN grads poison params permanently and every later step
+    skips (the reference's apex loss scaler skips on gradient
+    overflow too)."""
+
+    def loss_fn(params, batch, rng):
+        w = params["w"]
+        # Forward: w >= 1 everywhere -> where selects w, loss finite.
+        # Backward: the unselected branch sqrt(-w) has NaN derivative,
+        # and where's vjp computes 0 * NaN = NaN.
+        loss = jnp.sum(jnp.where(w >= 0, w, jnp.sqrt(-w)) * batch["x"])
+        return loss, {"sample_size": 1}
+
+    params = {"w": jnp.ones(4)}
+    tx = optax.adam(1e-2)
+    state = create_train_state(params, tx)
+    step = make_train_step(loss_fn, tx, donate=False)
+
+    state, m = step(state, {"x": jnp.ones(4)}, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))          # loss itself is fine
+    assert not np.isfinite(float(m["grad_norm"]))
+    assert int(m["skipped"]) == 1
+    np.testing.assert_array_equal(np.asarray(state.params["w"]),
+                                  np.ones(4))     # untouched
+
+
+def test_nan_grads_skip_o2_master_update():
+    """Same gradient guard on the O2-true (bf16 stored + fp32 master)
+    step variant."""
+    from news_image_caption_tpu.training.train_step import \
+        create_o2_train_state
+
+    def loss_fn(params, batch, rng):
+        w = params["w"]
+        loss = jnp.sum(jnp.where(w >= 0, w, jnp.sqrt(-w)) * batch["x"])
+        return loss.astype(jnp.float32), {"sample_size": 1}
+
+    params = {"w": jnp.ones(4)}
+    tx = optax.adam(1e-2)
+    state = create_o2_train_state(params, tx)
+    step = make_train_step(loss_fn, tx, donate=False, o2_master=True)
+    state, m = step(state, {"x": jnp.ones(4)}, jax.random.PRNGKey(0))
+    assert int(m["skipped"]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(state.opt_state["master"]["w"]), np.ones(4))
+
+
 def test_checkpoint_fallback_on_corruption(tmp_path):
     store = CheckpointStore(str(tmp_path), keep=5)
     state = {"w": jnp.arange(4.0)}
