@@ -243,6 +243,24 @@ def test_generate_speculative_ngram_article(model_and_params):
         assert int(n_chunks) < int(steps)
 
 
+def test_speculative_quantized_kv_matches_quantized_greedy(
+        model_and_params):
+    """With quantize_kv both paths decode the SAME int8 K/V, so the
+    exactness contract holds within the quantized model."""
+    model, params, batch = model_and_params
+    cfg = GenerationConfig(max_len=12, sampling_topk=1,
+                           quantize_kv=True)
+    ref_toks, ref_lps = _greedy_reference(model, params, batch, cfg)
+    b2 = dict(batch)
+    b2["article_ids"] = jnp.concatenate(
+        [jnp.asarray(ref_toks),
+         jnp.full((ref_toks.shape[0], 3), 1, jnp.int32)], axis=1)
+    toks, lps, _ = model.generate_speculative(params, b2, cfg,
+                                              spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks), ref_toks)
+    np.testing.assert_allclose(np.asarray(lps), ref_lps, atol=2e-4)
+
+
 def test_speculative_jits(model_and_params):
     """The whole speculative loop compiles under jit."""
     model, params, batch = model_and_params
