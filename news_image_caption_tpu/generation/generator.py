@@ -60,80 +60,37 @@ class GenerationConfig:
     # reference compacts finished rows the same way
     # (transformer_flattened.py:312-319). Off for fixed-work benches.
     early_exit: bool = False
+    # Gen-1 reference beam semantics (CaptionModel.py:82-93): a beam
+    # that emits eos is HARVESTED into a done list (snapshot of its
+    # tokens + raw score) and its live slot's score drops to -1e9 so
+    # the slot keeps decoding but never wins; still-live beams are
+    # harvested at the final step. Ranking uses length_penalty over
+    # the done list (the reference ranks by raw sum — pass 0.0).
+    # False = freeze-in-slot semantics (finished beams emit pad).
+    harvest_finished: bool = False
 
 
 def generate(step_fn: Callable, init_caches, seed: jax.Array,
              config: GenerationConfig, rng: Optional[jax.Array] = None
              ) -> Tuple[jax.Array, jax.Array]:
-    """Greedy / top-k sampled generation.
+    """Greedy / top-k sampled generation over a full-vocab step_fn.
 
     step_fn(token_t [B], step_idx, caches) -> (log_probs [B, V], caches)
     seed: [B] first input token (<s>).
     Returns (token_ids [B, max_len+1] incl. seed, log_probs [B, max_len]).
+
+    Thin adapter over `generate_candidates` (the single decode-loop
+    implementation): the per-row top-k of the full-vocab log-probs IS
+    the candidate set.
     """
-    B = seed.shape[0]
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    tokens0 = jnp.full((B, config.max_len + 1), config.pad_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(seed)
-    if config.init_finished:
-        finished0 = seed == config.eos_id
-    else:
-        finished0 = jnp.zeros((B,), bool)
 
-    def step_once(i, cur, finished, caches, key):
-        lp, caches = step_fn(cur, i, caches)
+    def cand_step(tok, i, caches):
+        lp, caches = step_fn(tok, i, caches)
         topk_lp, topk_idx = jax.lax.top_k(lp, config.sampling_topk)
-        topk_lp = topk_lp / config.sampling_temp
-        key, sub = jax.random.split(key)
-        if config.sampling_topk == 1:
-            choice = jnp.zeros((B,), jnp.int32)
-        else:
-            choice = jax.random.categorical(sub, topk_lp, axis=-1)
-        sel_lp = jnp.take_along_axis(
-            topk_lp, choice[:, None], axis=1)[:, 0]
-        sel_idx = jnp.take_along_axis(
-            topk_idx, choice[:, None], axis=1)[:, 0]
-        next_tok = jnp.where(finished, config.pad_id, sel_idx)
-        out_lp = jnp.where(finished, 0.0, sel_lp)
-        finished = finished | (next_tok == config.eos_id)
-        return next_tok, out_lp, finished, caches, key
+        return topk_lp, topk_idx, caches
 
-    if config.early_exit:
-        lps0 = jnp.zeros((B, config.max_len), jnp.float32)
-
-        def cond(carry):
-            i, _, finished, _, _, _ = carry
-            return (i < config.max_len) & ~jnp.all(finished)
-
-        def wbody(carry):
-            i, cur, finished, tokens, lps, (caches, key) = carry
-            next_tok, out_lp, finished, caches, key = step_once(
-                i, cur, finished, caches, key)
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, next_tok[:, None], (0, i + 1))
-            lps = jax.lax.dynamic_update_slice(
-                lps, out_lp[:, None].astype(lps.dtype), (0, i))
-            return (i + 1, next_tok, finished, tokens, lps,
-                    (caches, key))
-
-        (_, _, _, tokens, lps, _) = jax.lax.while_loop(
-            cond, wbody,
-            (jnp.int32(0), seed, finished0, tokens0, lps0,
-             (init_caches, rng)))
-        return tokens, lps
-
-    def body(carry, i):
-        cur, finished, caches, key = carry
-        next_tok, out_lp, finished, caches, key = step_once(
-            i, cur, finished, caches, key)
-        return (next_tok, finished, caches, key), (next_tok, out_lp)
-
-    (_, _, _, _), (toks, lps) = jax.lax.scan(
-        body, (seed, finished0, init_caches, rng),
-        jnp.arange(config.max_len), unroll=config.scan_unroll)
-    tokens = tokens0.at[:, 1:].set(toks.T)
-    return tokens, lps.T
+    return generate_candidates(cand_step, init_caches, seed, config,
+                               rng)
 
 
 def permute_rows(x: jax.Array, flat_src: jax.Array) -> jax.Array:
@@ -206,7 +163,9 @@ def generate_candidates(step_fn: Callable, init_caches,
         sel_idx = jnp.take_along_axis(
             topk_idx, choice[:, None], axis=1)[:, 0]
         next_tok = jnp.where(finished, config.pad_id, sel_idx)
-        out_lp = jnp.where(finished, 0.0, sel_lp)
+        # fp32 regardless of the step's compute dtype so the scan and
+        # early-exit paths return identically-typed log-probs.
+        out_lp = jnp.where(finished, 0.0, sel_lp).astype(jnp.float32)
         finished = finished | (next_tok == config.eos_id)
         return next_tok, out_lp, finished, caches, key
 
@@ -251,7 +210,9 @@ def beam_search_candidates(step_fn: Callable, init_caches,
                            seed: jax.Array, config: GenerationConfig,
                            reorder_fn: Optional[Callable] = None
                            ) -> Tuple[jax.Array, jax.Array]:
-    """Beam search over a candidate-producing step_fn.
+    """Beam search over a candidate-producing step_fn — the single
+    beam-loop implementation (`beam_search` adapts a full-vocab
+    step_fn onto it).
 
     step_fn(token_t [B*K], step_idx, caches) ->
         (cand_lp [B*K, K], cand_ids [B*K, K], caches)
@@ -262,29 +223,56 @@ def beam_search_candidates(step_fn: Callable, init_caches,
     (benchmarks/topk_bench.py). Cache reorders default to
     `permute_rows` (one-hot matmul).
 
+    config.harvest_finished switches to the Gen-1 reference's done-
+    list semantics (CaptionModel.py:82-93): an eos-ending beam is
+    snapshot into a per-item done list and its slot's score drops to
+    -1e9 (the slot keeps stepping but never wins the combine, exactly
+    like the reference's -1000); still-live beams are harvested when
+    the loop ends. Default (False): finished beams freeze in their
+    slot emitting pad.
+
     Returns (tokens [B, beam, max_len+1], scores [B, beam]),
-    best-first, identical (up to ties) to `beam_search`.
+    best-first by score / length**length_penalty.
     """
     B = seed.shape[0]
     K = config.beam_size
+    L = config.max_len
+    harvest = config.harvest_finished
     if reorder_fn is None:
         def reorder_fn(caches, flat_src):
             return jax.tree.map(
                 lambda c: permute_rows(c, flat_src), caches)
 
     flat_seed = jnp.repeat(seed, K)
-    tokens0 = jnp.full((B * K, config.max_len + 1), config.pad_id,
+    tokens0 = jnp.full((B * K, L + 1), config.pad_id,
                        jnp.int32).at[:, 0].set(flat_seed)
     neg_inf = jnp.float32(-1e9)
+    # Only beam 0 is live initially (all beams identical otherwise).
     scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), neg_inf)]),
         (B,))
-    finished0 = jnp.zeros((B * K,), bool)
+    if config.init_finished:
+        finished0 = flat_seed == config.eos_id
+    else:
+        finished0 = jnp.zeros((B * K,), bool)
     # A finished row emits only pad (score += 0); its other candidate
     # slots are dead.
     pad_vals = jnp.full((K,), neg_inf).at[0].set(0.0)
+    done0 = (jnp.full((B, K), neg_inf),
+             jnp.full((B, K, L + 1), config.pad_id, jnp.int32))
 
-    def step_once(i, cur, scores, finished, tokens, caches):
+    def merge_done(done, tokens, scores, mask):
+        """Insert masked beams into the per-item top-K done list."""
+        done_s, done_t = done
+        cand_s = jnp.where(mask, scores, neg_inf).reshape(B, K)
+        all_s = jnp.concatenate([done_s, cand_s], axis=1)   # [B, 2K]
+        all_t = jnp.concatenate(
+            [done_t, tokens.reshape(B, K, L + 1)], axis=1)
+        s, j = jax.lax.top_k(all_s, K)
+        t = jnp.take_along_axis(all_t, j[:, :, None], axis=1)
+        return s, t
+
+    def step_once(i, cur, scores, finished, tokens, caches, done):
         rv, ri, caches = step_fn(cur, i, caches)       # [B*K, K] x2
         rv = jnp.where(finished[:, None], pad_vals[None, :], rv)
         ri = jnp.where(finished[:, None], config.pad_id, ri)
@@ -301,37 +289,45 @@ def beam_search_candidates(step_fn: Callable, init_caches,
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok_flat[:, None], (0, i + 1))
         scores = top_scores.reshape(-1)
-        finished = finished | (tok_flat == config.eos_id)
-        return tok_flat, scores, finished, tokens, caches
+        just_eos = (tok_flat == config.eos_id) & ~finished
+        if harvest:
+            done = merge_done(done, tokens, scores, just_eos)
+            scores = jnp.where(just_eos, neg_inf, scores)
+        finished = finished | just_eos
+        return tok_flat, scores, finished, tokens, caches, done
 
-    init = (flat_seed, scores0, finished0, tokens0, init_caches)
+    init = (flat_seed, scores0, finished0, tokens0, init_caches,
+            done0)
     if config.early_exit:
         def cond(c):
             i = c[0]
             finished = c[3]
-            return (i < config.max_len) & ~jnp.all(finished)
+            return (i < L) & ~jnp.all(finished)
 
         def wbody(c):
-            i, cur, scores, finished, tokens, caches = c
-            cur, scores, finished, tokens, caches = step_once(
-                i, cur, scores, finished, tokens, caches)
-            return (i + 1, cur, scores, finished, tokens, caches)
+            i = c[0]
+            return (i + 1,) + step_once(i, *c[1:])
 
-        (_, _, scores, _, tokens, _) = jax.lax.while_loop(
+        (_, _, scores, finished, tokens, _, done) = jax.lax.while_loop(
             cond, wbody, (jnp.int32(0),) + init)
     else:
         def body(carry, i):
-            cur, scores, finished, tokens, caches = carry
-            out = step_once(i, *carry)
-            return out, None
+            return step_once(i, *carry), None
 
-        (_, scores, _, tokens, _), _ = jax.lax.scan(
-            body, init, jnp.arange(config.max_len),
-            unroll=config.scan_unroll)
-    tokens = tokens.reshape(B, K, -1)
-    scores = scores.reshape(B, K)
+        (_, scores, finished, tokens, _, done), _ = jax.lax.scan(
+            body, init, jnp.arange(L), unroll=config.scan_unroll)
+
+    if harvest:
+        # Reference harvests still-live beams at the final step
+        # (CaptionModel.py:86 `t == self.seq_length - 1`).
+        scores, tokens = merge_done(done, tokens, scores, ~finished)
+    else:
+        tokens = tokens.reshape(B, K, -1)
+        scores = scores.reshape(B, K)
+    # Length penalty: normalize by (non-pad length)^alpha
+    # (alpha=0 ranks by raw summed log-prob, the Gen-1 reference rule).
     lengths = jnp.sum(tokens != config.pad_id, axis=-1).astype(jnp.float32)
-    norm = scores / (lengths ** config.length_penalty)
+    norm = scores / (jnp.maximum(lengths, 1.0) ** config.length_penalty)
     order = jnp.argsort(-norm, axis=1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
     scores = jnp.take_along_axis(norm, order, axis=1)
@@ -343,21 +339,23 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
                 cache_batch_axis: int = 0,
                 reorder_fn: Optional[Callable] = None
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Batched beam search with the beam folded into the batch dim.
+    """Batched beam search over a FULL-VOCAB step_fn.
 
-    step_fn operates on a flat [B*beam] batch; `init_caches` must
+    step_fn(token_t [B*K], step_idx, caches) -> (log_probs [B*K, V],
+    caches), operating on a flat [B*beam] batch; `init_caches` must
     already be sized for B*beam (tile the contexts/KV before calling).
     `cache_batch_axis` is the axis of every cache leaf that carries the
     flat batch (Gen-1 LSTM states are [layers, B, H] -> axis 1).
 
     reorder_fn(caches, flat_src) -> caches overrides the default
-    gather-every-leaf ancestry reorder; the flagship decoder passes a
-    slot-map composition (O(K·B) index ints instead of re-gathering
-    the whole conv history per step — the dominant reorder traffic).
-    Returns (tokens [B, beam, max_len+1], scores [B, beam]) sorted
-    best-first.
+    gather-every-leaf ancestry reorder.
+
+    Thin adapter over `beam_search_candidates` (the single beam-loop
+    implementation): the per-row top-K of the full-vocab log-probs is
+    an exact candidate set, so the K*K combine selects the same beams
+    as the flat K*V top_k. Returns (tokens [B, beam, max_len+1],
+    scores [B, beam]) sorted best-first.
     """
-    B = seed.shape[0]
     K = config.beam_size
     if reorder_fn is None:
         def reorder_fn(caches, flat_src):
@@ -365,66 +363,10 @@ def beam_search(step_fn: Callable, init_caches, seed: jax.Array,
                 lambda c: jnp.take(c, flat_src, axis=cache_batch_axis),
                 caches)
 
-    flat_seed = jnp.repeat(seed, K)                       # [B*K]
-    tokens0 = jnp.full((B * K, config.max_len + 1), config.pad_id,
-                       jnp.int32).at[:, 0].set(flat_seed)
-    # Only beam 0 is live initially (all beams identical otherwise).
-    neg_inf = jnp.float32(-1e9)
-    scores0 = jnp.tile(
-        jnp.concatenate([jnp.zeros((1,)), jnp.full((K - 1,), neg_inf)]),
-        (B,))                                              # [B*K]
-    finished0 = jnp.zeros((B * K,), bool)
+    def cand_step(tok, i, caches):
+        lp, caches = step_fn(tok, i, caches)           # [B*K, V]
+        v, idx = jax.lax.top_k(lp, K)
+        return v, idx.astype(jnp.int32), caches
 
-    def step_once(i, cur, scores, finished, tokens, caches):
-        lp, caches = step_fn(cur, i, caches)               # [B*K, V]
-        vocab = lp.shape[-1]
-        # Finished beams: only allow emitting pad with 0 added score.
-        pad_only = jnp.full((vocab,), neg_inf).at[config.pad_id].set(0.0)
-        lp = jnp.where(finished[:, None], pad_only[None, :], lp)
-        cand = scores[:, None] + lp                        # [B*K, V]
-        cand = cand.reshape(B, K * vocab)
-        top_scores, top_flat = jax.lax.top_k(cand, K)      # [B, K]
-        src_beam = top_flat // vocab                       # [B, K]
-        tok = (top_flat % vocab).astype(jnp.int32)         # [B, K]
-        # Gather beam state from source beams.
-        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
-        tokens = jnp.take(tokens, flat_src, axis=0)
-        caches = reorder_fn(caches, flat_src)
-        finished = finished[flat_src]
-        tok_flat = tok.reshape(-1)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, tok_flat[:, None], (0, i + 1))
-        scores = top_scores.reshape(-1)
-        finished = finished | (tok_flat == config.eos_id)
-        return tok_flat, scores, finished, tokens, caches
-
-    init = (flat_seed, scores0, finished0, tokens0, init_caches)
-    if config.early_exit:
-        def cond(c):
-            i = c[0]
-            finished = c[3]
-            return (i < config.max_len) & ~jnp.all(finished)
-
-        def wbody(c):
-            i = c[0]
-            out = step_once(i, *c[1:])
-            return (i + 1,) + out
-
-        (_, _, scores, _, tokens, _) = jax.lax.while_loop(
-            cond, wbody, (jnp.int32(0),) + init)
-    else:
-        def body(carry, i):
-            return step_once(i, *carry), None
-
-        (_, scores, _, tokens, _), _ = jax.lax.scan(
-            body, init, jnp.arange(config.max_len),
-            unroll=config.scan_unroll)
-    tokens = tokens.reshape(B, K, -1)
-    scores = scores.reshape(B, K)
-    # Length penalty: normalize by (non-pad length)^alpha.
-    lengths = jnp.sum(tokens != config.pad_id, axis=-1).astype(jnp.float32)
-    norm = scores / (lengths ** config.length_penalty)
-    order = jnp.argsort(-norm, axis=1)
-    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
-    scores = jnp.take_along_axis(norm, order, axis=1)
-    return tokens, scores
+    return beam_search_candidates(cand_step, init_caches, seed,
+                                  config, reorder_fn=reorder_fn)

@@ -414,6 +414,11 @@ class DynamicConvDecoder(nn.Module):
     adaptive_softmax_dropout: float = 0.0
     padding_idx: int = 0
     target_padding_idx: int = 1   # criterion padding (roberta pad)
+    # Tie the adaptive-softmax tail down-projections to the embedder's
+    # band projections (reference `tie_adaptive_proj`,
+    # decoder_flattened.py:32 + softmax.py:119-120; every shipped
+    # config sets it false).
+    tie_adaptive_proj: bool = False
     max_positions: int = 512
     param_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
@@ -463,7 +468,8 @@ class DynamicConvDecoder(nn.Module):
         self.adaptive_softmax = AdaptiveSoftmax(
             vocab_size=self.vocab_size, input_dim=self.embed_dim,
             cutoff=tuple(self.cutoff), dropout=self.adaptive_softmax_dropout,
-            tied=True, param_dtype=self.param_dtype, dtype=self.dtype,
+            tied=True, tie_proj=self.tie_adaptive_proj,
+            param_dtype=self.param_dtype, dtype=self.dtype,
             name="adaptive_softmax")
         if self.normalize_before and self.final_norm:
             self.layer_norm = nn.LayerNorm(

@@ -90,6 +90,7 @@ class LSTMDecoder(nn.Module):
     hidden_size: int = 1024
     num_layers: int = 2
     cutoff: Sequence[int] = (5000, 20000, 50265)
+    tie_adaptive_proj: bool = False
     image_dim: int = 2048
     article_dim: int = 1024
     dropout_rate: float = 0.1
@@ -122,6 +123,7 @@ class LSTMDecoder(nn.Module):
         self.adaptive_softmax = AdaptiveSoftmax(
             vocab_size=self.vocab_size, input_dim=self.embed_dim,
             cutoff=tuple(self.cutoff), tied=True,
+            tie_proj=self.tie_adaptive_proj,
             name="adaptive_softmax")
 
     def init_state(self, batch_size: int) -> LSTMState:

@@ -926,9 +926,16 @@ class Gen1Model:
         max_len = max_len or self.module.seq_length
         step_fn, state, B = self._setup_decode(params, batch,
                                                beam=beam_size)
+        # Reference semantics (models/CaptionModel.py:82-93): a beam
+        # that emits eos is harvested into a done list (its slot's
+        # score drops to -1000 and the slot is recycled), still-live
+        # beams join at the final step, and done beams rank by RAW
+        # summed log-prob (length_penalty=0.0 — no normalization).
         cfg = GenerationConfig(max_len=max_len, bos_id=0, eos_id=0,
                                pad_id=0, beam_size=beam_size,
-                               init_finished=False)
+                               init_finished=False,
+                               harvest_finished=True,
+                               length_penalty=0.0)
         seed = jnp.zeros((B,), jnp.int32)
         # Gen1State leaves are [layers, B, H]: batch lives on axis 1.
         tokens, scores = beam_search(step_fn, state, seed, cfg,

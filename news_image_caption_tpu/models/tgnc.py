@@ -79,6 +79,7 @@ class TemplateGuidedDecoder(nn.Module):
     num_layers: int = 4
     kernel_sizes: tuple = (3, 7, 15, 31)
     cutoff: tuple = (5000, 20000, 50265)
+    tie_adaptive_proj: bool = False
     image_dim: int = 2048
     article_dim: int = 1024
     n_templates: int = 5
@@ -111,6 +112,7 @@ class TemplateGuidedDecoder(nn.Module):
         self.adaptive_softmax = AdaptiveSoftmax(
             vocab_size=self.vocab_size, input_dim=self.embed_dim,
             cutoff=tuple(self.cutoff), tied=True,
+            tie_proj=self.tie_adaptive_proj,
             name="adaptive_softmax")
 
     def precompute_kv(self, contexts):

@@ -178,18 +178,27 @@ class AdaptiveSoftmax(nn.Module):
 
     def setup(self):
         assert self.cutoff[-1] == self.vocab_size
+        if self.tie_proj and not self.tied:
+            raise ValueError("tie_proj requires tied embeddings "
+                             "(embed_tables at call time)")
         self.class_proj = self.param(
             "class_proj", nn.initializers.xavier_uniform(),
             (self.input_dim, self.n_tails), self.param_dtype)
         # Tail down-projections input_dim -> band output dim; with tied
-        # embeddings the target dim is the embed table's dim.
-        tail_projs = []
-        for i in range(1, len(self.cutoff)):
-            d = int(self.input_dim // (self.factor ** i))
-            tail_projs.append(self.param(
-                f"tail_proj_{i}", nn.initializers.xavier_uniform(),
-                (self.input_dim, d), self.param_dtype))
-        self.tail_projs = tail_projs
+        # embeddings the target dim is the embed table's dim. With
+        # tie_proj the projections are the embedder's band projections
+        # TRANSPOSED (reference TiedLinear(tied_proj, transpose=True),
+        # softmax.py:119-120) — no parameters owned here.
+        if self.tie_proj:
+            self.tail_projs = []
+        else:
+            tail_projs = []
+            for i in range(1, len(self.cutoff)):
+                d = int(self.input_dim // (self.factor ** i))
+                tail_projs.append(self.param(
+                    f"tail_proj_{i}", nn.initializers.xavier_uniform(),
+                    (self.input_dim, d), self.param_dtype))
+            self.tail_projs = tail_projs
         # Untied word tables (only when weights are not tied to the
         # input embedder — avoids allocating a dead full-vocab table).
         if not self.tied:
@@ -220,11 +229,22 @@ class AdaptiveSoftmax(nn.Module):
         return jnp.concatenate([word, cls], axis=-1)
 
     def tail_hidden(self, x: jax.Array, i: int,
-                    deterministic: bool = True) -> jax.Array:
+                    deterministic: bool = True,
+                    embed_tables=None) -> jax.Array:
         """Factor-shrunk projection of x for tail band i (1-based) —
-        the single definition both the XLA and Pallas paths use."""
-        h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
-                    preferred_element_type=self.dtype)
+        the single definition both the XLA and Pallas paths use.
+        With tie_proj, the projection is the embedder's band-i
+        projection transposed (shape [d_i, D] -> apply as x @ projᵀ,
+        matching the reference's TiedLinear(tied_proj, transpose=True))."""
+        if self.tie_proj:
+            if embed_tables is None:
+                raise ValueError("tie_proj needs embed_tables")
+            proj = embed_tables[i][1]            # [d_i, D]
+            h = jnp.dot(x, proj.T.astype(x.dtype),
+                        preferred_element_type=self.dtype)
+        else:
+            h = jnp.dot(x, self.tail_projs[i - 1].astype(x.dtype),
+                        preferred_element_type=self.dtype)
         if self.dropout > 0.0 and not deterministic:
             h = dropout(self, h, self.dropout, deterministic=False)
         return h
@@ -234,7 +254,8 @@ class AdaptiveSoftmax(nn.Module):
                     out_dtype=None) -> jax.Array:
         """x [N, D] -> logits over band i's words. i is 1-based tail index."""
         dtype = out_dtype or self.dtype
-        h = self.tail_hidden(x, i, deterministic=deterministic)
+        h = self.tail_hidden(x, i, deterministic=deterministic,
+                             embed_tables=embed_tables)
         if embed_tables is not None:
             table_i, _ = embed_tables[i]  # [band_v, d]
             return _word_logits(h, table_i, dtype)
@@ -333,7 +354,15 @@ class AdaptiveSoftmax(nn.Module):
                 self.tail_logits(x, i, embed_tables).astype(jnp.float32),
                 axis=-1).astype(out_dt)
             tv, ti = exact_topk(tlog, k)
-            vals.append(tv.astype(jnp.float32) + prior)
+            # Round the prior-shifted value to the compute dtype like
+            # log_prob's materialized `tlog + prior` (bf16 add) — the
+            # "exact top-k of the materialized [N, V] log-probs"
+            # contract then holds bit-true for bf16 models too (a
+            # fp32 sum here could order cross-band near-ties
+            # differently than the rounded matrix).
+            shifted = (tv.astype(jnp.float32) + prior).astype(
+                out_dt).astype(jnp.float32)
+            vals.append(shifted)
             ids.append(ti.astype(jnp.int32) + self.cutoff[i - 1])
         allv = jnp.concatenate(vals, axis=-1)          # [N, bands*k]
         alli = jnp.concatenate(ids, axis=-1)
@@ -357,7 +386,7 @@ class AdaptiveSoftmax(nn.Module):
         cls_l = jnp.dot(x, clsw).astype(jnp.float32)   # [N, n_tails]
         vals, ids = [hv - lse_h], [hi]
         for i in range(1, len(self.cutoff)):
-            h = self.tail_hidden(x, i)
+            h = self.tail_hidden(x, i, embed_tables=embed_tables)
             table_i, _ = embed_tables[i]
             tv, ti, lse_t = band_topk_lse(h, table_i.astype(h.dtype),
                                           k)

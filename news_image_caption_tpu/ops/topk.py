@@ -18,7 +18,9 @@ So every top-k element lives in a top-k group, and stage 2's search
 space contains the exact answer.
 
 Used by AdaptiveSoftmax.topk_log_prob (decode selection); parity
-target is bit-identical indices/values to `lax.top_k`.
+target: bit-identical VALUES to `lax.top_k` always; indices identical
+except when a tie crosses the k-th boundary (see `exact_topk`'s
+docstring for the tie rule).
 """
 
 from __future__ import annotations

@@ -196,3 +196,48 @@ def test_pallas_head_falls_back_to_xla_for_quant_tables(monkeypatch):
                     method=ad.AdaptiveSoftmax.topk_log_prob)
     assert v.shape == (4, 3)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_tie_proj_uses_embedder_projections():
+    """tie_proj=True: the tail down-projections are the embedder's
+    band projections TRANSPOSED (reference TiedLinear(tied_proj,
+    transpose=True), softmax.py:119-120) — no tail_proj params exist,
+    and the log-probs still normalize."""
+    emb = AdaptiveEmbedding(cutoff=CUTOFF, initial_dim=DIM,
+                            output_dim=DIM, factor=1.0, padding_idx=0)
+    sm = AdaptiveSoftmax(vocab_size=CUTOFF[-1], input_dim=DIM,
+                         cutoff=CUTOFF, factor=1.0, tied=True,
+                         tie_proj=True)
+    ids = jnp.arange(30).reshape(1, 30)
+    eparams = emb.init(jax.random.PRNGKey(0), ids)
+    tables = _tables(emb, eparams)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, DIM))
+    sparams = sm.init(jax.random.PRNGKey(2), x, tables,
+                      method=AdaptiveSoftmax.log_prob)
+    assert not any(k.startswith("tail_proj")
+                   for k in sparams["params"])
+    lp = sm.apply(sparams, x, tables, method=AdaptiveSoftmax.log_prob)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(jnp.exp(lp), axis=-1)), 1.0, atol=1e-4)
+    # Manual check: tail-1 hidden must be x @ proj_1.T.
+    h = sm.apply(sparams, x, 1, True, tables,
+                 method=AdaptiveSoftmax.tail_hidden)
+    want = x @ tables[1][1].T
+    np.testing.assert_allclose(np.asarray(h), np.asarray(want),
+                               atol=1e-5)
+    # topk agrees with the materialized matrix.
+    v, i = sm.apply(sparams, x, 3, tables,
+                    method=AdaptiveSoftmax.topk_log_prob)
+    np.testing.assert_array_equal(np.asarray(i[:, 0]),
+                                  np.asarray(jnp.argmax(lp, axis=-1)))
+
+
+def test_tie_proj_requires_tied():
+    import pytest
+
+    sm = AdaptiveSoftmax(vocab_size=CUTOFF[-1], input_dim=DIM,
+                         cutoff=CUTOFF, tied=False, tie_proj=True)
+    x = jnp.zeros((2, DIM))
+    with pytest.raises(ValueError, match="tie_proj"):
+        sm.init(jax.random.PRNGKey(0), x, None,
+                method=AdaptiveSoftmax.log_prob)
