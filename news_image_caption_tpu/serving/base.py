@@ -58,10 +58,11 @@ class Sink(_MP.Process):
 
     def run(self):
         ctx = zmq.Context()
+        dirs: List[str] = []
         receiver = ctx.socket(zmq.PULL)
-        recv_addr = auto_bind(receiver)
+        recv_addr = auto_bind(receiver, dirs)
         publisher = ctx.socket(zmq.PUB)
-        pub_addr = auto_bind(publisher)
+        pub_addr = auto_bind(publisher, dirs)
         self._addr_queue.put((recv_addr, pub_addr))
         logger = setup_logger("sink")
         try:
@@ -75,6 +76,11 @@ class Sink(_MP.Process):
             receiver.close()
             publisher.close()
             ctx.term()
+            # The sink owns its IPC tmpdirs (the parent never sees
+            # them); clean exit removes them — previously every
+            # server lifecycle leaked two /tmp/tellax-ipc-* dirs.
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 class CaptionServer:
@@ -92,8 +98,9 @@ class CaptionServer:
         self.worker_factory = worker_factory
         self.num_workers = num_workers
         self.monitor_workers = monitor_workers
-        # Crash-loop bound: a deterministically-failing worker (bad
-        # checkpoint, device already held) must not respawn forever.
+        # PER-WORKER crash-loop bound: a deterministically-failing
+        # worker (bad checkpoint, device already held) must not
+        # respawn forever; the budget resets after 60s of survival.
         self.max_respawns = 20
         self.logger = setup_logger("server")
         self._procs: List[multiprocessing.Process] = []
@@ -118,7 +125,20 @@ class CaptionServer:
         addr_q = _MP.Queue()
         sink = Sink(addr_q)
         sink.start()
-        sink_recv_addr, self.sink_pub_addr = addr_q.get()
+        # Bounded get + liveness check: a Sink that dies during
+        # startup (bind failure, full /tmp, spawn import error) must
+        # raise instead of hanging the caller forever.
+        import queue as _queue
+        while True:
+            try:
+                sink_recv_addr, self.sink_pub_addr = addr_q.get(
+                    timeout=1.0)
+                break
+            except _queue.Empty:
+                if not sink.is_alive():
+                    raise RuntimeError(
+                        f"sink process died during startup "
+                        f"(exitcode {sink.exitcode})")
         self._procs.append(sink)
         self._sink_recv_addr = sink_recv_addr
 
@@ -139,46 +159,68 @@ class CaptionServer:
         def relay():
             poller = zmq.Poller()
             poller.register(frontend, zmq.POLLIN)
-            while True:
-                events = dict(poller.poll(timeout=200))
-                if frontend in events:
-                    frames = frontend.recv_multipart()
-                    if frames[0] == ServerCmd.terminate:
-                        # Full shutdown like the reference's control
-                        # path — not just this thread (a half-dead
-                        # server would keep respawning workers).
-                        self._stop.set()
-                        threading.Thread(target=self.stop,
-                                         daemon=True).start()
-                        break
-                    while not self._stop.is_set():
-                        try:
-                            backend.send_multipart(frames)
+            try:
+                while True:
+                    events = dict(poller.poll(timeout=200))
+                    if frontend in events:
+                        frames = frontend.recv_multipart()
+                        if frames[0] == ServerCmd.terminate:
+                            # Full shutdown like the reference's
+                            # control path — not just this thread (a
+                            # half-dead server would keep respawning
+                            # workers).
+                            self._stop.set()
+                            threading.Thread(target=self.stop,
+                                             daemon=True).start()
                             break
-                        except zmq.Again:   # workers wedged: retry,
-                            continue        # but stay stoppable
-                if self._stop.is_set():
-                    break
-            frontend.close(linger=0)
-            backend.close(linger=0)
+                        while not self._stop.is_set():
+                            try:
+                                backend.send_multipart(frames)
+                                break
+                            except zmq.Again:  # workers wedged:
+                                continue       # retry, stay stoppable
+                    if self._stop.is_set():
+                        break
+            finally:
+                # Sockets MUST close on any exit (ETERM, EINTR, bugs):
+                # stop()'s ctx.term() blocks until every socket in the
+                # context is closed — an escaped exception here would
+                # otherwise hang shutdown forever.
+                frontend.close(linger=0)
+                backend.close(linger=0)
 
         self._thread = threading.Thread(target=relay, daemon=True)
         self._thread.start()
 
         def monitor():
             import time as _time
-            delay, last_respawn = 1.0, 0.0
+            # PER-WORKER respawn budgets: one crash-looping worker
+            # must not burn the budget shared by healthy workers, and
+            # a worker that survives 60s after a respawn earns its
+            # budget back (occasional transient deaths over a long
+            # deployment never exhaust anything). A worker whose
+            # budget is spent is given up on individually; the
+            # monitor keeps serving the others.
+            delay = 1.0
+            counts = [0] * len(self._workers)
+            last = [0.0] * len(self._workers)
+            given_up = set()
             while not self._stop.wait(delay):
                 for i, w in enumerate(self._workers):
-                    if w.is_alive() or self._stop.is_set():
+                    if (w.is_alive() or self._stop.is_set()
+                            or i in given_up):
                         continue
-                    if self.respawn_count >= self.max_respawns:
+                    now = _time.monotonic()
+                    if counts[i] and now - last[i] >= 60.0:
+                        counts[i] = 0   # survived long enough: reset
+                    if counts[i] >= self.max_respawns:
                         self.logger.error(
-                            "worker %d died but max_respawns (%d) "
-                            "reached — a deterministic startup "
-                            "failure? Not respawning.",
+                            "worker %d died but its respawn budget "
+                            "(%d) is spent — a deterministic "
+                            "failure? Giving up on this worker.",
                             i, self.max_respawns)
-                        return
+                        given_up.add(i)
+                        continue
                     self.logger.warning(
                         "worker %d died (exitcode %s); respawning",
                         i, w.exitcode)
@@ -188,13 +230,13 @@ class CaptionServer:
                         sink_addr=self._sink_recv_addr)
                     nw.start()
                     self._workers[i] = nw
+                    counts[i] += 1
                     self.respawn_count += 1
-                    now = _time.monotonic()
                     # Exponential backoff when deaths come fast
                     # (crash loop), reset once a worker survives.
                     delay = (min(delay * 2, 30.0)
-                             if now - last_respawn < 10.0 else 1.0)
-                    last_respawn = now
+                             if now - last[i] < 10.0 else 1.0)
+                    last[i] = now
 
         if self.monitor_workers:
             self._monitor = threading.Thread(target=monitor,

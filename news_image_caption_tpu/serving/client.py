@@ -46,10 +46,14 @@ class CaptioningClient:
             [self.identity, job_id] + pack(job))
         poller = zmq.Poller()
         poller.register(self._sub, zmq.POLLIN)
-        waited = 0
-        step = 100
-        while waited < self.timeout_ms:
-            events = dict(poller.poll(timeout=step))
+        # Wall-clock deadline, not iteration counting: a stale frame
+        # (from a timed-out earlier job) makes poll() return
+        # immediately, and charging a full poll step per frame would
+        # silently shrink the budget by 100 ms each.
+        import time as _time
+        deadline = _time.monotonic() + self.timeout_ms / 1000.0
+        while _time.monotonic() < deadline:
+            events = dict(poller.poll(timeout=100))
             if self._sub in events:
                 frames = self._sub.recv_multipart()
                 if frames[0] == self.identity and frames[1] == job_id:
@@ -57,7 +61,6 @@ class CaptioningClient:
                     if "error" in result:
                         raise RuntimeError(result["error"])
                     return result
-            waited += step
         raise TimeoutError(
             f"no result for job {job_id!r} within {self.timeout_ms}ms")
 
@@ -96,10 +99,11 @@ class CaptioningClient:
         more = True
         while more and len(pending) < window:
             more = submit()
+        import time as _time
         while pending or more:
-            waited = 0
+            deadline = _time.monotonic() + self.timeout_ms / 1000.0
             got = False
-            while waited < self.timeout_ms:
+            while _time.monotonic() < deadline:
                 events = dict(poller.poll(timeout=100))
                 if self._sub in events:
                     frames = self._sub.recv_multipart()
@@ -112,7 +116,6 @@ class CaptioningClient:
                         results[idx] = result
                         got = True
                         break
-                waited += 100
             if not got:
                 raise TimeoutError(
                     f"no result within {self.timeout_ms}ms "

@@ -60,7 +60,10 @@ def default_model_builder(speculative_k: int = 0):
         spec_gen = jax.jit(lambda b: model.generate_speculative(
             params, b, cfg, spec_k=speculative_k)[0])
 
-    def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    def stage(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        # Same ingest-thread staging hook as the flagship builder
+        # (idempotent: jnp.asarray of staged arrays is a no-op), so
+        # the worker's pipelined staging branch is CPU-testable.
         b = {
             "image": jnp.asarray(job["image"]),
             "image_mask": jnp.asarray(job["image_mask"]),
@@ -72,9 +75,13 @@ def default_model_builder(speculative_k: int = 0):
             if ids.shape[1] != 6:        # keep the compiled shape
                 ids = _fit_ids(ids, 6)
             b["article_ids"] = jnp.asarray(ids, jnp.int32)
+        return b
+
+    def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        b = stage(job)
+        if spec_gen is not None and "article_ids" in b:
             return {"tokens": np.asarray(spec_gen(b))}
-        tokens = np.asarray(gen(b))
-        return {"tokens": tokens}
+        return {"tokens": np.asarray(gen(b))}
 
     def warmup():
         # Compile before signalling ready: the first REAL job must not
@@ -88,6 +95,7 @@ def default_model_builder(speculative_k: int = 0):
             predict(base)
 
     predict.warmup = warmup
+    predict.stage = stage
     return predict
 
 
@@ -371,6 +379,15 @@ def full_model_builder(caption_model=None, caption_params=None,
                                        img_size=yolo_img_size)
                 if use_objects else None)
     cfg = gen_config or GenerationConfig(max_len=32)
+    # Jitted with params as ARGUMENTS (never closure constants — see
+    # flagship_model_builder) so repeated request shapes hit the jit
+    # cache instead of re-tracing on the serving hot path.
+    gen_j = attn_j = None
+    if caption_model is not None and caption_params is not None:
+        gen_j = jax.jit(lambda p, b: caption_model.generate(p, b, cfg))
+        if return_attns and hasattr(caption_model, "attention_maps"):
+            attn_j = jax.jit(
+                lambda p, b, t: caption_model.attention_maps(p, b, t))
 
     def _decoder_contexts(model):
         return {name for name, _ in getattr(model.decoder,
@@ -409,18 +426,31 @@ def full_model_builder(caption_model=None, caption_params=None,
             if "obj" in extra:
                 o, om = nan_to_mask(jnp.asarray(objs)[None])
                 batch["obj"], batch["obj_mask"] = o, om
-            tokens, _ = caption_model.generate(caption_params, batch,
-                                               cfg)
+            tokens, _ = gen_j(caption_params, batch)
             out["tokens"] = np.asarray(tokens)
-            if return_attns and hasattr(caption_model,
-                                        "attention_maps"):
+            if attn_j is not None:
                 # Attention of every generated position over each
                 # context (head-averaged), served like the reference.
-                maps = caption_model.attention_maps(
-                    caption_params, batch, tokens[:, :-1])
+                maps = attn_j(caption_params, batch, tokens[:, :-1])
                 for li, layer_maps in enumerate(maps):
                     for cname, attn in layer_maps.items():
                         out[f"attn_l{li}_{cname}"] = np.asarray(attn)
         return out
 
+    def warmup():
+        """Pre-compile the captioning path before the ready signal
+        (first real job must not pay the jit — worker.py:80-82)."""
+        if gen_j is None:
+            return
+        d = caption_model.decoder
+        S = 512
+        job = {
+            "image": np.zeros((1, 49, d.image_dim), np.float32),
+            "image_mask": np.zeros((1, 49), bool),
+            "article": np.zeros((1, S, d.article_dim), np.float32),
+            "article_mask": np.zeros((1, S), bool),
+        }
+        predict(job)
+
+    predict.warmup = warmup
     return predict
