@@ -74,7 +74,8 @@ def _gen1_batch(loader, opt, split: str, rng: np.random.Generator):
             "mask": data["masks"].astype(np.float32),
             "fc_feats": att.mean(axis=1),
             "att_feats": att,
-        }, data.get("wrapped", False)
+        }, data["bounds"]["wrapped"]  # epoch flag lives under bounds
+           # (the reference's data['bounds']['wrapped'] contract)
     batch = next(loader.batches(opt.batch_size,
                                 seed=int(rng.integers(1 << 31))))
     return batch, False

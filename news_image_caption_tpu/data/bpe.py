@@ -156,6 +156,11 @@ class ByteBPE:
                 break
             pairs = get_pairs(word)
         out = " ".join(word)
+        # Bounded like readers._bpe_cost: news text has effectively
+        # unbounded distinct tokens (names, numbers), so an uncapped
+        # per-token cache leaks memory over long runs.
+        if len(self._cache) >= 65536:
+            self._cache.clear()
         self._cache[token] = out
         return out
 

@@ -175,8 +175,15 @@ class MongoNewsReader:
             if not os.path.exists(image_path):
                 continue  # missing-image skip (goodnews_flattened.py:90)
             idx = sample.get("image_index", 0)
-            caption = article["images"][str(idx)] \
-                if "images" in article else sample.get("caption", "")
+            if "images" in article:
+                caption = (article.get("images") or {}).get(str(idx))
+            else:
+                caption = sample.get("caption", "")
+            if not caption:
+                # Missing/null caption entry: skip like missing image
+                # files — one malformed document must not abort the
+                # whole training iterator.
+                continue
             yield NewsRecord(
                 caption=caption.strip(),
                 article=article.get("context", ""),
@@ -203,6 +210,7 @@ class InstanceBuilder:
                  with_objects: bool = False,
                  use_paragraph_window: bool = False,
                  max_faces: int = 4, max_objects: int = 64,
+                 obj_dim: Optional[int] = None,
                  analyzer=None):
         self.indexer = indexer
         self.max_context_words = max_context_words
@@ -212,6 +220,12 @@ class InstanceBuilder:
         self.use_paragraph_window = use_paragraph_window
         self.max_faces = max_faces
         self.max_objects = max_objects
+        # Object-feature width: latched from the first record that
+        # carries embeddings (or set explicitly); every instance then
+        # emits the SAME width — records without embeddings previously
+        # defaulted to 2048 and broke batching when the real features
+        # were a different dim.
+        self.obj_dim = obj_dim
         # Resolve ONCE: get_analyzer() may construct a spaCy pipeline.
         if analyzer is None and with_copy_masks:
             from news_image_caption_tpu.evaluation.text_analysis \
@@ -258,10 +272,17 @@ class InstanceBuilder:
             out["face_embeds"] = self._pad_feats(
                 rec.face_embeds, self.max_faces, 512)
         if self.with_objects:
-            dim = (rec.obj_embeds.shape[-1]
-                   if rec.obj_embeds is not None else 2048)
+            if rec.obj_embeds is not None:
+                dim = rec.obj_embeds.shape[-1]
+                if self.obj_dim is None:
+                    self.obj_dim = dim
+                elif dim != self.obj_dim:
+                    raise ValueError(
+                        f"inconsistent obj_embeds width: record has "
+                        f"{dim}, dataset uses {self.obj_dim}")
             out["obj_embeds"] = self._pad_feats(
-                rec.obj_embeds, self.max_objects, dim)
+                rec.obj_embeds, self.max_objects,
+                self.obj_dim or 2048)
         return out
 
     @staticmethod
@@ -314,8 +335,11 @@ class H5DataLoader:
                                    []).append(i)
         self._iters = {s: 0 for s in self.splits}
         self._rng = np.random.default_rng(seed)
-        for s in self.splits:
-            self._rng.shuffle(self.splits[s])
+        # Only the TRAIN split shuffles (reference dataloader.py:265-266
+        # reshuffles train only): val/test keep index order so periodic
+        # evals score the same fixed prefix every time.
+        if "train" in self.splits:
+            self._rng.shuffle(self.splits["train"])
 
     @property
     def seq_length(self) -> int:
@@ -328,7 +352,8 @@ class H5DataLoader:
         for _ in range(batch_size):
             pos = self._iters[split]
             if pos >= len(idxs):
-                self._rng.shuffle(idxs)
+                if split == "train":
+                    self._rng.shuffle(idxs)
                 self._iters[split] = 0
                 pos = 0
                 wrapped = True
@@ -339,10 +364,20 @@ class H5DataLoader:
             end = int(self.h5["label_end_ix"][ix])
             caps = self.h5["labels"][start:end]
             gts.append(np.asarray(caps))
-            # sample seq_per_img captions (with replacement if few)
-            take = self._rng.integers(0, len(caps),
-                                      size=self.seq_per_img)
-            labels.append(caps[np.sort(take)])
+            ncap = len(caps)
+            if ncap >= self.seq_per_img:
+                # Contiguous block WITHOUT replacement (reference
+                # dataloader.py:328-333) — every caption of an image
+                # with exactly seq_per_img captions trains each visit.
+                q = int(self._rng.integers(
+                    0, ncap - self.seq_per_img + 1))
+                labels.append(np.asarray(
+                    caps[q:q + self.seq_per_img]))
+            else:
+                # Too few captions: sample with replacement.
+                take = self._rng.integers(0, ncap,
+                                          size=self.seq_per_img)
+                labels.append(caps[np.sort(take)])
             infos.append({"ix": ix,
                           **{k: v for k, v in
                              self.images_info[ix].items()
@@ -364,14 +399,49 @@ class H5DataLoader:
                 "infos": infos}
 
 
+# One trained BPE per corpus source per process: train/val/test
+# datasets built separately MUST share token ids (a fresh train per
+# split would assign different ids to the same merges and make
+# checkpoints unusable across splits/runs).
+_BPE_MEMO: Dict = {}
+
+
 @DATASETS.register("jsonl_news")
 def jsonl_news_dataset(path: str, **builder_kwargs):
-    """Registry hook: reader + builder over a materialized jsonl."""
+    """Registry hook: reader + builder over a materialized jsonl.
+
+    bpe_corpus: the CANONICAL tokenizer source shared by every split —
+    a jsonl path (its captions are the training corpus) or a list of
+    texts. Defaults to `path`, which is only correct for single-split
+    datasets: multi-split configs must point every split's bpe_corpus
+    at the SAME file (typically the train jsonl). The trained BPE is
+    memoized per corpus source, so sibling splits reuse one vocab.
+    """
     from news_image_caption_tpu.data.bpe import ByteBPE
     bpe_corpus = builder_kwargs.pop("bpe_corpus", None)
-    bpe = (ByteBPE.train(bpe_corpus, 200) if bpe_corpus
-           else ByteBPE.train(
-               [r.caption for r in JsonlNewsReader(path)], 200))
+    num_merges = builder_kwargs.pop("bpe_merges", 200)
+    if bpe_corpus is None:
+        bpe_corpus = path
+    if isinstance(bpe_corpus, str):
+        memo_key = (os.path.abspath(bpe_corpus), num_merges)
+        bpe = _BPE_MEMO.get(memo_key)
+        if bpe is None:
+            bpe = ByteBPE.train(
+                [r.caption for r in JsonlNewsReader(bpe_corpus)],
+                num_merges)
+            _BPE_MEMO[memo_key] = bpe
+    else:
+        bpe = ByteBPE.train(list(bpe_corpus), num_merges)
     indexer = RobertaCopyIndexer(bpe)
+    records = list(JsonlNewsReader(path))
+    # Pre-latch the object-feature width from the first record that
+    # has embeddings, so leading records WITHOUT embeddings pad to
+    # the dataset's real width instead of a 2048 default.
+    obj_dim = builder_kwargs.get("obj_dim")
+    if builder_kwargs.get("with_objects") and obj_dim is None:
+        for rec in records:
+            if rec.obj_embeds is not None:
+                builder_kwargs["obj_dim"] = rec.obj_embeds.shape[-1]
+                break
     builder = InstanceBuilder(indexer, **builder_kwargs)
-    return [builder.build(rec) for rec in JsonlNewsReader(path)]
+    return [builder.build(rec) for rec in records]

@@ -238,9 +238,13 @@ def port_tgnc_model(state_dict: Dict[str, Any],
             layer[f"{cname}_attn_ln"] = _port_layer_norm(
                 htr, f"{lk}.context_attn_lns.{cname}")
         dec_params[f"head_{t}"] = layer
-        for k in tr.sd:
-            if k.startswith(f"decoder.head{t}.0."):
-                tr.used.add(k)
+        # Propagate only the keys the head porter ACTUALLY consumed —
+        # blanket-marking every decoder.head{t}.0.* key would let
+        # strict=True silently pass over unported head weights (the
+        # same trap the trunk handling above avoids).
+        for u in htr.used:
+            tr.used.add(f"decoder.head{t}.0."
+                        + u[len("layers.0."):])
 
     classifier = {
         "dense": _port_dense(tr, "classifier.dense"),
