@@ -833,6 +833,77 @@ class Gen1Model:
             lps, batch["seq"][:, 1:], batch["mask"][:, 1:])
         return loss, {"loss_sum": loss * ntokens, "sample_size": ntokens}
 
+    def forward_with_attention(self, params, batch, dropout_rng=None,
+                               ss_prob=0.0):
+        """Teacher-forced log-probs + sentence-attention coverage loss.
+
+        Parity: OldModel.forward(..., return_attention=True)
+        (/root/reference/models/OldModel.py:65-106). Per executed step
+        t>=1 the running coverage (sum of the previous steps'
+        SENTENCE-attention rows, `:96-97`) is penalized by
+        sum(min(att_t, coverage_{t-1})); steps from the first all-pad
+        column of `seq` onward don't execute (the reference's
+        all-ended break, `:88-89`) and contribute nothing. Returns
+        (log_probs [B, T-1, V+1], cov_loss scalar =
+        sum_t sum_b cov_t,b / B). show_attend_tell core only (the
+        reference's other cores don't accept return_attention).
+
+        Note the reference truncates the returned outputs at the
+        break; here log-probs past it are computed but meaningless —
+        mask them downstream exactly as `loss_fn` does.
+        """
+        if self.module.model_type != "show_attend_tell":
+            raise ValueError(
+                "forward_with_attention supports model_type="
+                "'show_attend_tell' (the reference's "
+                "return_attention path)")
+        batch = self.adapt_batch(batch)
+        seq = batch["seq"]
+        B, T = seq.shape
+        L = batch["sen_embed"].shape[1] if "sen_embed" in batch else 1
+        deterministic = dropout_rng is None
+        feats, state = self._prepare(params, batch, dropout_rng)
+        base_rng = (dropout_rng if dropout_rng is not None
+                    else jax.random.PRNGKey(0))
+        # Reference break: step i >= 1 with seq[:, i].sum() == 0 stops
+        # the loop BEFORE computing step i (OldModel.py:88-89; pad id
+        # is 0 in the Gen-1 convention, so an all-pad column sums 0).
+        col_ended = (jnp.sum(seq[:, :T - 1], axis=0) == 0) \
+            & (jnp.arange(T - 1) >= 1)
+        step_active = jnp.cumprod(
+            1 - col_ended.astype(jnp.float32))            # [T-1]
+
+        def body(carry, t):
+            state, prev_lp, key, coverage, cov_loss = carry
+            it = seq[:, t]
+            if ss_prob > 0.0:
+                key, k1, k2 = jax.random.split(key, 3)
+                use_sample = (jax.random.uniform(k1, (B,)) < ss_prob) \
+                    & (t >= 1)
+                sampled = jax.random.categorical(k2, prev_lp, axis=-1)
+                it = jnp.where(use_sample, sampled, it)
+            rngs = ({} if deterministic
+                    else {"dropout": jax.random.fold_in(key, t + 1)})
+            lp, state, (_, w_sen) = self.module.apply(
+                params, it, feats, state, deterministic=deterministic,
+                rngs=rngs, method=Gen1Captioner.decode_step_attn)
+            active = step_active[t]
+            # t=0 contributes 0 automatically (coverage starts at 0
+            # and attention weights are >= 0), matching the
+            # reference's first-step coverage seeding.
+            cov_loss = cov_loss + active * jnp.sum(
+                jnp.minimum(w_sen, coverage))
+            coverage = coverage + active * w_sen
+            return (state, lp, key, coverage, cov_loss), lp
+
+        init_lp = jnp.zeros((B, self.module.vocab_size + 1))
+        coverage0 = jnp.zeros((B, L))
+        (_, _, _, _, cov_loss), lps = jax.lax.scan(
+            body, (state, init_lp, base_rng, coverage0,
+                   jnp.zeros(())),
+            jnp.arange(T - 1))
+        return jnp.transpose(lps, (1, 0, 2)), cov_loss / B
+
     def _setup_decode(self, params, batch, beam: int = 1):
         batch = self.adapt_batch(batch)
         fc = batch["fc_feats"]

@@ -127,6 +127,51 @@ def test_sample_with_attention_feeds_visual_news_eval():
     assert all("vis_att" in p and "sen_att" in p for p in preds)
 
 
+def test_forward_with_attention_coverage_loss():
+    """Teacher-forced coverage penalty (OldModel.py:65-106,
+    return_attention=True): the log-probs match plain forward, and
+    cov_loss equals a naive python replay of the reference recipe —
+    coverage seeded at t=0, sum(min(att_t, coverage_{t-1})) for t>=1,
+    loop broken at the first all-pad seq column, total / B."""
+    model = make_model("show_attend_tell", sentence_embed_method="fc",
+                       sentence_embed_size=9, sentence_length=6)
+    batch = make_batch(sen=True)
+    # All-pad tail columns exercise the reference's all-ended break.
+    seq = np.asarray(batch["seq"]).copy()
+    seq[:, -2:] = 0
+    batch["seq"] = jnp.asarray(seq)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    lps, cov = model.forward_with_attention(params, batch)
+    ref_lps = model.forward(params, batch)
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(ref_lps),
+                               atol=1e-5)
+
+    feats, state = model._prepare(params, batch)
+    coverage = np.zeros((2, 6))
+    cov_ref = 0.0
+    for t in range(seq.shape[1] - 1):
+        if t >= 1 and seq[:, t].sum() == 0:
+            break
+        _, state, (_, sen) = model.module.apply(
+            params, jnp.asarray(seq[:, t]), feats, state,
+            method=Gen1Captioner.decode_step_attn)
+        sen = np.asarray(sen)
+        if t >= 1:
+            cov_ref += float(np.minimum(sen, coverage).sum())
+        coverage = coverage + sen
+    assert cov_ref > 0
+    np.testing.assert_allclose(float(cov), cov_ref / 2, rtol=1e-5)
+
+    # Unsupported cores reject the attention path like the reference
+    # (other cores' forward has no return_attention argument).
+    st_model = make_model("show_tell")
+    st_batch = make_batch()
+    st_params = st_model.init(jax.random.PRNGKey(0), st_batch)
+    with pytest.raises(ValueError):
+        st_model.forward_with_attention(st_params, st_batch)
+
+
 @pytest.mark.slow
 def test_show_attend_tell_sentence_variants():
     for method in ["fc", "fc_max", "concat", "conv", "conv_deep",
