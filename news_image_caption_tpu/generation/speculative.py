@@ -92,8 +92,8 @@ def ngram_drafts(source: jax.Array, tokens: jax.Array, pos: jax.Array,
 def speculative_greedy(
     chunk_fn: Callable, commit_fn: Callable, init_caches,
     seed: jax.Array, config: GenerationConfig, spec_k: int,
-    draft_fn: Callable,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    draft_fn: Callable, collect_flags: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Greedy generation via draft-and-verify; outputs match
     `generator.generate(..., sampling_topk=1)` exactly.
 
@@ -108,6 +108,11 @@ def speculative_greedy(
     Returns (tokens [B, max_len+1], log_probs [B, max_len], n_chunks)
     — n_chunks is the number of verification forwards executed (the
     wall-clock unit; tokens-per-chunk = mean acceptance + 1).
+
+    collect_flags=True: chunk_fn returns a 4th array [B, spec_k] of
+    per-position bools (e.g. the pointer family's copied flags);
+    committed positions' flags are collected (False padding) and
+    returned as (tokens, log_probs, flags [B, max_len], n_chunks).
     """
     B = seed.shape[0]
     L = config.max_len
@@ -129,16 +134,22 @@ def speculative_greedy(
             lambda row, v, s: jax.lax.dynamic_update_slice(row, v, (s,))
         )(b, vals, starts)
 
+    flags0 = jnp.zeros((B, buf - 1), bool)
+
     def cond(c):
-        _, _, pos, finished, _, _ = c
+        _, _, _, pos, finished, _, _ = c
         return jnp.any(~finished & (pos < L))
 
     def body(c):
-        tokens, lps, pos, finished, caches, n_chunks = c
+        tokens, lps, flags, pos, finished, caches, n_chunks = c
         cur = jnp.take_along_axis(tokens, pos[:, None], axis=1)  # [B,1]
         drafts = draft_fn(tokens, pos, finished)          # [B, k-1]
         inp = jnp.concatenate([cur, drafts], axis=1)      # [B, k]
-        lp_c, ids, aux = chunk_fn(inp, pos, caches)
+        if collect_flags:
+            lp_c, ids, aux, fl = chunk_fn(inp, pos, caches)
+        else:
+            lp_c, ids, aux = chunk_fn(inp, pos, caches)
+            fl = jnp.zeros_like(ids, bool)
         # Output t (0-based) is valid iff drafts 0..t-1 all matched;
         # the first mismatching output is the CORRECTED token (it was
         # computed from verified inputs), so commits = matches + 1.
@@ -163,13 +174,17 @@ def speculative_greedy(
         # in-bounds at pos = L - 1.
         tokens = write_rows(tokens, out_toks, pos + 1)
         lps = write_rows(lps, out_lps.astype(lps.dtype), pos)
+        flags = write_rows(flags, jnp.where(live, fl, False), pos)
         caches = commit_fn(caches, aux, m)
         committed_eos = has_eos & (first_eos < m)
         pos = pos + m
         finished = finished | committed_eos | (pos >= L)
-        return tokens, lps, pos, finished, caches, n_chunks + 1
+        return tokens, lps, flags, pos, finished, caches, n_chunks + 1
 
-    tokens, lps, _, _, _, n_chunks = jax.lax.while_loop(
+    tokens, lps, flags, _, _, _, n_chunks = jax.lax.while_loop(
         cond, body,
-        (tokens0, lps0, pos0, finished0, init_caches, jnp.int32(0)))
+        (tokens0, lps0, flags0, pos0, finished0, init_caches,
+         jnp.int32(0)))
+    if collect_flags:
+        return tokens[:, :L + 1], lps[:, :L], flags[:, :L], n_chunks
     return tokens[:, :L + 1], lps[:, :L], n_chunks

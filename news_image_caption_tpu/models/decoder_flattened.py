@@ -677,6 +677,17 @@ class DynamicConvDecoder(nn.Module):
         `commit_conv_caches`. The conv caches are NOT advanced here —
         the caller commits the verified prefix.
         """
+        v, ids, _, hs = self.step_chunk_with_hidden(tokens, pos, kvs,
+                                                    caches, tables)
+        return v, ids, hs
+
+    def step_chunk_with_hidden(self, tokens: jax.Array,
+                               pos: jax.Array | int,
+                               kvs: List[LayerKV],
+                               caches: List[jax.Array], tables=None):
+        """`step_chunk` + the chunk hidden states [B, k, D] (the
+        pointer family's entity/copy heads consume decoder hiddens,
+        transformer_pointer.py:427-640)."""
         pos = jnp.asarray(pos, jnp.int32)
         start = pos[:, None] if pos.ndim == 1 else pos
         x = self.embedder(tokens, start_pos=start)
@@ -691,7 +702,7 @@ class DynamicConvDecoder(nn.Module):
             tables = self.embedder.embed_tables()
         v, ids = self.adaptive_softmax.topk_log_prob(
             x.reshape(B * k, D), 1, tables)
-        return v.reshape(B, k), ids.reshape(B, k), hs
+        return v.reshape(B, k), ids.reshape(B, k), x, hs
 
     def step_with_hidden(self, token_t: jax.Array,
                          step_idx: jax.Array | int,

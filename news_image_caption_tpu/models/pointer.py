@@ -140,6 +140,47 @@ class EntitySelfAttention(nn.Module):
         out = self.out_proj(out.reshape(B, 1, E))[:, 0]
         return self.ln(out + x_t), (k_c, v_c)
 
+    def chunk(self, x_c: jax.Array, pos: jax.Array, cache):
+        """k-position chunk step (speculative verification).
+
+        x_c [B, k, E]; pos [B] absolute index of x_c[:, 0]; bounded
+        KV cache. Writes the k new K/V rows at pos..pos+k-1 per row
+        and returns ([B, k, E], cache) where chunk position j's
+        output equals j+1 sequential `step` calls (strict causal:
+        absolute position pos+j attends rows < pos+j, which includes
+        the chunk's own earlier rows). Rewind after a partial commit
+        is free: rows past the committed frontier are never attended
+        (the causal mask bounds at the frontier) and the next chunk
+        overwrites them. The cache must hold max_len + k rows so the
+        trailing chunk writes never clamp.
+        """
+        B, k, E = x_c.shape
+        H, hd = self.num_heads, E // self.num_heads
+        scale = hd ** -0.5
+        k_c, v_c = cache
+        q = (self.in_proj_q(x_c) * scale).reshape(B, k, H, hd)
+        k_new = self.in_proj_k(x_c).reshape(B, k, H, hd)
+        v_new = self.in_proj_v(x_c).reshape(B, k, H, hd)
+        upd = lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u, (p, 0, 0))
+        k_c = jax.vmap(upd)(k_c, k_new.astype(k_c.dtype), pos)
+        v_c = jax.vmap(upd)(v_c, v_new.astype(v_c.dtype), pos)
+        S = k_c.shape[1]
+        scores = jnp.einsum("bthd,bshd->bhts", q, k_c,
+                            preferred_element_type=jnp.float32)
+        limit = (pos[:, None, None, None]
+                 + jnp.arange(k)[None, None, :, None])
+        valid = jnp.arange(S)[None, None, None, :] < limit
+        scores = jnp.where(valid, scores, NEG)
+        zeros = jnp.zeros((B, H, k, 1), scores.dtype)
+        scores = jnp.concatenate([zeros, scores], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_c.dtype)
+        v_pad = jnp.concatenate(
+            [jnp.zeros((B, 1, H, hd), v_c.dtype), v_c], axis=1)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_pad)
+        out = self.out_proj(out.reshape(B, k, E))
+        return self.ln(out + x_c), (k_c, v_c)
+
 
 class CopyAttentionScores(nn.Module):
     """Head-averaged attention probabilities decoder -> article.
@@ -505,3 +546,123 @@ class TransformerPointer:
             body, carry, jnp.arange(config.max_len))
         tokens = jnp.concatenate([seed[:, None], toks.T], axis=1)
         return tokens, copied_flags.T
+
+    def generate_speculative(self, variables, batch,
+                             config: GenerationConfig = GenerationConfig(),
+                             spec_k: int = 8,
+                             draft_source=None, ngram_n: int = 2):
+        """Exact speculative greedy decode for the pointer family.
+
+        Token-for-token identical to `generate` with sampling_topk=1
+        (draft-and-verify, generation/speculative.py): one chunked
+        decoder forward verifies spec_k positions, the entity gate +
+        copy head run on the chunk hiddens, and the sequential parts
+        of the copy gate — the already-copied suppression
+        (transformer_pointer.py:585-625) and the entity self-attention
+        over generated hiddens — are handled by a cheap within-chunk
+        scan and a causally-masked KV cache whose rewind is free
+        (stale rows are never attended and get overwritten).
+
+        Returns (tokens [B, max_len+1], copied_flags [B, max_len],
+        n_chunks). The default draft source is batch["article_ids"]
+        (news captions copy entity spans — the very property this
+        model family exists for).
+        """
+        from news_image_caption_tpu.generation.speculative import (
+            commit_conv_caches, ngram_drafts, speculative_greedy)
+        if config.sampling_topk != 1:
+            raise ValueError("speculative decoding is greedy-only "
+                             "(sampling_topk must be 1)")
+        params = variables["captioner"]
+        if not self.use_entity_head:
+            # transformer_only_pointer: decoder distribution alone
+            # (see `generate`); delegate to the flagship engine.
+            tokens, _, n_chunks = self.captioner.generate_speculative(
+                params, batch, config, spec_k=spec_k,
+                draft_source=draft_source, ngram_n=ngram_n)
+            return tokens, jnp.zeros(
+                (tokens.shape[0], config.max_len), bool), n_chunks
+        dec = self.captioner.decoder
+        ctx = self.captioner._contexts(batch)
+        B = ctx["image"].shape[0]
+        kvs = dec.apply(params, ctx,
+                        method=DynamicConvDecoder.precompute_kv)
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        kvs = decode_kv_tree(kvs)
+        conv_caches = dec.init_cache(B)
+        # max_len + spec_k rows: chunk writes at pos <= max_len - 1
+        # must never clamp (EntitySelfAttention.chunk docstring).
+        e_cache = self.entity_attn.init_cache(
+            B, config.max_len + spec_k,
+            dtype=getattr(dec, "dtype", None) or jnp.float32)
+        relevant = (batch["context_proper_masks"] >= 1).astype(
+            jnp.float32)
+        context_ids = batch["article_ids"]
+        article = batch["article"]
+        article_mask = batch.get("article_mask")
+        source = (draft_source if draft_source is not None
+                  else batch["article_ids"])
+        copied0 = jnp.zeros((B, self.vocab_size), bool)
+        rows = jnp.arange(B)
+
+        def chunk_fn(toks, pos, caches):
+            conv, e_c, copied = caches
+            k = toks.shape[1]
+            lp, gen_ids, h, hs = dec.apply(
+                params, toks, pos, kvs, conv,
+                method=DynamicConvDecoder.step_chunk_with_hidden)
+            h_ent, e_c = self.entity_attn.apply(
+                variables["entity_attn"], h, pos, e_c,
+                method=EntitySelfAttention.chunk)
+            ent_logits = self.entity_fc_mod.apply(
+                variables["entity_fc"], h_ent)           # [B, k, 2]
+            want_copy = jnp.argmax(ent_logits, axis=-1) == 1
+            attn = self.copy_attn.apply(
+                variables["copy_attn"], h, article, article_mask)
+            attn = attn * relevant[:, None, :]           # [B, k, S]
+            dist = copy_distribution(
+                attn.reshape(B * k, -1),
+                jnp.repeat(context_ids, k, axis=0), self.vocab_size)
+            copy_p, copy_idx = jax.lax.top_k(dist, 1)
+            copy_tok = copy_idx[:, 0].reshape(B, k)
+            copy_p = copy_p[:, 0].reshape(B, k)
+            # Greedy specialization of the reference gate: top-1 copy
+            # candidate, suppressed on (near-)zero prob or a previous
+            # copy of the same token (transformer_pointer.py:585-625).
+            gate_pre = want_copy & (copy_p >= 1e-6)
+            ids, gates = [], []
+            run = copied
+            for j in range(k):   # cheap sequential copy-state replay
+                cj = copy_tok[:, j]
+                gj = gate_pre[:, j] & ~run[rows, cj]
+                ids.append(jnp.where(gj, cj, gen_ids[:, j]))
+                gates.append(gj)
+                run = run.at[rows, cj].set(run[rows, cj] | gj)
+            ids = jnp.stack(ids, axis=1)
+            gates = jnp.stack(gates, axis=1)
+            # generate() drops the flag when the copied token is eos
+            # (finished flips before the flag is emitted).
+            flags = gates & (ids != config.eos_id)
+            return lp, ids, (hs, e_c, copy_tok, gates), flags
+
+        def commit_fn(caches, aux, m):
+            conv, _, copied = caches
+            hs, e_c, copy_tok, gates = aux
+            conv = commit_conv_caches(conv, hs, m)
+            live = (jnp.arange(copy_tok.shape[1])[None, :]
+                    < m[:, None])
+            upd = (gates & live).astype(jnp.int32)
+            inc = jnp.zeros(
+                (B, self.vocab_size), jnp.int32
+            ).at[rows[:, None], copy_tok].add(upd)
+            return conv, e_c, copied | (inc > 0)
+
+        def draft_fn(tokens, pos, finished):
+            return ngram_drafts(source, tokens, pos, spec_k - 1,
+                                n=ngram_n, pad_id=config.pad_id)
+
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        tokens, _, flags, n_chunks = speculative_greedy(
+            chunk_fn, commit_fn, (conv_caches, e_cache, copied0),
+            seed, config, spec_k, draft_fn, collect_flags=True)
+        return tokens, flags, n_chunks

@@ -398,3 +398,137 @@ def test_ngram_drafts_short_prefix():
     # First window whose LAST token == seed(0) is source[0:2]=(9,0)
     # -> continuation 7, 8.
     np.testing.assert_array_equal(np.asarray(drafts[0]), [7, 8])
+
+
+# ---- pointer family (entity gate + copy head) ------------------------
+
+@pytest.fixture(scope="module")
+def pointer_model_and_params():
+    from tests.test_pointer import make_pointer, pointer_batch
+    model = make_pointer()
+    batch = pointer_batch(B=2, S=10)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def _force_copy_gate(variables):
+    """Bias the entity head so argmax is always 'copy' — exercises
+    the copy path + already-copied suppression."""
+    ef = dict(variables["entity_fc"])
+    ef["params"] = dict(ef["params"])
+    ef["params"] = {**ef["params"],
+                    "bias": jnp.asarray([-5.0, 5.0])}
+    return {**variables, "entity_fc": ef}
+
+
+def test_entity_chunk_matches_steps_with_partial_commits():
+    """EntitySelfAttention.chunk == sequential step at every committed
+    position, across iterations with PER-ROW partial commits (the
+    rewind-free cache claim: stale rows past a row's frontier are
+    never attended and get overwritten by the next chunk)."""
+    from news_image_caption_tpu.models.pointer import EntitySelfAttention
+    m = EntitySelfAttention(embed_dim=16, num_heads=4)
+    T, B, k = 7, 2, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, 16))
+    params = m.init(jax.random.PRNGKey(1), x)
+    cache_s = m.init_cache(B, T + k)
+    seq_outs = []
+    for t in range(T):
+        o, cache_s = m.apply(params, x[:, t], t, cache_s,
+                             method=EntitySelfAttention.step)
+        seq_outs.append(np.asarray(o))
+    seq_outs = np.stack(seq_outs, axis=1)          # [B, T, E]
+
+    cache = m.init_cache(B, T + k)
+    pos = np.zeros(B, np.int64)
+    for m_it in ([2, 1], [1, 3], [3, 2], [1, 1]):  # rows desync
+        idx = np.clip(pos[:, None] + np.arange(k), 0, T - 1)
+        xi = jnp.take_along_axis(
+            x, jnp.asarray(idx)[:, :, None], axis=1)
+        out, cache = m.apply(params, xi, jnp.asarray(pos, jnp.int32),
+                             cache, method=EntitySelfAttention.chunk)
+        out = np.asarray(out)
+        for b in range(B):
+            for j in range(min(m_it[b], T - int(pos[b]))):
+                np.testing.assert_allclose(
+                    out[b, j], seq_outs[b, int(pos[b]) + j],
+                    atol=1e-5,
+                    err_msg=f"row {b} chunk pos {pos[b]}+{j}")
+        pos = np.minimum(pos + np.array(m_it), T)
+
+
+def test_pointer_speculative_matches_greedy(pointer_model_and_params):
+    model, variables, batch = pointer_model_and_params
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    ref_toks, ref_copied = model.generate(variables, batch, cfg)
+    toks, copied, n_chunks = model.generate_speculative(
+        variables, batch, cfg, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    np.testing.assert_array_equal(np.asarray(copied),
+                                  np.asarray(ref_copied))
+    assert int(n_chunks) <= cfg.max_len
+
+
+def test_pointer_speculative_forced_copy_gate(pointer_model_and_params):
+    """With the gate forced open the copy path + already-copied
+    suppression actually run; speculative must still match exactly
+    (tokens AND copied flags)."""
+    model, variables, batch = pointer_model_and_params
+    v = _force_copy_gate(variables)
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    ref_toks, ref_copied = model.generate(v, batch, cfg)
+    assert np.asarray(ref_copied).any()   # the copy path fired
+    for spec_k in (2, 4, 6):
+        toks, copied, _ = model.generate_speculative(
+            v, batch, cfg, spec_k=spec_k)
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(ref_toks))
+        np.testing.assert_array_equal(np.asarray(copied),
+                                      np.asarray(ref_copied))
+
+
+def test_pointer_speculative_oracle_drafts_accelerate(
+        pointer_model_and_params):
+    """Drafting from the model's own greedy output: near-total
+    acceptance, so chunks << steps."""
+    model, variables, batch = pointer_model_and_params
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    ref_toks, _ = model.generate(variables, batch, cfg)
+    toks, _, n_chunks = model.generate_speculative(
+        variables, batch, cfg, spec_k=4,
+        draft_source=ref_toks[:, 1:])
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    assert int(n_chunks) < cfg.max_len
+
+
+def test_pointer_speculative_only_pointer_delegates(
+        pointer_model_and_params):
+    """use_entity_head=False routes through the flagship engine and
+    flags nothing copied (transformer_only_pointer semantics)."""
+    from tests.test_pointer import make_pointer, pointer_batch
+    model = make_pointer(use_entity_head=False)
+    batch = pointer_batch(B=2, S=10)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    ref_toks, _ = model.generate(variables, batch, cfg)
+    toks, copied, _ = model.generate_speculative(
+        variables, batch, cfg, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    assert not np.asarray(copied).any()
+
+
+def test_pointer_speculative_jits(pointer_model_and_params):
+    model, variables, batch = pointer_model_and_params
+    v = _force_copy_gate(variables)
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    fn = jax.jit(lambda p, b: model.generate_speculative(
+        p, b, cfg, spec_k=4))
+    toks, copied, _ = fn(v, batch)
+    ref_toks, ref_copied = model.generate(v, batch, cfg)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    np.testing.assert_array_equal(np.asarray(copied),
+                                  np.asarray(ref_copied))
