@@ -28,6 +28,12 @@ class Example:
     article_feats: Optional[np.ndarray] = None  # [S, C]
     caption_text: str = ""
     metadata: Optional[Dict] = None
+    # Pointer-family copy supervision (roberta_indexer.py copy masks):
+    # per-caption-token entity index (0 = none, i>=1 = i-th entity)
+    # and per-article-token proper-noun marks.
+    caption_copy_masks: Optional[List[int]] = None
+    context_proper_masks: Optional[List[int]] = None
+    template_label: Optional[np.ndarray] = None  # [n_templates] multi-hot
 
 
 @DATASETS.register("synthetic_news")
@@ -42,7 +48,8 @@ class SyntheticNewsDataset:
     def __init__(self, size: int = 256, vocab_size: int = 50265,
                  caption_len: int = 32, article_len: int = 128,
                  n_patches: int = 49, image_dim: int = 2048,
-                 article_dim: int = 1024, seed: int = 0):
+                 article_dim: int = 1024, seed: int = 0,
+                 n_templates: int = 0):
         self.size = size
         self.vocab_size = vocab_size
         self.caption_len = caption_len
@@ -51,6 +58,7 @@ class SyntheticNewsDataset:
         self.image_dim = image_dim
         self.article_dim = article_dim
         self.seed = seed
+        self.n_templates = n_templates
 
     def __len__(self) -> int:
         return self.size
@@ -75,9 +83,27 @@ class SyntheticNewsDataset:
         if span > 0:
             off = int(rng_ids.integers(0, art_len - span + 1))
             art_ids[off:off + span] = body[:span]
+        # The embedded span doubles as entity 1 for the pointer
+        # family's copy supervision (caption positions 1..span follow
+        # the bos; the same ids sit at article positions off..off+span)
+        # — derived from already-drawn values so every other stream
+        # stays bit-identical to the pre-copy-mask dataset.
+        cap_masks = [0] * len(caption)
+        ctx_proper = [0] * art_len
+        if span > 0:
+            for j in range(span):
+                cap_masks[1 + j] = 1
+                ctx_proper[off + j] = 1
+        template = None
+        if self.n_templates > 0:
+            template = np.zeros(self.n_templates, np.float32)
+            template[idx % self.n_templates] = 1.0
         return Example(
             caption_ids=caption,
             article_ids=art_ids.tolist(),
+            caption_copy_masks=cap_masks,
+            context_proper_masks=ctx_proper,
+            template_label=template,
             image_feats=rng.standard_normal(
                 (self.n_patches, self.image_dim)).astype(np.float32),
             article_feats=rng.standard_normal(
@@ -101,25 +127,43 @@ class SyntheticNewsDataset:
     def collate(self, examples: List[Example]) -> Dict[str, np.ndarray]:
         B = len(examples)
         cap = np.full((B, self.caption_len), 1, np.int32)
+        # Pad positions carry -1 (= ignore) per the pointer loss
+        # contract (models/pointer.py::loss_fn docstring).
+        cap_masks = np.full((B, self.caption_len), -1, np.int32)
         art = np.zeros((B, self.article_len, self.article_dim), np.float32)
         art_ids = np.full((B, self.article_len), 1, np.int32)
         art_mask = np.ones((B, self.article_len), bool)
+        ctx_proper = np.zeros((B, self.article_len), np.int32)
         img = np.zeros((B, self.n_patches, self.image_dim), np.float32)
         for i, ex in enumerate(examples):
             n = min(len(ex.caption_ids), self.caption_len)
             cap[i, :n] = ex.caption_ids[:n]
+            if ex.caption_copy_masks is not None:
+                cap_masks[i, :n] = ex.caption_copy_masks[:n]
+            else:
+                cap_masks[i, :n] = 0
             s = min(ex.article_feats.shape[0], self.article_len)
             art[i, :s] = ex.article_feats[:s]
             art_mask[i, :s] = False
             if ex.article_ids is not None:
                 m = min(len(ex.article_ids), self.article_len)
                 art_ids[i, :m] = ex.article_ids[:m]
+                if ex.context_proper_masks is not None:
+                    ctx_proper[i, :m] = ex.context_proper_masks[:m]
             img[i] = ex.image_feats
-        return {
+        batch = {
             "caption_ids": cap,
+            "caption_copy_masks": cap_masks,
             "image": img,
             "image_mask": np.zeros((B, self.n_patches), bool),
             "article": art,
             "article_ids": art_ids,
             "article_mask": art_mask,
+            "context_proper_masks": ctx_proper,
         }
+        if self.n_templates > 0:
+            batch["template_label"] = np.stack([
+                ex.template_label if ex.template_label is not None
+                else np.zeros(self.n_templates, np.float32)
+                for ex in examples])
+        return batch

@@ -179,6 +179,39 @@ class TemplateGuidedDecoder(nn.Module):
         lp = self.adaptive_softmax.log_prob(mixed, tables)
         return lp, new_caches
 
+    def step_chunk(self, tokens, pos, kvs, caches, template_logits):
+        """Chunked greedy decode step (speculative verification).
+
+        Same contract as DynamicConvDecoder.step_chunk: position t's
+        output is the greedy next token given chunk inputs 0..t
+        (identical to t+1 sequential `step` calls), through the
+        template-mixed heads. Returns (log_probs [B, k], argmax_ids
+        [B, k], h_list) where h_list matches the `init_cache` layout
+        (trunk conv inputs then, per head, the SAME trunk output —
+        each head consumes x, decoder_tgnc.py:228-236) for
+        `commit_conv_caches`.
+        """
+        pos = jnp.asarray(pos, jnp.int32)
+        start = pos[:, None] if pos.ndim == 1 else pos
+        x = self.embedder(tokens, start_pos=start)
+        hs = []
+        for layer, kv in zip(self.layers, kvs[:self.num_layers]):
+            x, h = layer.chunk(x, kv,
+                               caches[len(hs)])
+            hs.append(h)
+        outs = []
+        for i, (head, kv) in enumerate(zip(self.heads,
+                                           kvs[self.num_layers:])):
+            o, h = head.chunk(x, kv, caches[self.num_layers + i])
+            outs.append(o)
+            hs.append(h)
+        mixed = self._mix(outs, template_logits)      # [B, k, D]
+        B, k, D = mixed.shape
+        tables = self.embedder.embed_tables()
+        v, ids = self.adaptive_softmax.topk_log_prob(
+            mixed.reshape(B * k, D), 1, tables)
+        return v.reshape(B, k), ids.reshape(B, k), hs
+
 
 @MODELS.register("tgnc")
 class TGNC:
@@ -310,6 +343,54 @@ class TGNC:
 
         seed = jnp.full((B,), config.bos_id, jnp.int32)
         return generate(step, caches, seed, config, rng)
+
+    def generate_speculative(self, variables, batch,
+                             config=None, spec_k: int = 8,
+                             draft_source=None, ngram_n: int = 2):
+        """Exact speculative greedy decode through the template-mixed
+        heads (token-identical to `generate` with sampling_topk=1;
+        draft-and-verify — generation/speculative.py). Trunk AND
+        per-template-head conv caches rewind via the shared
+        shifted-copy commit. Returns (tokens, log_probs, n_chunks).
+        """
+        from news_image_caption_tpu.generation.generator import \
+            GenerationConfig
+        from news_image_caption_tpu.generation.speculative import (
+            commit_conv_caches, ngram_drafts, speculative_greedy)
+        config = config or GenerationConfig()
+        if config.sampling_topk != 1:
+            raise ValueError("speculative decoding is greedy-only "
+                             "(sampling_topk must be 1)")
+        if not self.use_template_decoder:
+            return self.captioner.generate_speculative(
+                variables["captioner"], batch, config, spec_k=spec_k,
+                draft_source=draft_source, ngram_n=ngram_n)
+        contexts = self._contexts(batch)
+        B = contexts["image"].shape[0]
+        template_logits = self.classifier.apply(
+            variables["classifier"], batch["article"], batch["image"])
+        kvs = self.tg_decoder.apply(
+            variables["decoder"], contexts,
+            method=TemplateGuidedDecoder.precompute_kv)
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        kvs = decode_kv_tree(kvs)
+        caches = self.tg_decoder.init_cache(B)
+        source = (draft_source if draft_source is not None
+                  else batch["article_ids"])
+
+        def chunk_fn(toks, pos, c):
+            return self.tg_decoder.apply(
+                variables["decoder"], toks, pos, kvs, c,
+                template_logits,
+                method=TemplateGuidedDecoder.step_chunk)
+
+        def draft_fn(tokens, pos, finished):
+            return ngram_drafts(source, tokens, pos, spec_k - 1,
+                                n=ngram_n, pad_id=config.pad_id)
+
+        seed = jnp.full((B,), config.bos_id, jnp.int32)
+        return speculative_greedy(chunk_fn, commit_conv_caches, caches,
+                                  seed, config, spec_k, draft_fn)
 
 
 @MODELS.register("transformer_entity")

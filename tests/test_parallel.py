@@ -232,3 +232,39 @@ def test_cli_train_with_mesh_matches_single_device(tmp_path):
     dp_tp = run("mesh", {"data": 4, "model": 2})
     assert len(ref) == len(dp_tp) > 0
     np.testing.assert_allclose(ref, dp_tp, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_cfg", [
+    MeshConfig(data=8, model=1),
+    MeshConfig(data=2, model=4),
+])
+def test_sharded_speculative_decode_matches_unsharded(mesh_cfg):
+    """Speculative greedy decode under a DP x TP mesh is
+    token-identical to single-device (the chunked verification
+    forward shards like the train/decode matmuls; the per-row
+    commit bookkeeping inside the while_loop is elementwise over the
+    data axis)."""
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+
+    model = TransformerFlattened(tiny_decoder())
+    batch = tiny_batch(B=8)
+    batch["article_ids"] = jax.random.randint(
+        jax.random.PRNGKey(9), (8, 6), 2, 40)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    spec = jax.jit(lambda p, b: model.generate_speculative(
+        p, b, cfg, spec_k=4))
+    toks_ref, lps_ref, n_ref = spec(params, batch)
+
+    mesh = make_mesh(mesh_cfg)
+    with mesh:
+        sp = jax.tree.map(jax.device_put, params,
+                          param_shardings(params, mesh))
+        sb = shard_batch(batch, mesh)
+        toks, lps, n = spec(sp, sb)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(toks_ref))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert int(n) == int(n_ref)

@@ -532,3 +532,92 @@ def test_pointer_speculative_jits(pointer_model_and_params):
                                   np.asarray(ref_toks))
     np.testing.assert_array_equal(np.asarray(copied),
                                   np.asarray(ref_copied))
+
+
+# ---- tgnc template-guided decoder -------------------------------------
+
+@pytest.fixture(scope="module")
+def tgnc_model_and_params():
+    from tests.test_variants import base_batch, tiny_kwargs
+    from news_image_caption_tpu.models.tgnc import TGNC
+    model = TGNC(use_template_decoder=True, n_templates=3,
+                 **tiny_kwargs())
+    batch = base_batch()
+    # drafting source (ngram prompt-lookup) — any ids work for
+    # exactness; embed nothing special
+    batch["article_ids"] = jax.random.randint(
+        jax.random.PRNGKey(5), (2, 6), 2, 40)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return model, variables, batch
+
+
+def test_tgnc_speculative_matches_greedy(tgnc_model_and_params):
+    """Speculative decode through the template-mixed heads (trunk +
+    per-template conv caches commit/rewind) is token-identical to
+    plain greedy for several chunk sizes."""
+    model, variables, batch = tgnc_model_and_params
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    ref_toks, _ = model.generate(variables, batch, cfg)
+    for spec_k in (2, 4, 6):
+        toks, _, n_chunks = model.generate_speculative(
+            variables, batch, cfg, spec_k=spec_k)
+        np.testing.assert_array_equal(np.asarray(toks),
+                                      np.asarray(ref_toks))
+        assert int(n_chunks) <= cfg.max_len
+
+
+def test_tgnc_speculative_oracle_drafts_accelerate(
+        tgnc_model_and_params):
+    model, variables, batch = tgnc_model_and_params
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    ref_toks, _ = model.generate(variables, batch, cfg)
+    toks, _, n_chunks = model.generate_speculative(
+        variables, batch, cfg, spec_k=4,
+        draft_source=ref_toks[:, 1:])
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    assert int(n_chunks) < cfg.max_len
+
+
+def test_tgnc_speculative_plain_decoder_delegates(
+        tgnc_model_and_params):
+    """use_template_decoder=False routes through the flagship
+    engine (same decoder, so same captions)."""
+    from tests.test_variants import base_batch, tiny_kwargs
+    from news_image_caption_tpu.models.tgnc import TGNC
+    model = TGNC(use_template_decoder=False, **tiny_kwargs())
+    batch = base_batch()
+    batch["article_ids"] = jax.random.randint(
+        jax.random.PRNGKey(5), (2, 6), 2, 40)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    ref_toks, _ = model.generate(variables, batch, cfg)
+    toks, _, _ = model.generate_speculative(
+        variables, batch, cfg, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+
+
+def test_faces_objects_variant_speculative_matches_greedy():
+    """Extra-context variants (faces/objects attention blocks in every
+    layer) run the same chunked verification — token-identical to
+    greedy through TransformerFlattened.generate_speculative."""
+    from news_image_caption_tpu.utils.registry import MODELS
+    from tests.test_variants import base_batch, tiny_kwargs
+    model = MODELS.get("transformer_faces_objects")(
+        face_dim=8, obj_dim=9, **tiny_kwargs())
+    batch = base_batch()
+    batch["faces"] = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 8))
+    batch["faces_mask"] = jnp.zeros((2, 3), bool)
+    batch["obj"] = jax.random.normal(jax.random.PRNGKey(8), (2, 3, 9))
+    batch["obj_mask"] = jnp.zeros((2, 3), bool)
+    batch["article_ids"] = jax.random.randint(
+        jax.random.PRNGKey(5), (2, 6), 2, 40)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    cfg = GenerationConfig(max_len=10, sampling_topk=1)
+    ref_toks, _ = model.generate(params, batch, cfg)
+    toks, _, n_chunks = model.generate_speculative(
+        params, batch, cfg, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.asarray(ref_toks))
+    assert int(n_chunks) <= cfg.max_len

@@ -625,3 +625,93 @@ def test_trainer_oom_gives_up_after_consecutive_failures(tmp_path):
     trainer.train_step = always_oom
     with pytest.raises(jax.errors.JaxRuntimeError):
         trainer.train(state, lambda e: DeviceLoader(ds.batches(4)))
+
+
+# ---- pointer family through the CLI (synthetic copy supervision) ------
+
+TINY_POINTER = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "tiny_pointer.yaml")
+
+
+def test_synthetic_dataset_emits_copy_supervision():
+    """SyntheticNewsDataset marks the article-embedded caption span as
+    entity 1 in caption_copy_masks and flags the matching article
+    positions in context_proper_masks (the roberta_indexer copy-mask
+    contract the pointer family trains on); caption pad positions
+    carry -1 (= ignore)."""
+    cfg = load_config(TINY_POINTER)
+    ds = build_dataset(cfg, "train")
+    batch = next(ds.batches(4, shuffle=False))
+    cap = batch["caption_ids"]
+    masks = batch["caption_copy_masks"]
+    proper = batch["context_proper_masks"]
+    ids = batch["article_ids"]
+    assert masks.shape == cap.shape
+    assert proper.shape == ids.shape
+    assert (masks == 1).any() and (proper == 1).any()
+    for b in range(cap.shape[0]):
+        # every entity-marked caption token is present at a
+        # proper-marked article position
+        for t in np.flatnonzero(masks[b] == 1):
+            hits = ids[b][proper[b] == 1]
+            assert cap[b, t] in hits, (b, t)
+        # pad positions (caption_ids == 1 after eos) are ignored
+        eos = np.flatnonzero(cap[b] == 2)
+        if eos.size:
+            assert (masks[b, eos[0] + 1:] == -1).all()
+
+
+def test_tgnc_template_label_from_config():
+    """dataset.n_templates emits one-hot template_label and the tgnc
+    loss consumes it (template classification head trains from the
+    shipped joganic_tgnc config path)."""
+    cfg = load_config(TINY_POINTER)
+    cfg["dataset"]["n_templates"] = 3
+    cfg["model"] = {"type": "tgnc", "n_templates": 3,
+                    "use_template_decoder": False,
+                    "article_dim": 12,
+                    "template_loss_weight": 1.0}
+    ds = build_dataset(cfg, "train")
+    batch = next(ds.batches(4, shuffle=False))
+    assert batch["template_label"].shape == (4, 3)
+    np.testing.assert_allclose(batch["template_label"].sum(axis=1), 1.0)
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def init_and_loss():
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        return model.loss_fn(variables, batch)
+
+    loss_shape, aux = jax.eval_shape(init_and_loss)
+    assert "template_loss" in aux  # the BCE actually engaged
+
+
+@pytest.mark.slow
+def test_cli_pointer_train_evaluate_speculative(tmp_path):
+    """The shipped pointer-family config shape drives the FULL CLI
+    loop on synthetic copy supervision: train (entity+copy losses),
+    evaluate (copy-gated generation), and speculative evaluate
+    (byte-identical generations — the pointer generate_speculative
+    glue, 3-tuple unpack included)."""
+    import shutil
+
+    from news_image_caption_tpu.cli import main
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    shutil.copy(TINY_POINTER, cfg_path)
+    rc = main(["train", cfg_path])
+    assert rc == 0
+    ser = tmp_path / "serialization"
+    metrics = [json.loads(line) for line in
+               (ser / "metrics.jsonl").read_text().strip().split("\n")]
+    assert any("loss" in m for m in metrics)
+
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    plain = (ser / "generations.jsonl").read_text()
+    assert len(plain.strip().split("\n")) == 8
+
+    rc = main(["evaluate", cfg_path, "--split", "test", "-s", "_spec",
+               "-o", json.dumps({"generation": {"speculative_k": 4}})])
+    assert rc == 0
+    assert (ser / "generations_spec.jsonl").read_text() == plain
