@@ -34,6 +34,14 @@ class Example:
     caption_copy_masks: Optional[List[int]] = None
     context_proper_masks: Optional[List[int]] = None
     template_label: Optional[np.ndarray] = None  # [n_templates] multi-hot
+    # Extra attended contexts (faces/objects/entity variants);
+    # masks are True = padding, matching the collate convention.
+    faces: Optional[np.ndarray] = None           # [n_faces, face_dim]
+    faces_mask: Optional[np.ndarray] = None      # [n_faces] bool
+    obj: Optional[np.ndarray] = None             # [n_obj, obj_dim]
+    obj_mask: Optional[np.ndarray] = None
+    entity: Optional[np.ndarray] = None          # [n_ent, entity_dim]
+    entity_mask: Optional[np.ndarray] = None
 
 
 @DATASETS.register("synthetic_news")
@@ -49,7 +57,11 @@ class SyntheticNewsDataset:
                  caption_len: int = 32, article_len: int = 128,
                  n_patches: int = 49, image_dim: int = 2048,
                  article_dim: int = 1024, seed: int = 0,
-                 n_templates: int = 0):
+                 n_templates: int = 0,
+                 n_faces: int = 0, face_dim: int = 512,
+                 n_objects: int = 0, obj_dim: int = 2048,
+                 n_entities: int = 0, entity_dim: int = 1024,
+                 raw_image_size: int = 0):
         self.size = size
         self.vocab_size = vocab_size
         self.caption_len = caption_len
@@ -59,6 +71,16 @@ class SyntheticNewsDataset:
         self.article_dim = article_dim
         self.seed = seed
         self.n_templates = n_templates
+        self.n_faces = n_faces
+        self.face_dim = face_dim
+        self.n_objects = n_objects
+        self.obj_dim = obj_dim
+        self.n_entities = n_entities
+        self.entity_dim = entity_dim
+        # raw_image_size > 0: emit uint8 HWC images of that side
+        # instead of precomputed patch features (the gen3_pipeline /
+        # online-encoder contract).
+        self.raw_image_size = raw_image_size
 
     def __len__(self) -> int:
         return self.size
@@ -98,14 +120,43 @@ class SyntheticNewsDataset:
         if self.n_templates > 0:
             template = np.zeros(self.n_templates, np.float32)
             template[idx % self.n_templates] = 1.0
+
+        # Extra contexts draw from their own stream (keeps the base
+        # caption/feature/article draws bit-identical when enabled).
+        rng_x = np.random.default_rng(self.seed * 11_000_003 + idx)
+
+        def _ctx(n, dim):
+            if n <= 0:
+                return None, None
+            feats = rng_x.standard_normal((n, dim)).astype(np.float32)
+            valid = 1 + idx % n             # >= 1 real row per sample
+            mask = np.arange(n) >= valid    # True = padding
+            feats[mask] = 0.0
+            return feats, mask
+
+        faces, faces_mask = _ctx(self.n_faces, self.face_dim)
+        obj, obj_mask = _ctx(self.n_objects, self.obj_dim)
+        entity, entity_mask = _ctx(self.n_entities, self.entity_dim)
+        if self.raw_image_size > 0:
+            image = rng.integers(
+                0, 256, (self.raw_image_size, self.raw_image_size, 3)
+            ).astype(np.uint8)
+            image_feats = None
+        else:
+            image = None
+            image_feats = rng.standard_normal(
+                (self.n_patches, self.image_dim)).astype(np.float32)
         return Example(
             caption_ids=caption,
             article_ids=art_ids.tolist(),
             caption_copy_masks=cap_masks,
             context_proper_masks=ctx_proper,
             template_label=template,
-            image_feats=rng.standard_normal(
-                (self.n_patches, self.image_dim)).astype(np.float32),
+            image=image,
+            image_feats=image_feats,
+            faces=faces, faces_mask=faces_mask,
+            obj=obj, obj_mask=obj_mask,
+            entity=entity, entity_mask=entity_mask,
             article_feats=rng.standard_normal(
                 (art_len, self.article_dim)).astype(np.float32),
             caption_text=" ".join(f"w{t}" for t in body),
@@ -134,7 +185,12 @@ class SyntheticNewsDataset:
         art_ids = np.full((B, self.article_len), 1, np.int32)
         art_mask = np.ones((B, self.article_len), bool)
         ctx_proper = np.zeros((B, self.article_len), np.int32)
-        img = np.zeros((B, self.n_patches, self.image_dim), np.float32)
+        if self.raw_image_size > 0:
+            img = np.zeros((B, self.raw_image_size,
+                            self.raw_image_size, 3), np.uint8)
+        else:
+            img = np.zeros((B, self.n_patches, self.image_dim),
+                           np.float32)
         for i, ex in enumerate(examples):
             n = min(len(ex.caption_ids), self.caption_len)
             cap[i, :n] = ex.caption_ids[:n]
@@ -150,20 +206,29 @@ class SyntheticNewsDataset:
                 art_ids[i, :m] = ex.article_ids[:m]
                 if ex.context_proper_masks is not None:
                     ctx_proper[i, :m] = ex.context_proper_masks[:m]
-            img[i] = ex.image_feats
+            img[i] = (ex.image if self.raw_image_size > 0
+                      else ex.image_feats)
         batch = {
             "caption_ids": cap,
             "caption_copy_masks": cap_masks,
             "image": img,
-            "image_mask": np.zeros((B, self.n_patches), bool),
             "article": art,
             "article_ids": art_ids,
             "article_mask": art_mask,
             "context_proper_masks": ctx_proper,
         }
+        if self.raw_image_size == 0:
+            batch["image_mask"] = np.zeros((B, self.n_patches), bool)
         if self.n_templates > 0:
             batch["template_label"] = np.stack([
                 ex.template_label if ex.template_label is not None
                 else np.zeros(self.n_templates, np.float32)
                 for ex in examples])
+        for name, n in (("faces", self.n_faces), ("obj", self.n_objects),
+                        ("entity", self.n_entities)):
+            if n > 0:
+                batch[name] = np.stack(
+                    [getattr(ex, name) for ex in examples])
+                batch[name + "_mask"] = np.stack(
+                    [getattr(ex, name + "_mask") for ex in examples])
         return batch

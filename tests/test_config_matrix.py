@@ -137,3 +137,28 @@ def test_config_traces_bf16_generate(path):
     out = jax.eval_shape(init_and_generate)
     toks = jax.tree_util.tree_leaves(out)[0]
     assert toks.shape[0] == 2
+
+
+@pytest.mark.parametrize("path", [_param(p) for p in CONFIGS])
+def test_config_dataset_contract(path):
+    """Every shipped config's loss traces from its ACTUAL dataset
+    batch (build_dataset -> batches -> loss_fn), not a hand-built
+    one — pins the dataset<->model key/shape contract end-to-end
+    (synthetic copy supervision, faces/obj/entity contexts, raw
+    images for the online-encoder pipeline, template labels)."""
+    from news_image_caption_tpu.config import build_dataset
+
+    cfg = load_config(path)
+    cfg.setdefault("dataset", {})["train"] = {"size": 4}
+    ds = build_dataset(cfg, "train")
+    batch = next(ds.batches(2, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = build_model(cfg)
+
+    def init_and_loss():
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        loss, aux = model.loss_fn(variables, batch)
+        return loss
+
+    shape = jax.eval_shape(init_and_loss)
+    assert shape.shape == ()
