@@ -134,7 +134,10 @@ def speculative_greedy(
             lambda row, v, s: jax.lax.dynamic_update_slice(row, v, (s,))
         )(b, vals, starts)
 
-    flags0 = jnp.zeros((B, buf - 1), bool)
+    # Without collect_flags the carry holds a 1-column dummy so the
+    # non-flag callers (flagship/Gen-2/tgnc) pay no per-chunk
+    # dynamic-offset write for flags they never read.
+    flags0 = jnp.zeros((B, buf - 1 if collect_flags else 1), bool)
 
     def cond(c):
         _, _, _, pos, finished, _, _ = c
@@ -149,7 +152,6 @@ def speculative_greedy(
             lp_c, ids, aux, fl = chunk_fn(inp, pos, caches)
         else:
             lp_c, ids, aux = chunk_fn(inp, pos, caches)
-            fl = jnp.zeros_like(ids, bool)
         # Output t (0-based) is valid iff drafts 0..t-1 all matched;
         # the first mismatching output is the CORRECTED token (it was
         # computed from verified inputs), so commits = matches + 1.
@@ -174,7 +176,8 @@ def speculative_greedy(
         # in-bounds at pos = L - 1.
         tokens = write_rows(tokens, out_toks, pos + 1)
         lps = write_rows(lps, out_lps.astype(lps.dtype), pos)
-        flags = write_rows(flags, jnp.where(live, fl, False), pos)
+        if collect_flags:
+            flags = write_rows(flags, jnp.where(live, fl, False), pos)
         caches = commit_fn(caches, aux, m)
         committed_eos = has_eos & (first_eos < m)
         pos = pos + m

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from news_image_caption_tpu.generation.generator import GenerationConfig
 from news_image_caption_tpu.models.captioner import TransformerFlattened
-from news_image_caption_tpu.models.resnet import ResNetTrunk
+from news_image_caption_tpu.models.resnet import (ResNetTrunk,
+                                                  preprocess_image)
 from news_image_caption_tpu.models.roberta import (RobertaEncoder,
                                                    WeightedSumFeatures)
 from news_image_caption_tpu.utils.registry import MODELS
@@ -66,7 +67,16 @@ class Gen3Pipeline:
 
     def encode(self, variables, batch) -> Dict[str, jax.Array]:
         """Frozen encoders -> contexts dict (stop-gradient)."""
-        patches = self.resnet.apply(variables["resnet"], batch["image"],
+        image = batch["image"]
+        if jnp.issubdtype(image.dtype, jnp.integer):
+            # Raw uint8 HWC frames (SyntheticNewsDataset raw-image
+            # mode / live serving): apply the reference's
+            # normalize+crop (prepro_images, misc/utils.py:114-129)
+            # before the trunk — the frozen-BN ported weights assume
+            # ImageNet-normalized floats, and the offline path
+            # (data/materialize.py) normalizes identically.
+            image = preprocess_image(image)
+        patches = self.resnet.apply(variables["resnet"], image,
                                     method=ResNetTrunk.patches)
         last, hiddens = self.roberta.apply(variables["roberta"],
                                            batch["article_ids"])

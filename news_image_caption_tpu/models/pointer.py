@@ -442,6 +442,25 @@ class TransformerPointer:
                       "copy_loss": copy_loss, "sample_size": ntokens}
 
     # -- generation -----------------------------------------------------
+    def _decode_setup(self, variables, batch, e_cache_len: int):
+        """Decode-time setup shared by generate/generate_speculative:
+        head-major context KV, conv caches, entity KV cache of the
+        requested length, and the proper-noun relevance mask."""
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        params = variables["captioner"]
+        dec = self.captioner.decoder
+        ctx = self.captioner._contexts(batch)
+        B = ctx["image"].shape[0]
+        kvs = decode_kv_tree(dec.apply(
+            params, ctx, method=DynamicConvDecoder.precompute_kv))
+        conv_caches = dec.init_cache(B)
+        e_cache = self.entity_attn.init_cache(
+            B, e_cache_len,
+            dtype=getattr(dec, "dtype", None) or jnp.float32)
+        relevant = (batch["context_proper_masks"] >= 1).astype(
+            jnp.float32)
+        return dec, B, kvs, conv_caches, e_cache, relevant
+
     def generate(self, variables, batch,
                  config: GenerationConfig = GenerationConfig(),
                  rng=None):
@@ -465,19 +484,8 @@ class TransformerPointer:
                                                 rng)
             return tokens, jnp.zeros(
                 (tokens.shape[0], config.max_len), bool)
-        dec = self.captioner.decoder
-        ctx = self.captioner._contexts(batch)
-        B = ctx["image"].shape[0]
-        kvs = dec.apply(params, ctx,
-                        method=DynamicConvDecoder.precompute_kv)
-        from news_image_caption_tpu.ops.attention import decode_kv_tree
-        kvs = decode_kv_tree(kvs)   # one-time head-major relayout
-        caches = dec.init_cache(B)
-        e_cache = self.entity_attn.init_cache(
-            B, config.max_len + 1,
-            dtype=getattr(dec, "dtype", None) or jnp.float32)
-        relevant = (batch["context_proper_masks"] >= 1).astype(
-            jnp.float32)
+        dec, B, kvs, caches, e_cache, relevant = self._decode_setup(
+            variables, batch, config.max_len + 1)
         context_ids = batch["article_ids"]
         article = batch["article"]
         article_mask = batch.get("article_mask")
@@ -582,21 +590,11 @@ class TransformerPointer:
                 draft_source=draft_source, ngram_n=ngram_n)
             return tokens, jnp.zeros(
                 (tokens.shape[0], config.max_len), bool), n_chunks
-        dec = self.captioner.decoder
-        ctx = self.captioner._contexts(batch)
-        B = ctx["image"].shape[0]
-        kvs = dec.apply(params, ctx,
-                        method=DynamicConvDecoder.precompute_kv)
-        from news_image_caption_tpu.ops.attention import decode_kv_tree
-        kvs = decode_kv_tree(kvs)
-        conv_caches = dec.init_cache(B)
-        # max_len + spec_k rows: chunk writes at pos <= max_len - 1
-        # must never clamp (EntitySelfAttention.chunk docstring).
-        e_cache = self.entity_attn.init_cache(
-            B, config.max_len + spec_k,
-            dtype=getattr(dec, "dtype", None) or jnp.float32)
-        relevant = (batch["context_proper_masks"] >= 1).astype(
-            jnp.float32)
+        # max_len + spec_k entity-KV rows: chunk writes at pos <=
+        # max_len - 1 must never clamp (EntitySelfAttention.chunk).
+        dec, B, kvs, conv_caches, e_cache, relevant = \
+            self._decode_setup(variables, batch,
+                               config.max_len + spec_k)
         context_ids = batch["article_ids"]
         article = batch["article"]
         article_mask = batch.get("article_mask")
@@ -629,15 +627,21 @@ class TransformerPointer:
             # Greedy specialization of the reference gate: top-1 copy
             # candidate, suppressed on (near-)zero prob or a previous
             # copy of the same token (transformer_pointer.py:585-625).
+            # The within-chunk replay is O(k^2) [B]-vector compares:
+            # "already copied" = committed `copied` gather OR an
+            # ACCEPTED copy of the same token earlier in this chunk —
+            # no [B, V] state materializes per position.
             gate_pre = want_copy & (copy_p >= 1e-6)
+            committed_hit = copied[rows[:, None], copy_tok]  # [B, k]
             ids, gates = [], []
-            run = copied
-            for j in range(k):   # cheap sequential copy-state replay
+            for j in range(k):
                 cj = copy_tok[:, j]
-                gj = gate_pre[:, j] & ~run[rows, cj]
+                dup = committed_hit[:, j]
+                for i in range(j):
+                    dup = dup | (gates[i] & (copy_tok[:, i] == cj))
+                gj = gate_pre[:, j] & ~dup
                 ids.append(jnp.where(gj, cj, gen_ids[:, j]))
                 gates.append(gj)
-                run = run.at[rows, cj].set(run[rows, cj] | gj)
             ids = jnp.stack(ids, axis=1)
             gates = jnp.stack(gates, axis=1)
             # generate() drops the flag when the copied token is eos
@@ -651,11 +655,9 @@ class TransformerPointer:
             conv = commit_conv_caches(conv, hs, m)
             live = (jnp.arange(copy_tok.shape[1])[None, :]
                     < m[:, None])
-            upd = (gates & live).astype(jnp.int32)
-            inc = jnp.zeros(
-                (B, self.vocab_size), jnp.int32
-            ).at[rows[:, None], copy_tok].add(upd)
-            return conv, e_c, copied | (inc > 0)
+            copied = copied.at[rows[:, None], copy_tok].max(
+                gates & live)
+            return conv, e_c, copied
 
         def draft_fn(tokens, pos, finished):
             return ngram_drafts(source, tokens, pos, spec_k - 1,

@@ -210,3 +210,43 @@ def test_template_decoder_incremental_matches_full():
     np.testing.assert_allclose(np.asarray(full_lp),
                                np.asarray(step_lp), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_pipeline_normalizes_raw_uint8_images():
+    """Gen3Pipeline.encode applies the reference's ImageNet
+    normalize+crop (prepro_images, misc/utils.py:114-129) to raw
+    uint8 images — identical to feeding preprocess_image output, and
+    matching the offline materialize path. Regression: uint8 frames
+    used to flow into the frozen-BN trunk as raw [0,255] floats."""
+    import numpy as np
+
+    from news_image_caption_tpu.models.pipeline import Gen3Pipeline
+    from news_image_caption_tpu.models.resnet import (ResNetTrunk,
+                                                      preprocess_image)
+    from news_image_caption_tpu.models.roberta import RobertaEncoder
+
+    model = Gen3Pipeline(
+        resnet=ResNetTrunk(depth=18, num_stages=3),
+        roberta=RobertaEncoder(vocab_size=40, hidden=16, num_layers=1,
+                               heads=4, intermediate=32),
+        vocab_size=40, cutoff=(12, 24, 40), embed_dim=16, ffn_dim=32,
+        num_heads=4, num_layers=1, kernel_sizes=(3,), image_dim=256,
+        article_dim=16, max_positions=64)
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 224, 224, 3)).astype(np.uint8)
+    batch = {
+        "image": jnp.asarray(img),
+        "article_ids": jnp.ones((2, 6), jnp.int32).at[:, :4].set(7),
+        "caption_ids": jnp.asarray(
+            rng.integers(4, 40, (2, 7)).astype(np.int32)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    ctx_raw = model.encode(variables, batch)
+    pre = preprocess_image(jnp.asarray(img))
+    assert pre.dtype == jnp.float32 and float(jnp.abs(pre).max()) < 5.0
+    ctx_pre = model.encode(variables, {**batch, "image": pre})
+    np.testing.assert_allclose(np.asarray(ctx_raw["image"]),
+                               np.asarray(ctx_pre["image"]),
+                               rtol=1e-5, atol=1e-5)
