@@ -39,17 +39,55 @@ def _cast(t):
                         if x.dtype == jnp.float32 else x, t)
 
 
-def main():
+def _pointer_extras(batch, vocab=50265, key=11):
+    """article_ids + context_proper_masks (~10% proper): the pointer
+    family's generate contract (copy head over the article ids)."""
+    ks = jax.random.split(jax.random.PRNGKey(key), 2)
+    S = batch["article"].shape[1]
+    B = batch["article"].shape[0]
+    ids = jax.random.randint(ks[0], (B, S), 4, vocab)
+    proper = (jax.random.uniform(ks[1], ids.shape)
+              < 0.1).astype(jnp.int32)
+    return {**batch, "article_ids": ids,
+            "context_proper_masks": proper}
+
+
+def _build(which):
+    if which == "pointer":
+        from news_image_caption_tpu.models.pointer import \
+            TransformerPointer
+        model = TransformerPointer(
+            captioner=ge._flagship(dtype=jnp.bfloat16),
+            embed_dim=1024, num_heads=16, article_dim=1024,
+            vocab_size=50265)
+        init_b = _pointer_extras(_cast(ge._batch(
+            B=2, T=32, P=49, S=512, image_dim=2048,
+            article_dim=1024, vocab=50265)))
+        params = _cast(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                           init_b))
+        return model, params
     model = ge._flagship(dtype=jnp.bfloat16)
     params = _cast(jax.jit(model.init)(
         jax.random.PRNGKey(0),
         ge._batch(B=2, T=32, P=49, S=512, image_dim=2048,
                   article_dim=1024, vocab=50265)))
+    return model, params
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    which = "flagship"
+    if "--model=pointer" in args:
+        which = "pointer"
+        args.remove("--model=pointer")
+    model, params = _build(which)
     cfg = GenerationConfig(max_len=MAX_LEN, sampling_topk=1, eos_id=-1)
 
-    for B in [int(a) for a in (sys.argv[1:] or ["64"])]:
+    for B in [int(a) for a in (args or ["64"])]:
         batch = _cast(ge._batch(B=B, T=32, P=49, S=512, image_dim=2048,
                                 article_dim=1024, vocab=50265))
+        if which == "pointer":
+            batch = _pointer_extras(batch)
 
         gen = jax.jit(lambda p, b: model.generate(p, b, cfg))
         out = gen(params, batch)
@@ -87,18 +125,19 @@ def main():
         }
 
         for spec_k in (4, 8, 16):
-            spec = jax.jit(lambda p, b, k=spec_k:
+            # Drafts go in via draft_source (NOT by overwriting
+            # article_ids — the pointer's copy head reads those).
+            spec = jax.jit(lambda p, b, s, k=spec_k:
                            model.generate_speculative(p, b, cfg,
-                                                      spec_k=k))
+                                                      spec_k=k,
+                                                      draft_source=s))
             for name, src in sources.items():
-                b2 = dict(batch)
-                b2["article_ids"] = src
-                toks, _, nc = spec(params, b2)
+                toks, _, nc = spec(params, batch, src)
                 toks_np, nc0 = np.asarray(toks), int(nc)
                 exact = bool((toks_np == greedy_toks).all())
                 t0 = time.perf_counter()
                 for _ in range(STEPS):
-                    out = spec(params, b2)
+                    out = spec(params, batch, src)
                 np.asarray(out[0])
                 dt = (time.perf_counter() - t0) / STEPS
                 print(f"B={B} spec_k={spec_k:2d} {name:9s}: "
