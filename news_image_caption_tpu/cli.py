@@ -365,10 +365,16 @@ def evaluate_command(args) -> int:
     with open(out_path, "w") as f:
         for batch in ds.batches(batch_size, shuffle=False):
             if spec_gen is not None and "article_ids" in batch:
-                tokens, _, _ = spec_gen(params, batch)
+                tokens, aux, _ = spec_gen(params, batch)
             else:
-                tokens, _ = gen(params, batch)
+                tokens, aux = gen(params, batch)
             tokens = np.asarray(tokens)
+            # Pointer-family generate returns bool copied flags
+            # (flags[b, t] covers tokens[b, t+1]); the reference
+            # decodes them into generations.jsonl 'copied_texts'
+            # (commands/evaluate.py:187-205, '' for other models).
+            aux = np.asarray(aux)
+            copied = aux if aux.dtype == bool else None
             if dump_attn:
                 maps = attn_fn(params, batch, tokens)
                 arrays = {"tokens": tokens}
@@ -395,8 +401,15 @@ def evaluate_command(args) -> int:
                 bleu_s += (gen_text, [ref_text])
                 cider_s += (gen_text, [ref_text])
                 rouge_s += (gen_text, [ref_text])
+                copied_text = ""
+                if copied is not None:
+                    copied_text = " ".join(
+                        f"w{int(tokens[b, t + 1])}"
+                        for t in range(copied.shape[1])
+                        if copied[b, t])
                 f.write(json.dumps({
-                    "generation": gen_text, "caption": ref_text}) + "\n")
+                    "generation": gen_text, "caption": ref_text,
+                    "copied_texts": copied_text}) + "\n")
                 n += 1
     bleu_corpus, _ = bleu_s.compute_score()
     cider_mean, _ = cider_s.compute_score()

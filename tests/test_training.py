@@ -709,7 +709,11 @@ def test_cli_pointer_train_evaluate_speculative(tmp_path):
     rc = main(["evaluate", cfg_path, "--split", "test"])
     assert rc == 0
     plain = (ser / "generations.jsonl").read_text()
-    assert len(plain.strip().split("\n")) == 8
+    lines = plain.strip().split("\n")
+    assert len(lines) == 8
+    # pointer models decode their copied flags into copied_texts
+    # (reference commands/evaluate.py:187-205)
+    assert all("copied_texts" in json.loads(line) for line in lines)
 
     rc = main(["evaluate", cfg_path, "--split", "test", "-s", "_spec",
                "-o", json.dumps({"generation": {"speculative_k": 4}})])
