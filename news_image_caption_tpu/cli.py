@@ -34,6 +34,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="checkpoint to load (default: best)")
     pe.add_argument("-s", "--suffix", default="")
     pe.add_argument("--split", default="test")
+    pe.add_argument("--no-enrich", action="store_true",
+                    help="write bare generation/caption records "
+                         "(skip the NER/readability/TTR enrichment "
+                         "the reference applies in evaluate)")
     pe.add_argument("--dump-attention", default=None, metavar="DIR",
                     help="write per-batch attention maps (.npz) over "
                          "the generated captions to DIR (parity: Gen-1 "
@@ -274,6 +278,7 @@ def evaluate_command(args) -> int:
 
     from news_image_caption_tpu.config import (build_dataset, build_model,
                                                build_optimizer, load_config)
+    from news_image_caption_tpu.evaluation.enrich import enrich_record
     from news_image_caption_tpu.evaluation.metrics import (BleuScorer,
                                                            CiderScorer,
                                                            RougeScorer)
@@ -407,9 +412,17 @@ def evaluate_command(args) -> int:
                         f"w{int(tokens[b, t + 1])}"
                         for t in range(copied.shape[1])
                         if copied[b, t])
-                f.write(json.dumps({
-                    "generation": gen_text, "caption": ref_text,
-                    "copied_texts": copied_text}) + "\n")
+                if getattr(args, "no_enrich", False):
+                    rec = {"generation": gen_text, "caption": ref_text,
+                           "copied_texts": copied_text}
+                else:
+                    # Reference evaluate enriches every record with
+                    # names/entities/readability/TTR as it writes
+                    # (commands/evaluate.py:180-356).
+                    rec = enrich_record(caption=ref_text,
+                                        generation=gen_text,
+                                        copied_text=copied_text)
+                f.write(json.dumps(rec) + "\n")
                 n += 1
     bleu_corpus, _ = bleu_s.compute_score()
     cider_mean, _ = cider_s.compute_score()

@@ -345,6 +345,11 @@ def test_cli_evaluate_writes_generations(tmp_path):
     assert len(gens) == 8
     rec = json.loads(gens[0])
     assert "generation" in rec and "caption" in rec
+    # records are enriched as the reference's evaluate writes them
+    # (names/entities/readability/TTR, commands/evaluate.py:180-356)
+    for key in ("generated_names", "caption_entities",
+                "gen_readability", "gen_np", "ner_backend"):
+        assert key in rec, key
     metrics = json.loads((ser / "evaluate-metrics.json").read_text())
     assert "bleu-4" in metrics and "cider" in metrics
 
