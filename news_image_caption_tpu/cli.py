@@ -89,17 +89,151 @@ def main(argv: Optional[list] = None) -> int:
     ps.add_argument("--exit-after-ready", action="store_true",
                     help=argparse.SUPPRESS)  # test hook
 
+    po = sub.add_parser(
+        "port",
+        help="port a reference torch checkpoint (best.th) into this "
+             "framework's checkpoint store, ready for `tellax "
+             "evaluate`/`serve` (models/port_checkpoint.py: family "
+             "autodetected from the state-dict keys)")
+    po.add_argument("param_path", help="YAML config of the target model")
+    po.add_argument("checkpoint", help="torch state dict (best.th)")
+    po.add_argument("-o", "--overrides", default=None)
+    po.add_argument("-s", "--serialization-dir", default=None)
+    po.add_argument("--no-strict", action="store_true",
+                    help="tolerate unconsumed reference keys")
+
     args = p.parse_args(argv)
     if args.command == "train":
         return train_command(args)
     if args.command == "serve":
         return serve_command(args)
+    if args.command == "port":
+        return port_command(args)
     if args.command == "preprocess":
         from news_image_caption_tpu.data.materialize import \
             main as materialize_main
         return materialize_main([args.input_jsonl, args.out_prefix]
                                 + args.materialize_flags)
     return evaluate_command(args)
+
+
+def port_command(args) -> int:
+    """best.th -> checkpoint store (the reference user's migration
+    path: take a Transform-and-Tell `best.th`, port it, then
+    `tellax evaluate` / `tellax serve` against the same config)."""
+    import jax
+    import torch
+
+    from news_image_caption_tpu.config import (build_dataset, build_model,
+                                               build_optimizer, load_config)
+    from news_image_caption_tpu.models.port_checkpoint import \
+        port_checkpoint
+    from news_image_caption_tpu.training.checkpoint import CheckpointStore
+    from news_image_caption_tpu.training.train_step import \
+        create_train_state
+
+    cfg = load_config(args.param_path, args.overrides)
+    model = build_model(cfg)
+    ds = build_dataset(cfg, "test")
+    sample = next(ds.batches(2, shuffle=False))
+    init_params = model.init(jax.random.PRNGKey(0), sample)
+
+    try:
+        sd = torch.load(args.checkpoint, map_location="cpu",
+                        weights_only=True)
+    except Exception:
+        # Older pickled formats (AllenNLP-era best.th)
+        sd = torch.load(args.checkpoint, map_location="cpu",
+                        weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    mcfg = dict(cfg.get("model", {}))
+    dcfg = mcfg.get("decoder") or mcfg
+    ported = port_checkpoint(
+        sd,
+        num_layers=int(dcfg.get("num_layers", 4)),
+        embed_dim=int(dcfg.get("embed_dim", 1024)),
+        n_bands=len(dcfg.get("cutoff", (5000, 20000, 50265))),
+        strict=not args.no_strict)
+    if ported["unused"]:
+        print(f"warning: {len(ported['unused'])} reference keys "
+              f"unconsumed: {ported['unused'][:5]}...", file=sys.stderr)
+    print(f"detected family: {ported['model']} "
+          f"(config model type: {mcfg.get('type')})")
+
+    cand = ported["variables"]
+    # flattened-family ports wrap the decoder tree in {"captioner":
+    # ...}; TransformerFlattened's params ARE the decoder tree.
+    if (isinstance(cand, dict) and set(cand) == {"captioner"}
+            and isinstance(init_params, dict)
+            and set(init_params) != {"captioner"}):
+        cand = cand["captioner"]
+
+    dropped = []
+
+    def _merge(init, c, path=""):
+        """Fill the model's param structure from the ported tree.
+        Ported leaves the model does not own (dead reference params,
+        e.g. the copy head's unused out_proj) are dropped with a
+        warning; leaves the model NEEDS must exist and match shape."""
+        if isinstance(init, dict):
+            if not isinstance(c, dict):
+                raise KeyError(f"ported tree has a leaf at {path!r} "
+                               f"where the model has a subtree")
+            dropped.extend(f"{path}/{k}" for k in c if k not in init)
+            missing = [k for k in init if k not in c]
+            if missing:
+                raise KeyError(f"ported tree is missing {path}/"
+                               f"{missing[0]} (wrong config for this "
+                               f"checkpoint?)")
+            return {k: _merge(v, c[k], f"{path}/{k}")
+                    for k, v in init.items()}
+        if tuple(init.shape) != tuple(c.shape):
+            raise KeyError(f"shape mismatch at {path}: model "
+                           f"{tuple(init.shape)} vs ported "
+                           f"{tuple(c.shape)}")
+        return jnp_array_like(init, c)
+
+    try:
+        cand = _merge(init_params, cand)
+    except KeyError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if dropped:
+        print(f"note: dropped {len(dropped)} ported leaves the model "
+              f"does not own (dead reference params): "
+              f"{dropped[:4]}...", file=sys.stderr)
+
+    serialization_dir = (args.serialization_dir
+                         or cfg.get("trainer", {}).get("serialization_dir")
+                         or os.path.join(
+                             os.path.dirname(args.param_path) or ".",
+                             "serialization"))
+    ckpt_dir = os.path.join(serialization_dir, "checkpoints")
+    store = CheckpointStore(ckpt_dir)
+    tx = build_optimizer(cfg)
+    state = create_train_state(cand, tx)
+    # metrics entry marks this as 'best' so evaluate's default
+    # (-m best) picks the ported weights up directly.
+    store.save(state, step=0, metrics={store.best_metric: 0.0})
+    print(f"ported checkpoint written to {ckpt_dir} (best + step 0)")
+
+    for enc in ("roberta", "resnet"):
+        if enc in ported:
+            from flax import serialization as _ser
+            path = os.path.join(ckpt_dir, f"{enc}_ported.msgpack")
+            with open(path, "wb") as f:
+                f.write(_ser.to_bytes(ported[enc]))
+            print(f"bundled frozen {enc} encoder written to {path}")
+    return 0
+
+
+def jnp_array_like(init_leaf, cand_leaf):
+    """Cast a ported leaf to the init leaf's dtype (fp32 master
+    convention; the porter emits torch-native dtypes)."""
+    import jax.numpy as jnp
+    return jnp.asarray(cand_leaf, dtype=init_leaf.dtype)
 
 
 def train_command(args) -> int:

@@ -431,3 +431,56 @@ def test_fairseq_roberta_port_separate_qkv_layout():
     bl = jax.tree_util.tree_leaves(p_b)
     for x, y in zip(a, bl):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_cli_port_then_evaluate(tmp_path, capsys):
+    """`tellax port` maps a reference-keyed torch best.th into the
+    checkpoint store and `tellax evaluate` picks it up as 'best' (the
+    reference user's migration path), with NO random-init warning."""
+    import json
+    import shutil
+    import sys as _sys
+
+    from news_image_caption_tpu.cli import main
+
+    torch.manual_seed(0)
+    tmodel = TellPointer(embed_dim=D, num_heads=H, vocab_size=V,
+                         ffn_dim=FFN, kernel_sizes=KERNELS,
+                         cutoff=CUTOFF, image_dim=IMG_DIM,
+                         article_dim=ART_DIM, max_positions=64).eval()
+    best_th = str(tmp_path / "best.th")
+    torch.save(tmodel.state_dict(), best_th)
+
+    cfg = {
+        "dataset": {"type": "synthetic_news", "vocab_size": V,
+                    "caption_len": 12, "article_len": 9,
+                    "n_patches": 5, "image_dim": IMG_DIM,
+                    "article_dim": ART_DIM,
+                    "test": {"size": 4, "seed": 2}},
+        "model": {"type": "transformer_pointer", "embed_dim": D,
+                  "num_heads": H, "article_dim": ART_DIM,
+                  "vocab_size": V, "ffn_dim": FFN,
+                  "num_layers": len(KERNELS),
+                  "kernel_sizes": list(KERNELS),
+                  "cutoff": list(CUTOFF), "image_dim": IMG_DIM,
+                  "max_positions": 64},
+        "iterator": {"batch_size": 2},
+        "generation": {"max_len": 6, "sampling_topk": 1},
+    }
+    import yaml
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rc = main(["port", cfg_path, best_th])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "transformer_pointer" in out.out
+
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "random init" not in out.err
+    ser = tmp_path / "serialization"
+    gens = (ser / "generations.jsonl").read_text().strip().split("\n")
+    assert len(gens) == 4
