@@ -120,3 +120,28 @@ def test_checkdiff_and_integrity(tmp_path):
     bad.write_text(_json.dumps({"caption": "c", "generation": ""}))
     chk2 = integrity_check(str(bad))
     assert not chk2["ok"]
+
+
+def test_evaluate_output_feeds_compute_metrics(tmp_path):
+    """The CLI evaluate's enriched generations.jsonl is directly
+    consumable by the offline compute_metrics CLI (the reference's
+    metrics.sh flow: tell evaluate -> scripts/compute_metrics.py)."""
+    import os
+    import shutil
+
+    from news_image_caption_tpu.cli import main as tellax
+    from news_image_caption_tpu.evaluation.compute_metrics import \
+        main as metrics_main
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    tiny = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "tiny_test.yaml")
+    shutil.copy(tiny, cfg_path)
+    rc = tellax(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    gens = str(tmp_path / "serialization" / "generations.jsonl")
+    rc = metrics_main([gens])
+    assert rc == 0
+    out = json.loads((tmp_path / "serialization" /
+                      "generations_reported_metrics.json").read_text())
+    assert "BLEU-4" in out and "CIDEr" in out
