@@ -380,9 +380,16 @@ def port_checkpoint(state_dict: Dict[str, Any],
 
     out: Dict[str, Any] = {}
     if any(k.startswith("classifier.dense") for k in own):
+        # Infer the template count from the decoder.head{t}.0.* keys
+        # (decoder_tgnc.py builds one ModuleList per template).
+        import re as _re
+        heads = {int(m.group(1)) for k in own
+                 for m in [_re.match(r"decoder\.head(\d+)\.", k)] if m}
         variables, unused = port_tgnc_model(
             own, num_layers=num_layers, embed_dim=embed_dim,
-            n_bands=n_bands, strict=strict)
+            n_bands=n_bands,
+            n_templates=(1 + max(heads)) if heads else 5,
+            strict=strict)
         out.update(model="tgnc", variables=variables, unused=unused)
     elif "in_proj_weight" in own:
         ctx = _context_names(own)

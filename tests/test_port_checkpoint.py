@@ -484,3 +484,56 @@ def test_cli_port_then_evaluate(tmp_path, capsys):
     ser = tmp_path / "serialization"
     gens = (ser / "generations.jsonl").read_text().strip().split("\n")
     assert len(gens) == 4
+
+
+def test_cli_port_then_evaluate_tgnc(tmp_path, capsys):
+    """`tellax port` on a tgnc best.th (template count inferred from
+    the decoder.head{t} keys) -> evaluate runs the template-guided
+    decode from the store's best."""
+    from torch_tell_tgnc import TellTGNC
+
+    import yaml
+
+    from news_image_caption_tpu.cli import main
+
+    torch.manual_seed(1)
+    tmodel = TellTGNC(embed_dim=D, image_dim=IMG_DIM, n_templates=3,
+                      head_kernel=7, ffn_dim=FFN, num_heads=H,
+                      article_dim=ART_DIM, vocab_size=V, cutoff=CUTOFF,
+                      kernel_sizes=KERNELS, max_positions=64).eval()
+    best_th = str(tmp_path / "best.th")
+    torch.save(tmodel.state_dict(), best_th)
+
+    cfg = {
+        "dataset": {"type": "synthetic_news", "vocab_size": V,
+                    "caption_len": 12, "article_len": 9,
+                    "n_patches": 5, "image_dim": IMG_DIM,
+                    "article_dim": ART_DIM,
+                    "test": {"size": 4, "seed": 2}},
+        "model": {"type": "tgnc", "use_template_decoder": True,
+                  "n_templates": 3, "head_kernel": 7,
+                  "embed_dim": D, "num_heads": H,
+                  "article_dim": ART_DIM, "vocab_size": V,
+                  "ffn_dim": FFN, "num_layers": len(KERNELS),
+                  "kernel_sizes": list(KERNELS),
+                  "cutoff": list(CUTOFF), "image_dim": IMG_DIM,
+                  "max_positions": 64},
+        "iterator": {"batch_size": 2},
+        "generation": {"max_len": 6, "sampling_topk": 1},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rc = main(["port", cfg_path, best_th])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "tgnc" in out.out
+
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "random init" not in out.err
+    gens = (tmp_path / "serialization" /
+            "generations.jsonl").read_text().strip().split("\n")
+    assert len(gens) == 4
