@@ -163,9 +163,36 @@ def port_command(args) -> int:
           f"(config model type: {mcfg.get('type')})")
 
     cand = ported["variables"]
+    if (isinstance(init_params, dict)
+            and {"resnet", "roberta"} <= set(init_params)):
+        # gen3_pipeline config: assemble the full-pipeline tree from
+        # the decoder-family variables + the bundled frozen encoders
+        # (reference best.th serializes resnet/roberta as submodules).
+        cap = (cand["captioner"]
+               if isinstance(cand, dict) and set(cand) == {"captioner"}
+               else cand)
+        asm = {"captioner": cap}
+        for enc in ("resnet", "roberta"):
+            if enc in ported:
+                asm[enc] = ported[enc]
+            else:
+                asm[enc] = init_params[enc]
+                print(f"warning: checkpoint bundles no {enc} weights; "
+                      f"keeping random init for it", file=sys.stderr)
+        if "weighted_sum" in init_params:
+            w = ported.get("extras", {}).get("bert_weight")
+            if w is None and isinstance(cand, dict):
+                w = cand.get("extras", {}).get("bert_weight")
+            if w is not None:
+                asm["weighted_sum"] = {"params": {"bert_weight": w}}
+            else:
+                asm["weighted_sum"] = init_params["weighted_sum"]
+                print("warning: no bert_weight in checkpoint; "
+                      "weighted_sum stays random init", file=sys.stderr)
+        cand = asm
     # flattened-family ports wrap the decoder tree in {"captioner":
     # ...}; TransformerFlattened's params ARE the decoder tree.
-    if (isinstance(cand, dict) and set(cand) == {"captioner"}
+    elif (isinstance(cand, dict) and set(cand) == {"captioner"}
             and isinstance(init_params, dict)
             and set(init_params) != {"captioner"}):
         cand = cand["captioner"]

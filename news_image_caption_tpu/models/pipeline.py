@@ -37,6 +37,12 @@ class Gen3Pipeline:
                  roberta: Optional[RobertaEncoder] = None,
                  weigh_bert: bool = False,
                  **decoder_kwargs):
+        # YAML configs pass encoder kwargs as dicts
+        # (resnet: {depth: 152, num_stages: 4}).
+        if isinstance(resnet, dict):
+            resnet = ResNetTrunk(**resnet)
+        if isinstance(roberta, dict):
+            roberta = RobertaEncoder(**roberta)
         self.captioner = captioner or TransformerFlattened(
             **decoder_kwargs)
         self.resnet = resnet or ResNetTrunk(depth=152, num_stages=4)

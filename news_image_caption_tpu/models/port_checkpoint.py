@@ -401,11 +401,18 @@ def port_checkpoint(state_dict: Dict[str, Any],
         out.update(model=name, variables=variables, unused=unused)
     else:
         ctx = _context_names(own)
+        # weigh_bert checkpoints carry the 25-layer weighted-sum
+        # vector at the model level (transformer_flattened.py:205-221)
+        extras = {k: own.pop(k)
+                  for k in ("bert_weight", "bert_weight_2")
+                  if k in own}
         variables, unused = port_tell_decoder(
             own, num_layers=num_layers, embed_dim=embed_dim,
             n_bands=n_bands, context_names=ctx, strict=strict)
         out.update(model="transformer_flattened",
                    variables={"captioner": variables}, unused=unused)
+        if extras:
+            out["extras"] = extras
 
     roberta_keys = {k: v for k, v in enc.items()
                     if k.startswith(("roberta.", "textmodel."))}

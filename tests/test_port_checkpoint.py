@@ -537,3 +537,68 @@ def test_cli_port_then_evaluate_tgnc(tmp_path, capsys):
     gens = (tmp_path / "serialization" /
             "generations.jsonl").read_text().strip().split("\n")
     assert len(gens) == 4
+
+
+def test_cli_port_weighted_pipeline(tmp_path, capsys):
+    """`tellax port` assembles a gen3_pipeline tree: ported decoder +
+    bert_weight -> weighted_sum; missing bundled encoders keep their
+    init with a warning. Evaluate then runs the online-encoder
+    pipeline from the store's best."""
+    import yaml
+
+    from news_image_caption_tpu.cli import main
+
+    torch.manual_seed(2)
+    IMG256 = 256          # ResNet-18 stage-3 channel count
+    tmodel = TellPointer(embed_dim=D, num_heads=H, vocab_size=V,
+                         ffn_dim=FFN, kernel_sizes=KERNELS,
+                         cutoff=CUTOFF, image_dim=IMG256,
+                         article_dim=ART_DIM, max_positions=64).eval()
+    sd = {k: v for k, v in tmodel.state_dict().items()
+          if k.startswith("decoder.")}
+    sd["bert_weight"] = torch.randn(2)   # 1-layer tiny roberta -> 2
+    best_th = str(tmp_path / "best.th")
+    torch.save(sd, best_th)
+
+    cfg = {
+        "dataset": {"type": "synthetic_news", "vocab_size": V,
+                    "caption_len": 12, "article_len": 9,
+                    "n_patches": 5, "image_dim": IMG256,
+                    "article_dim": ART_DIM, "raw_image_size": 64,
+                    "test": {"size": 4, "seed": 2}},
+        "model": {"type": "gen3_pipeline", "weigh_bert": True,
+                  "resnet": {"depth": 18, "num_stages": 3},
+                  "roberta": {"vocab_size": V, "hidden": ART_DIM,
+                              "num_layers": 1, "heads": H,
+                              "intermediate": 64},
+                  "decoder": {"type": "dynamic_conv_decoder_flattened",
+                              "vocab_size": V, "embed_dim": D,
+                              "ffn_dim": FFN, "num_heads": H,
+                              "num_layers": len(KERNELS),
+                              "kernel_sizes": list(KERNELS),
+                              "cutoff": list(CUTOFF),
+                              "image_dim": IMG256,
+                              "article_dim": ART_DIM,
+                              "max_positions": 64}},
+        "iterator": {"batch_size": 2},
+        "generation": {"max_len": 6, "sampling_topk": 1},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rc = main(["port", cfg_path, best_th])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "transformer_flattened" in out.out
+    assert "bundles no resnet" in out.err
+    assert "bundles no roberta" in out.err
+    assert "weighted_sum stays random" not in out.err
+
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "random init" not in out.err
+    gens = (tmp_path / "serialization" /
+            "generations.jsonl").read_text().strip().split("\n")
+    assert len(gens) == 4
