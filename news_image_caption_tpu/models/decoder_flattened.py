@@ -428,6 +428,13 @@ class DynamicConvDecoder(nn.Module):
     # path, in-kernel PRNG dropout (ops/pallas_flash.py).
     use_flash_train: bool = False
     flash_interpret: bool = False
+    # Rematerialize each decoder layer on the backward pass
+    # (jax.checkpoint via nn.remat): trades ~1 extra layer forward of
+    # FLOPs for not storing the layer activations — the standard TPU
+    # memory-for-FLOPs lever for bigger batches/longer sequences.
+    # Bit-identical fwd+grad (tested incl. dropout rng streams);
+    # decode-path methods (step/chunk/beam) are untouched.
+    remat: bool = False
 
     def setup(self):
         assert len(self.kernel_sizes) == self.num_layers
@@ -443,8 +450,13 @@ class DynamicConvDecoder(nn.Module):
                 else ())
         specs = base + (("article", self.article_dim),) \
             + tuple(self.extra_contexts)
+        # static_argnums: (3, 4) = (deterministic, need_attn) in the
+        # lifted __call__ (positionally; verified fwd+grad identical).
+        layer_cls = (nn.remat(DynamicConvDecoderLayer,
+                              static_argnums=(3, 4))
+                     if self.remat else DynamicConvDecoderLayer)
         self.layers = [
-            DynamicConvDecoderLayer(
+            layer_cls(
                 embed_dim=self.embed_dim, conv_dim=cdim,
                 kernel_size=self.kernel_sizes[i], num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim, context_specs=specs,
@@ -506,7 +518,9 @@ class DynamicConvDecoder(nn.Module):
         x = self.embedder(token_ids)
         x = self._drop_embed(x, deterministic)
         for layer, kv in zip(self.layers, kvs):
-            x, _ = layer(x, kv, deterministic=deterministic)
+            # positional args: nn.remat's static_argnums only covers
+            # positional parameters
+            x, _ = layer(x, kv, deterministic, False)
         if self.normalize_before and self.final_norm:
             x = self.layer_norm(x)
         return x
@@ -742,7 +756,7 @@ class DynamicConvDecoder(nn.Module):
         x = self.embedder(token_ids)
         maps = []
         for layer, kv in zip(self.layers, kvs):
-            x, attns = layer(x, kv, deterministic=True, need_attn=True)
+            x, attns = layer(x, kv, True, True)  # positional for remat
             maps.append(attns)
         return maps
 

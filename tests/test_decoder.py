@@ -177,3 +177,37 @@ def test_permute_rows_matches_take():
     np.testing.assert_array_equal(
         np.asarray(permute_rows(xi, src)),
         np.asarray(jnp.take(xi, src, axis=0)))
+
+
+def test_remat_decoder_is_bit_identical():
+    """decoder.remat=True (jax.checkpoint per layer via nn.remat)
+    changes memory, not numerics: loss, grads (incl. dropout rng
+    streams), and greedy decode are identical to the plain decoder."""
+    from news_image_caption_tpu.generation.generator import (
+        GenerationConfig, generate_candidates)
+    from news_image_caption_tpu.models.captioner import \
+        TransformerFlattened
+
+    batch = tiny_batch(B=2)
+    m0 = TransformerFlattened(tiny_decoder())
+    m1 = TransformerFlattened(tiny_decoder(remat=True))
+    p = m0.init(jax.random.PRNGKey(0), batch)
+    # same param structure: remat lifts the layer class, not the tree
+    p1 = m1.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(p1))
+
+    l0, _ = m0.loss_fn(p, batch)
+    l1, _ = m1.loss_fn(p, batch)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=0, atol=0)
+
+    rng = jax.random.PRNGKey(3)
+    g0 = jax.grad(lambda v: m0.loss_fn(v, batch, dropout_rng=rng)[0])(p)
+    g1 = jax.grad(lambda v: m1.loss_fn(v, batch, dropout_rng=rng)[0])(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    t0, _ = m0.generate(p, batch, cfg)
+    t1, _ = m1.generate(p, batch, cfg)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
