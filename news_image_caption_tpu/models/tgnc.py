@@ -88,6 +88,9 @@ class TemplateGuidedDecoder(nn.Module):
     padding_idx: int = 0
     target_padding_idx: int = 1
     max_positions: int = 512
+    # Per-layer rematerialization on the teacher-forced path (same
+    # knob as DynamicConvDecoder.remat; bit-identical fwd+grad).
+    remat: bool = False
 
     def setup(self):
         self.embedder = SumEmbedder(
@@ -98,8 +101,12 @@ class TemplateGuidedDecoder(nn.Module):
         specs = (("image", self.image_dim),
                  ("article", self.article_dim))
 
+        layer_cls = (nn.remat(DynamicConvDecoderLayer,
+                              static_argnums=(3, 4))
+                     if self.remat else DynamicConvDecoderLayer)
+
         def layer(kernel, name):
-            return DynamicConvDecoderLayer(
+            return layer_cls(
                 embed_dim=self.embed_dim, conv_dim=self.embed_dim,
                 kernel_size=kernel, num_heads=self.num_heads,
                 ffn_dim=self.ffn_dim, context_specs=specs,
@@ -136,8 +143,8 @@ class TemplateGuidedDecoder(nn.Module):
         # decoder's _drop_embed).
         x = dropout(self, x, self.dropout, deterministic)
         for layer, kv in zip(self.layers, kvs[:self.num_layers]):
-            x, _ = layer(x, kv, deterministic=deterministic)
-        outs = [head(x, kv, deterministic=deterministic)[0]
+            x, _ = layer(x, kv, deterministic, False)  # positional: remat
+        outs = [head(x, kv, deterministic, False)[0]
                 for head, kv in zip(self.heads,
                                     kvs[self.num_layers:])]
         return self._mix(outs, template_logits)

@@ -250,3 +250,32 @@ def test_pipeline_normalizes_raw_uint8_images():
     np.testing.assert_allclose(np.asarray(ctx_raw["image"]),
                                np.asarray(ctx_pre["image"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tgnc_remat_is_bit_identical():
+    """TemplateGuidedDecoder remat knob: loss identical; grads match
+    to float tolerance (the per-template head fan-out lets remat
+    reassociate the cotangent sum into x, unlike the flagship's pure
+    layer chain which is bit-identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from news_image_caption_tpu.models.tgnc import TGNC
+
+    kw = tiny_kwargs()
+    batch = base_batch()
+    m0 = TGNC(use_template_decoder=True, n_templates=2, **kw)
+    m1 = TGNC(use_template_decoder=True, n_templates=2, remat=True,
+              **kw)
+    p = m0.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(p) == jax.tree_util
+            .tree_structure(m1.init(jax.random.PRNGKey(0), batch)))
+    l0, _ = m0.loss_fn(p, batch)
+    l1, _ = m1.loss_fn(p, batch)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    rng = jax.random.PRNGKey(3)
+    g0 = jax.grad(lambda v: m0.loss_fn(v, batch, dropout_rng=rng)[0])(p)
+    g1 = jax.grad(lambda v: m1.loss_fn(v, batch, dropout_rng=rng)[0])(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
