@@ -254,6 +254,10 @@ class Gen2Transformer(nn.Module):
     dropout_rate: float = 0.1
     max_len: int = 512
     pad_id: int = 0
+    # Per-layer rematerialization on the teacher-forced path (same
+    # knob as DynamicConvDecoder.remat: memory-for-FLOPs, identical
+    # numerics; decode-path methods step/step_chunk are untouched).
+    remat: bool = False
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.d_model,
@@ -261,10 +265,14 @@ class Gen2Transformer(nn.Module):
                               name="embed")
         self.pe = jnp.asarray(
             interleaved_sinusoidal_table(self.max_len + 8, self.d_model))
+        # static_argnums: 5 = deterministic in the lifted __call__
+        # (self=0, x=1, memory=2, tgt_mask=3, src_masks=4).
+        layer_cls = (nn.remat(Gen2DecoderLayer, static_argnums=(5,))
+                     if self.remat else Gen2DecoderLayer)
         self.layers = [
-            Gen2DecoderLayer(self.d_model, self.num_heads, self.d_ff,
-                             self.img_dim, self.sent_dim,
-                             self.dropout_rate, name=f"layers_{i}")
+            layer_cls(self.d_model, self.num_heads, self.d_ff,
+                      self.img_dim, self.sent_dim,
+                      self.dropout_rate, name=f"layers_{i}")
             for i in range(self.num_layers)]
         self.final_norm = Gen2LayerNorm(name="final_norm")
         self.proj = XavierLinear(self.vocab_size, name="generator")

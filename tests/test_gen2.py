@@ -149,3 +149,31 @@ def test_article_padding_ignored():
     batch2["article"] = batch["article"].at[:, -2:].set(99.0)
     l2, _ = model.loss_fn(params, batch2)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+
+
+def test_gen2_remat_is_bit_identical():
+    """Gen2Transformer.remat=True (jax.checkpoint per layer) changes
+    memory, not numerics: loss, grads (incl. dropout rng streams), and
+    greedy decode are identical to the plain module."""
+    m0 = tiny_model()
+    m1 = tiny_model(remat=True)
+    batch = tiny_batch()
+    p = m0.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(p) == jax.tree_util
+            .tree_structure(m1.init(jax.random.PRNGKey(0), batch)))
+
+    l0, _ = m0.loss_fn(p, batch)
+    l1, _ = m1.loss_fn(p, batch)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    rng = jax.random.PRNGKey(3)
+    g0 = jax.grad(lambda v: m0.loss_fn(v, batch, dropout_rng=rng)[0])(p)
+    g1 = jax.grad(lambda v: m1.loss_fn(v, batch, dropout_rng=rng)[0])(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg = GenerationConfig(max_len=8, sampling_topk=1, bos_id=1,
+                           eos_id=0, pad_id=0, init_finished=False)
+    t0 = np.asarray(m0.generate(p, batch, cfg)[0])
+    t1 = np.asarray(m1.generate(p, batch, cfg)[0])
+    np.testing.assert_array_equal(t0, t1)
