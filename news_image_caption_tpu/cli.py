@@ -126,8 +126,8 @@ def port_command(args) -> int:
 
     from news_image_caption_tpu.config import (build_dataset, build_model,
                                                build_optimizer, load_config)
-    from news_image_caption_tpu.models.port_checkpoint import \
-        port_checkpoint
+    from news_image_caption_tpu.models.port_checkpoint import (
+        assemble_for_init, merge_into_init, port_checkpoint)
     from news_image_caption_tpu.training.checkpoint import CheckpointStore
     from news_image_caption_tpu.training.train_step import \
         create_train_state
@@ -162,68 +162,14 @@ def port_command(args) -> int:
     print(f"detected family: {ported['model']} "
           f"(config model type: {mcfg.get('type')})")
 
-    cand = ported["variables"]
-    if (isinstance(init_params, dict)
-            and {"resnet", "roberta"} <= set(init_params)):
-        # gen3_pipeline config: assemble the full-pipeline tree from
-        # the decoder-family variables + the bundled frozen encoders
-        # (reference best.th serializes resnet/roberta as submodules).
-        cap = (cand["captioner"]
-               if isinstance(cand, dict) and set(cand) == {"captioner"}
-               else cand)
-        asm = {"captioner": cap}
-        for enc in ("resnet", "roberta"):
-            if enc in ported:
-                asm[enc] = ported[enc]
-            else:
-                asm[enc] = init_params[enc]
-                print(f"warning: checkpoint bundles no {enc} weights; "
-                      f"keeping random init for it", file=sys.stderr)
-        if "weighted_sum" in init_params:
-            w = ported.get("extras", {}).get("bert_weight")
-            if w is None and isinstance(cand, dict):
-                w = cand.get("extras", {}).get("bert_weight")
-            if w is not None:
-                asm["weighted_sum"] = {"params": {"bert_weight": w}}
-            else:
-                asm["weighted_sum"] = init_params["weighted_sum"]
-                print("warning: no bert_weight in checkpoint; "
-                      "weighted_sum stays random init", file=sys.stderr)
-        cand = asm
-    # flattened-family ports wrap the decoder tree in {"captioner":
-    # ...}; TransformerFlattened's params ARE the decoder tree.
-    elif (isinstance(cand, dict) and set(cand) == {"captioner"}
-            and isinstance(init_params, dict)
-            and set(init_params) != {"captioner"}):
-        cand = cand["captioner"]
-
-    dropped = []
-
-    def _merge(init, c, path=""):
-        """Fill the model's param structure from the ported tree.
-        Ported leaves the model does not own (dead reference params,
-        e.g. the copy head's unused out_proj) are dropped with a
-        warning; leaves the model NEEDS must exist and match shape."""
-        if isinstance(init, dict):
-            if not isinstance(c, dict):
-                raise KeyError(f"ported tree has a leaf at {path!r} "
-                               f"where the model has a subtree")
-            dropped.extend(f"{path}/{k}" for k in c if k not in init)
-            missing = [k for k in init if k not in c]
-            if missing:
-                raise KeyError(f"ported tree is missing {path}/"
-                               f"{missing[0]} (wrong config for this "
-                               f"checkpoint?)")
-            return {k: _merge(v, c[k], f"{path}/{k}")
-                    for k, v in init.items()}
-        if tuple(init.shape) != tuple(c.shape):
-            raise KeyError(f"shape mismatch at {path}: model "
-                           f"{tuple(init.shape)} vs ported "
-                           f"{tuple(c.shape)}")
-        return jnp_array_like(init, c)
-
+    # Shape the family variables to the model's init tree (gen3
+    # pipeline assembly / flattened unwrap) and graft them in; the
+    # rules live beside the porters (models/port_checkpoint.py).
+    cand, warnings = assemble_for_init(ported, init_params)
+    for w in warnings:
+        print(w, file=sys.stderr)
     try:
-        cand = _merge(init_params, cand)
+        cand, dropped = merge_into_init(init_params, cand)
     except KeyError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -254,13 +200,6 @@ def port_command(args) -> int:
                 f.write(_ser.to_bytes(ported[enc]))
             print(f"bundled frozen {enc} encoder written to {path}")
     return 0
-
-
-def jnp_array_like(init_leaf, cand_leaf):
-    """Cast a ported leaf to the init leaf's dtype (fp32 master
-    convention; the porter emits torch-native dtypes)."""
-    import jax.numpy as jnp
-    return jnp.asarray(cand_leaf, dtype=init_leaf.dtype)
 
 
 def train_command(args) -> int:

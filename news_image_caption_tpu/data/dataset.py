@@ -44,6 +44,18 @@ class Example:
     entity_mask: Optional[np.ndarray] = None
 
 
+def _example_stream(seed: int, stream: int, idx: int):
+    """Per-example rng streams. Stream 0 (captions/features) keeps the
+    original multiplier derivation — loss-trajectory tests pin its
+    draws bit-exactly. Streams >= 1 (article ids, extra contexts) are
+    tuple-seeded through SeedSequence so they stay independent of
+    stream 0 for EVERY seed: a `seed*K + idx` offset collapses onto
+    stream 0's keystream at seed 0, the shipped default."""
+    if stream == 0:
+        return np.random.default_rng(seed * 1_000_003 + idx)
+    return np.random.default_rng((seed, stream, idx))
+
+
 @DATASETS.register("synthetic_news")
 class SyntheticNewsDataset:
     """Random but deterministic caption/article/feature data.
@@ -86,7 +98,7 @@ class SyntheticNewsDataset:
         return self.size
 
     def __getitem__(self, idx: int) -> Example:
-        rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+        rng = _example_stream(self.seed, 0, idx)
         cap_lo = min(5, self.caption_len - 1)
         cap_len = int(rng.integers(cap_lo, self.caption_len))
         body = rng.integers(4, self.vocab_size, size=max(cap_len - 2, 1))
@@ -99,7 +111,7 @@ class SyntheticNewsDataset:
         # prompt-lookup drafter both exploit). Separate rng stream so
         # the caption/feature draws stay bit-identical to the pre-
         # article_ids dataset (loss-trajectory tests pin them).
-        rng_ids = np.random.default_rng(self.seed * 7_000_003 + idx)
+        rng_ids = _example_stream(self.seed, 1, idx)
         art_ids = rng_ids.integers(4, self.vocab_size, size=art_len)
         span = min(len(body), art_len)
         if span > 0:
@@ -123,7 +135,7 @@ class SyntheticNewsDataset:
 
         # Extra contexts draw from their own stream (keeps the base
         # caption/feature/article draws bit-identical when enabled).
-        rng_x = np.random.default_rng(self.seed * 11_000_003 + idx)
+        rng_x = _example_stream(self.seed, 2, idx)
 
         def _ctx(n, dim):
             if n <= 0:

@@ -35,7 +35,16 @@ from news_image_caption_tpu.models.port_tell import (
     _KeyTracker, _np, _port_gehring, _port_layer_norm, port_tell_decoder)
 
 __all__ = ["port_pointer_model", "port_tgnc_model",
-           "port_fairseq_roberta", "port_checkpoint"]
+           "port_fairseq_roberta", "port_checkpoint",
+           "assemble_for_init", "merge_into_init"]
+
+# bert_weight_2 exists in the reference's context/entity-pointer
+# variants but its only read is commented out
+# (transformer_context_pointer.py:243) — a dead parameter. The porter
+# consumes it (so strict accounting passes) and reports the drop.
+_BERT_WEIGHT_2_NOTE = ("bert_weight_2 (dead in the reference: only "
+                       "use is commented out, "
+                       "transformer_context_pointer.py:243)")
 
 
 def _port_dense(tr: _KeyTracker, key: str,
@@ -157,19 +166,22 @@ def port_pointer_model(state_dict: Dict[str, Any],
     variables["copy_attn"] = {
         "params": port_copy_attention(tr, embed_dim)}
 
-    extras: Dict[str, np.ndarray] = {}
-    for k in ("bert_weight", "bert_weight_2"):     # weigh_bert option
-        if tr.has(k):
-            extras[k] = tr.take(k)
-    if extras:
-        variables["extras"] = extras
+    if tr.has("bert_weight"):                      # weigh_bert option
+        variables["extras"] = {"bert_weight": tr.take("bert_weight")}
+    dead = []
+    if tr.has("bert_weight_2"):
+        # Dead in the reference: its only use is commented out
+        # (transformer_context_pointer.py:243) — consume it so strict
+        # mode passes, but surface the drop in the unused report.
+        tr.take("bert_weight_2")
+        dead.append(_BERT_WEIGHT_2_NOTE)
 
     unused = [k for k in tr.unused() if not k.startswith("decoder.")]
     unused += [f"decoder.{k}" for k in dec_unused]
     if strict and unused:
         raise ValueError(f"unported pointer-model keys: {unused[:10]}"
                          f"{'...' if len(unused) > 10 else ''}")
-    return variables, unused
+    return variables, unused + dead
 
 
 def port_tgnc_model(state_dict: Dict[str, Any],
@@ -403,16 +415,25 @@ def port_checkpoint(state_dict: Dict[str, Any],
         ctx = _context_names(own)
         # weigh_bert checkpoints carry the 25-layer weighted-sum
         # vector at the model level (transformer_flattened.py:205-221)
-        extras = {k: own.pop(k)
-                  for k in ("bert_weight", "bert_weight_2")
-                  if k in own}
+        extras = {k: own.pop(k) for k in ("bert_weight",) if k in own}
+        dead = ([_BERT_WEIGHT_2_NOTE]
+                if own.pop("bert_weight_2", None) is not None else [])
         variables, unused = port_tell_decoder(
             own, num_layers=num_layers, embed_dim=embed_dim,
             n_bands=n_bands, context_names=ctx, strict=strict)
         out.update(model="transformer_flattened",
-                   variables={"captioner": variables}, unused=unused)
+                   variables={"captioner": variables},
+                   unused=list(unused) + dead)
         if extras:
             out["extras"] = extras
+
+    # Normalize: consumable extras (bert_weight) always live at
+    # out["extras"], never inside the variables tree (where the merge
+    # step would mistake them for dead reference params).
+    if isinstance(out.get("variables"), dict):
+        hoisted = out["variables"].pop("extras", None)
+        if hoisted:
+            out.setdefault("extras", {}).update(hoisted)
 
     roberta_keys = {k: v for k, v in enc.items()
                     if k.startswith(("roberta.", "textmodel."))}
@@ -438,3 +459,99 @@ def _context_names(own: Dict[str, Any]) -> Tuple[str, ...]:
                          "entity", "sections") if c in found]
     order += sorted(found - set(order))
     return tuple(order) or ("image", "article")
+
+
+# ----------------------------------------------------------------------
+# Shaping ported variables onto a model's init tree (used by the
+# `tellax port` CLI; lives here so porter tests can cover it and new
+# families extend one module).
+
+def merge_into_init(init_params: Dict[str, Any],
+                    cand: Dict[str, Any]) -> Tuple[Dict[str, Any], list]:
+    """Fill the model's param structure from the ported tree.
+
+    Ported leaves the model does not own (dead reference params, e.g.
+    the copy head's unused out_proj) are dropped and reported in the
+    returned list; leaves the model NEEDS must exist and match shape
+    (KeyError otherwise). Each kept leaf is cast to the init leaf's
+    dtype (fp32 master convention; the porter emits torch-native
+    dtypes)."""
+    import jax.numpy as jnp
+
+    dropped: list = []
+
+    def rec(init, c, path=""):
+        if isinstance(init, dict):
+            if not isinstance(c, dict):
+                raise KeyError(f"ported tree has a leaf at {path!r} "
+                               f"where the model has a subtree")
+            dropped.extend(f"{path}/{k}" for k in c if k not in init)
+            missing = [k for k in init if k not in c]
+            if missing:
+                raise KeyError(f"ported tree is missing {path}/"
+                               f"{missing[0]} (wrong config for this "
+                               f"checkpoint?)")
+            return {k: rec(v, c[k], f"{path}/{k}")
+                    for k, v in init.items()}
+        if tuple(init.shape) != tuple(c.shape):
+            raise KeyError(f"shape mismatch at {path}: model "
+                           f"{tuple(init.shape)} vs ported "
+                           f"{tuple(c.shape)}")
+        return jnp.asarray(c, dtype=init.dtype)
+
+    return rec(init_params, cand), dropped
+
+
+def assemble_for_init(ported: Dict[str, Any],
+                      init_params: Any) -> Tuple[Any, list]:
+    """Shape `port_checkpoint`'s output to the target model's param
+    tree and return (candidate_tree, warnings).
+
+    - gen3_pipeline configs ({resnet, roberta, captioner[, weighted_
+      sum]} at the top level): graft the family variables under
+      `captioner`, attach bundled frozen encoders (or keep the init
+      encoders, with a warning), and route extras["bert_weight"] into
+      the weighted_sum submodule (transformer_flattened.py:205-221).
+    - flattened-family ports wrap the decoder tree in {"captioner":
+      ...}; unwrap when the model's params ARE the decoder tree.
+
+    Extras that no branch consumed produce a warning naming them —
+    porting must never silently change reference semantics."""
+    warnings: list = []
+    consumed: set = set()
+    cand = ported["variables"]
+    if (isinstance(init_params, dict)
+            and {"resnet", "roberta"} <= set(init_params)):
+        cap = (cand["captioner"]
+               if isinstance(cand, dict) and set(cand) == {"captioner"}
+               else cand)
+        asm: Dict[str, Any] = {"captioner": cap}
+        for enc in ("resnet", "roberta"):
+            if enc in ported:
+                asm[enc] = ported[enc]
+            else:
+                asm[enc] = init_params[enc]
+                warnings.append(f"warning: checkpoint bundles no {enc} "
+                                f"weights; keeping random init for it")
+        if "weighted_sum" in init_params:
+            w = ported.get("extras", {}).get("bert_weight")
+            if w is not None:
+                asm["weighted_sum"] = {"params": {"bert_weight": w}}
+                consumed.add("bert_weight")
+            else:
+                asm["weighted_sum"] = init_params["weighted_sum"]
+                warnings.append("warning: no bert_weight in checkpoint; "
+                                "weighted_sum stays random init")
+        cand = asm
+    elif (isinstance(cand, dict) and set(cand) == {"captioner"}
+            and isinstance(init_params, dict)
+            and set(init_params) != {"captioner"}):
+        cand = cand["captioner"]
+    leftover = sorted(set(ported.get("extras", {})) - consumed)
+    if leftover:
+        warnings.append(
+            f"warning: ported extras not consumed by this config "
+            f"(model has no weighted_sum): {leftover} — the "
+            f"reference applied these; check the config's weigh_bert/"
+            f"model type")
+    return cand, warnings

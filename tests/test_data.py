@@ -189,3 +189,20 @@ def test_token_bucket_batcher_caps_and_buckets():
     assert len({b for _, b in batches}) >= 3
     shortest_batch = min(batches, key=lambda x: x[1])
     assert shortest_batch[1] <= 128
+
+
+def test_synthetic_rng_streams_independent_at_seed0():
+    """Regression: the article/extra-context streams used to derive as
+    default_rng(seed*K + idx), which collapses onto the base stream's
+    keystream at seed 0 (the shipped default) — coupling the article
+    ids and faces/obj features to the caption/image draws."""
+    from news_image_caption_tpu.data.dataset import _example_stream
+
+    for idx in (0, 3, 17):
+        raw = [ _example_stream(0, s, idx).bytes(32) for s in (0, 1, 2) ]
+        assert raw[0] != raw[1] and raw[0] != raw[2] and raw[1] != raw[2]
+    # the base stream itself is pinned (loss-trajectory tests depend
+    # on its draws): stream 0 must still be the multiplier derivation
+    import numpy as np
+    assert (_example_stream(5, 0, 7).bytes(32)
+            == np.random.default_rng(5 * 1_000_003 + 7).bytes(32))

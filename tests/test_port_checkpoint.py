@@ -602,3 +602,51 @@ def test_cli_port_weighted_pipeline(tmp_path, capsys):
     gens = (tmp_path / "serialization" /
             "generations.jsonl").read_text().strip().split("\n")
     assert len(gens) == 4
+
+
+def test_bert_weight_2_consumed_and_reported(bundle):
+    """bert_weight_2 is dead in the reference (its only read is
+    commented out, transformer_context_pointer.py:243): strict porting
+    must pass, bert_weight must surface at out['extras'] (never inside
+    the variables tree), and the drop must appear in the unused report
+    instead of vanishing silently."""
+    tmodel, *_ = bundle
+    for family_filter in (lambda k: True,                     # pointer
+                          lambda k: k.startswith("decoder.")):  # flattened
+        sd = {k: v for k, v in tmodel.state_dict().items()
+              if family_filter(k)}
+        sd["bert_weight"] = torch.randn(25)
+        sd["bert_weight_2"] = torch.randn(25)
+        out = port_checkpoint(sd, num_layers=len(KERNELS), embed_dim=D,
+                              n_bands=len(CUTOFF), strict=True)
+        assert list(out["extras"]) == ["bert_weight"]
+        assert "extras" not in out["variables"]
+        assert any("bert_weight_2" in u for u in out["unused"])
+        assert all("bert_weight_2" not in k for k in out["extras"])
+
+
+def test_assemble_warns_on_unconsumed_extras(bundle):
+    """A weigh_bert checkpoint ported into a config whose model has no
+    weighted_sum must WARN that bert_weight was dropped — porting must
+    never silently change the reference's weighting semantics."""
+    from news_image_caption_tpu.models.port_checkpoint import \
+        assemble_for_init
+
+    tmodel, *_ = bundle
+    sd = {k: v for k, v in tmodel.state_dict().items()
+          if k.startswith("decoder.")}
+    sd["bert_weight"] = torch.randn(25)
+    out = port_checkpoint(sd, num_layers=len(KERNELS), embed_dim=D,
+                          n_bands=len(CUTOFF))
+    # non-pipeline init tree: the flattened model's params ARE the
+    # decoder tree (no weighted_sum anywhere)
+    init_like = {"params": {"dummy": None}}
+    cand, warnings = assemble_for_init(out, init_like)
+    assert any("bert_weight" in w and "not consumed" in w
+               for w in warnings)
+    # pipeline init tree WITH weighted_sum: consumed, no warning
+    init_pipe = {"resnet": {}, "roberta": {},
+                 "weighted_sum": {"params": {"bert_weight": None}}}
+    cand, warnings = assemble_for_init(out, init_pipe)
+    assert cand["weighted_sum"]["params"]["bert_weight"] is not None
+    assert not any("not consumed" in w for w in warnings)
