@@ -79,6 +79,17 @@ def main(argv: Optional[list] = None) -> int:
                          "for jobs shipping article_ids (token-"
                          "identical to greedy; see "
                          "generation/speculative.py)")
+    ps.add_argument("--continuous-slots", type=int, default=0,
+                    help="> 0 switches workers to continuous batching "
+                         "(generation/continuous.py): a pool of N "
+                         "decode slots refilled mid-flight, so a long "
+                         "caption never stalls the others; jobs must "
+                         "be single requests (B=1); composes with "
+                         "--speculative-k")
+    ps.add_argument("--inner-steps", type=int, default=8,
+                    help="continuous mode: decode steps per device "
+                         "dispatch (finished slots are harvested and "
+                         "refilled between dispatches)")
     ps.add_argument("--no-early-exit", action="store_true")
     ps.add_argument("--params", default=None,
                     help=".npz checkpoint ('/'-joined flat keys) for "
@@ -326,8 +337,11 @@ def serve_command(args) -> int:
     guard.__enter__()
 
     if args.task == "toy":
-        builder = functools.partial(default_model_builder,
-                                    speculative_k=args.speculative_k)
+        builder = functools.partial(
+            default_model_builder,
+            speculative_k=args.speculative_k,
+            continuous_slots=args.continuous_slots,
+            inner_steps=args.inner_steps)
     else:
         builder = functools.partial(
             flagship_model_builder,
@@ -337,7 +351,9 @@ def serve_command(args) -> int:
             quantize_head=args.quantize_head,
             params_path=args.params,
             batch_size=args.batch_size,
-            speculative_k=args.speculative_k)
+            speculative_k=args.speculative_k,
+            continuous_slots=args.continuous_slots,
+            inner_steps=args.inner_steps)
     server = CaptionServer(
         worker_factory=lambda **kw: CaptioningWorker(
             model_builder=builder, platform=args.platform, **kw),

@@ -1,0 +1,326 @@
+"""Continuous batching: slot-based decode with mid-flight refill.
+
+Beyond-reference serving capability (the reference decodes fixed
+request batches end-to-end, tasks/captioner.py:146-...; a straggler
+caption holds its whole batch). Here the decoder runs over a fixed
+pool of W slots; requests stream in, each slot decodes its own
+caption at its own position, and a slot that finishes is harvested
+and refilled from the queue WITHOUT stopping the other slots —
+utilization tracks offered load instead of the slowest caption.
+
+TPU-first shape discipline: the slot pool is a static [W, ...] state
+pytree; a jitted `chunk` dispatch advances every slot `inner_steps`
+decode steps (one host round-trip per dispatch, amortizing the
+tunnel/PCIe latency exactly like the steady-state bench dispatch);
+insertion is a jitted per-slot `at[slot].set` donation (XLA updates
+in place). Per-slot positions ride the same per-row machinery the
+speculative decoder uses (DynamicConvDecoder.step_chunk: per-row
+start positions over shifted-copy conv caches, commit_conv_caches:
+per-row history advance), so with spec_k >= 2 each slot ALSO decodes
+speculatively (prompt-lookup drafts from its own article ids) —
+continuous batching and speculative decoding compose.
+
+Token-exactness: every harvested caption is token-identical to
+`model.generate(..., sampling_topk=1)` run alone on that request
+(greedy verification commits only argmax-consistent prefixes;
+finished/empty slots commit nothing) — tested in
+tests/test_continuous.py.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.generation.speculative import (
+    commit_conv_caches, ngram_drafts)
+
+__all__ = ["SlotState", "ContinuousBatcher"]
+
+
+class SlotState(NamedTuple):
+    """Fixed-shape device state for a W-slot decode pool."""
+
+    tokens: jax.Array    # [W, L + k + 1] int32, row r = slot r's caption
+    lps: jax.Array       # [W, L + k] fp32 per-token log-probs
+    pos: jax.Array       # [W] int32 tokens committed (incl. seed = 0)
+    finished: jax.Array  # [W] bool — True: done or empty (commits 0)
+    limit: jax.Array     # [W] int32 per-request length cap (<= max_len)
+    kvs: Any             # per-layer context K/V, batch axis 0 = slot
+    caches: Any          # per-layer shifted-copy conv histories [W, K-1, C]
+    source: jax.Array    # [W, S] int32 draft source ids (spec mode)
+
+
+class ContinuousBatcher:
+    """Host-side engine around three jitted kernels (prep / insert /
+    chunk). Build one per worker via `for_flattened` (the flagship
+    serving model) or the generic constructor for any model exposing
+    the chunk/commit protocol of generation/speculative.py.
+
+    prep_fn(params, request)            -> kvs for ONE request (B=1)
+    chunk_fn(params, toks [W,k], pos, kvs, caches) -> (lp, ids, hs)
+        position t's output = greedy next token given chunk inputs
+        0..t (DynamicConvDecoder.step_chunk contract)
+    commit_fn(caches, hs, m [W])        -> caches advanced per row
+    init_caches                         -> W-slot conv caches
+    """
+
+    def __init__(self, params, prep_fn: Callable, chunk_fn: Callable,
+                 commit_fn: Callable, init_caches,
+                 config: GenerationConfig, n_slots: int,
+                 inner_steps: int = 8, spec_k: int = 1,
+                 source_len: int = 1, ngram_n: int = 2):
+        if spec_k < 1:
+            raise ValueError("spec_k must be >= 1")
+        if inner_steps < 1:
+            raise ValueError("inner_steps must be >= 1")
+        self.params = params
+        self.config = config
+        self.W = n_slots
+        self.k = spec_k
+        self.inner_steps = inner_steps
+        self.source_len = source_len
+        self.ngram_n = ngram_n
+        self._queue: deque = deque()
+        self._slot_req: List[Optional[int]] = [None] * n_slots
+        self._next_id = 0
+        # utilization accounting
+        self.n_chunks = 0          # device dispatches
+        self.n_committed = 0       # tokens committed across slots
+        self.n_slot_steps = 0      # W * inner_steps per dispatch
+
+        L, k, W = config.max_len, spec_k, n_slots
+        self._buf = L + k + 1
+        self.state = SlotState(
+            tokens=jnp.full((W, self._buf), config.pad_id, jnp.int32),
+            lps=jnp.zeros((W, self._buf - 1), jnp.float32),
+            pos=jnp.zeros((W,), jnp.int32),
+            finished=jnp.ones((W,), bool),      # empty slots commit 0
+            limit=jnp.full((W,), L, jnp.int32),
+            kvs=None,                           # lazily sized on first insert
+            caches=init_caches,
+            source=jnp.full((W, source_len), config.pad_id, jnp.int32),
+        )
+        self._prep = jax.jit(prep_fn)
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
+        self._chunk = jax.jit(self._chunk_impl(chunk_fn, commit_fn),
+                              donate_argnums=(1,))
+
+    # -- jitted kernels ------------------------------------------------
+
+    def _insert_impl(self, state: SlotState, slot: jax.Array,
+                     kvs1, source_row: jax.Array,
+                     limit: jax.Array) -> SlotState:
+        cfg = self.config
+        kvs = jax.tree.map(lambda big, one: big.at[slot].set(one[0]),
+                           state.kvs, kvs1)
+        caches = jax.tree.map(lambda c: c.at[slot].set(0), state.caches)
+        tokens = state.tokens.at[slot].set(cfg.pad_id)
+        tokens = tokens.at[slot, 0].set(cfg.bos_id)
+        return state._replace(
+            tokens=tokens,
+            lps=state.lps.at[slot].set(0.0),
+            pos=state.pos.at[slot].set(0),
+            finished=state.finished.at[slot].set(
+                cfg.init_finished and cfg.bos_id == cfg.eos_id),
+            limit=state.limit.at[slot].set(limit),
+            kvs=kvs, caches=caches,
+            source=state.source.at[slot].set(source_row))
+
+    def _chunk_impl(self, chunk_fn: Callable, commit_fn: Callable):
+        cfg = self.config
+        L, k = cfg.max_len, self.k
+
+        def write_rows(b, vals, starts):
+            return jax.vmap(
+                lambda row, v, s: jax.lax.dynamic_update_slice(
+                    row, v, (s,)))(b, vals, starts)
+
+        def run(params, state: SlotState):
+            def body(carry, _):
+                st, committed = carry
+                cur = jnp.take_along_axis(st.tokens, st.pos[:, None],
+                                          axis=1)             # [W, 1]
+                if k > 1:
+                    drafts = ngram_drafts(st.source, st.tokens,
+                                          st.pos, k - 1,
+                                          n=self.ngram_n,
+                                          pad_id=cfg.pad_id)  # [W,k-1]
+                    inp = jnp.concatenate([cur, drafts], axis=1)
+                else:
+                    inp = cur
+                lp_c, ids, hs = chunk_fn(params, inp, st.pos,
+                                         st.kvs, st.caches)
+                # Greedy verification (speculative.py body): output t
+                # is valid iff drafts 0..t-1 matched; the first
+                # mismatch is the CORRECTED token (computed from
+                # verified inputs) -> commits = matches + 1.
+                if k > 1:
+                    n_match = jnp.sum(jnp.cumprod(
+                        (ids[:, :-1] == drafts).astype(jnp.int32),
+                        axis=1), axis=1)
+                    m = n_match + 1
+                else:
+                    m = jnp.ones_like(st.pos)
+                is_eos = ids == cfg.eos_id
+                first_eos = jnp.argmax(is_eos, axis=1)
+                has_eos = jnp.any(is_eos, axis=1)
+                m = jnp.where(has_eos, jnp.minimum(m, first_eos + 1),
+                              m)
+                m = jnp.minimum(m, st.limit - st.pos)
+                m = jnp.where(st.finished, 0, m)
+                live = (jnp.arange(k, dtype=jnp.int32)[None, :]
+                        < m[:, None])
+                out_toks = jnp.where(live, ids, cfg.pad_id)
+                out_lps = jnp.where(live, lp_c, 0.0)
+                tokens = write_rows(st.tokens, out_toks, st.pos + 1)
+                lps = write_rows(st.lps,
+                                 out_lps.astype(st.lps.dtype), st.pos)
+                caches = commit_fn(st.caches, hs, m)
+                committed_eos = has_eos & (first_eos < m)
+                pos = st.pos + m
+                finished = (st.finished | committed_eos
+                            | (pos >= st.limit))
+                st = st._replace(tokens=tokens, lps=lps, pos=pos,
+                                 finished=finished, caches=caches)
+                return (st, committed + jnp.sum(m)), None
+
+            (state, committed), _ = jax.lax.scan(
+                body, (state, jnp.int32(0)), None,
+                length=self.inner_steps)
+            return state, committed
+
+        return run
+
+    # -- host-side driving ----------------------------------------------
+
+    def submit(self, request: Dict[str, Any],
+               source_row: Optional[np.ndarray] = None,
+               max_len: Optional[int] = None) -> int:
+        """Queue one request (a B=1 batch dict for prep_fn). Returns a
+        request id; the caption appears under that id in `step()`'s
+        results once decoded. source_row: [S] draft-source token ids
+        (spec mode; defaults to pads = no drafts ever accepted).
+        max_len: per-request length cap (<= config.max_len) — slots
+        serving short-capped requests free up early."""
+        rid = self._next_id
+        self._next_id += 1
+        limit = self.config.max_len if max_len is None else max_len
+        if not 0 < limit <= self.config.max_len:
+            raise ValueError(f"max_len {limit} outside (0, "
+                             f"{self.config.max_len}]")
+        self._queue.append((rid, request, source_row, limit))
+        return rid
+
+    def _free_slots(self) -> List[int]:
+        return [s for s, r in enumerate(self._slot_req) if r is None]
+
+    def _fill(self) -> None:
+        for slot in self._free_slots():
+            if not self._queue:
+                break
+            rid, request, source_row, limit = self._queue.popleft()
+            kvs1 = self._prep(self.params, request)
+            if self.state.kvs is None:
+                # First insert sizes the W-slot KV pool from the B=1
+                # tree (zeros elsewhere; empty slots stay finished).
+                self.state = self.state._replace(kvs=jax.tree.map(
+                    lambda one: jnp.zeros((self.W,) + one.shape[1:],
+                                          one.dtype), kvs1))
+            src = np.full((self.source_len,), self.config.pad_id,
+                          np.int32)
+            if source_row is not None:
+                source_row = np.asarray(source_row, np.int32).ravel()
+                n = min(self.source_len, source_row.shape[0])
+                src[:n] = source_row[:n]
+            self.state = self._insert(self.state, jnp.int32(slot),
+                                      kvs1, jnp.asarray(src),
+                                      jnp.int32(limit))
+            self._slot_req[slot] = rid
+
+    def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Refill free slots, dispatch one jitted chunk
+        (`inner_steps` decode steps for every slot), harvest finished
+        slots. Returns {request_id: (tokens [max_len+1], lps
+        [max_len])} for captions completed by this call."""
+        self._fill()
+        if all(r is None for r in self._slot_req):
+            return {}
+        self.state, committed = self._chunk(self.params, self.state)
+        self.n_chunks += 1
+        self.n_slot_steps += self.W * self.inner_steps
+        self.n_committed += int(committed)
+        finished = np.asarray(self.state.finished)
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        done_slots = [s for s, r in enumerate(self._slot_req)
+                      if r is not None and finished[s]]
+        if done_slots:
+            toks = np.asarray(self.state.tokens[jnp.asarray(done_slots)])
+            lps = np.asarray(self.state.lps[jnp.asarray(done_slots)])
+            L = self.config.max_len
+            for i, s in enumerate(done_slots):
+                out[self._slot_req[s]] = (toks[i, :L + 1], lps[i, :L])
+                self._slot_req[s] = None
+        return out
+
+    @property
+    def idle(self) -> bool:
+        """True when nothing is queued and no slot is decoding."""
+        return (not self._queue
+                and all(r is None for r in self._slot_req))
+
+    def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Drive `step()` until the queue and every slot drain; returns
+        {request_id: (tokens, lps)} for everything decoded by this
+        call. (A long-running server uses `step()` directly and owns
+        result routing — the engine holds no result history.)"""
+        results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        while not self.idle:
+            results.update(self.step())
+        return results
+
+    @property
+    def occupancy(self) -> float:
+        """Committed tokens per slot-step dispatched (1.0 = every slot
+        committed a token every inner step; spec mode can exceed 1)."""
+        return (self.n_committed / self.n_slot_steps
+                if self.n_slot_steps else 0.0)
+
+    # -- model adapters --------------------------------------------------
+
+    @classmethod
+    def for_flattened(cls, model, params,
+                      config: GenerationConfig, n_slots: int,
+                      inner_steps: int = 8, spec_k: int = 1,
+                      source_len: int = 512,
+                      ngram_n: int = 2) -> "ContinuousBatcher":
+        """Engine over TransformerFlattened (the flagship serving
+        model): per-request KV prep via `_decode_setup`, chunk steps
+        via `DynamicConvDecoder.step_chunk` (per-row positions over
+        shifted-copy caches), commits via `commit_conv_caches`."""
+        from news_image_caption_tpu.models.decoder_flattened import \
+            DynamicConvDecoder
+        model._check_max_len(config)
+        if config.sampling_topk != 1:
+            raise ValueError("continuous batching is greedy-only "
+                             "(sampling_topk must be 1)")
+
+        def prep_fn(p, request):
+            return model._decode_setup(p, model._contexts(request),
+                                       quantize_kv=config.quantize_kv)
+
+        def chunk_fn(p, toks, pos, kvs, caches):
+            tables = model._head_tables(p, config)
+            return model.decoder.apply(
+                p, toks, pos, kvs, caches, tables=tables,
+                method=DynamicConvDecoder.step_chunk)
+
+        return cls(params, prep_fn, chunk_fn, commit_conv_caches,
+                   model.decoder.init_cache(n_slots), config, n_slots,
+                   inner_steps=inner_steps, spec_k=spec_k,
+                   source_len=source_len, ngram_n=ngram_n)

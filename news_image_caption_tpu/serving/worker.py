@@ -25,12 +25,17 @@ from news_image_caption_tpu.serving.messages import pack, unpack
 from news_image_caption_tpu.utils.logging import setup_logger
 
 
-def default_model_builder(speculative_k: int = 0):
+def default_model_builder(speculative_k: int = 0,
+                          continuous_slots: int = 0,
+                          inner_steps: int = 8):
     """Tiny random-weight captioner (smoke/serving tests).
 
     speculative_k >= 2 enables the same exact speculative-greedy
     routing as the flagship builder (jobs with `article_ids` use it,
     others fall back) so the serving contract is testable on CPU.
+    continuous_slots > 0 attaches a ContinuousBatcher engine (the
+    worker switches to its slot-refill loop) so that serving mode is
+    CPU-testable too.
     """
     import jax
 
@@ -75,6 +80,8 @@ def default_model_builder(speculative_k: int = 0):
             if ids.shape[1] != 6:        # keep the compiled shape
                 ids = _fit_ids(ids, 6)
             b["article_ids"] = jnp.asarray(ids, jnp.int32)
+        if "max_len" in job:   # per-request cap (continuous engine)
+            b["max_len"] = int(np.asarray(job["max_len"]).ravel()[0])
         return b
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -96,7 +103,45 @@ def default_model_builder(speculative_k: int = 0):
 
     predict.warmup = warmup
     predict.stage = stage
+    if continuous_slots > 0:
+        _attach_continuous(predict, model, params, cfg,
+                           continuous_slots, inner_steps,
+                           speculative_k, source_len=6,
+                           dummy={k: v for k, v in batch.items()
+                                  if k != "caption_ids"})
     return predict
+
+
+def _attach_continuous(predict, model, params, cfg, n_slots: int,
+                       inner_steps: int, speculative_k: int,
+                       source_len: int, dummy: Dict[str, Any]) -> None:
+    """Attach a ContinuousBatcher engine + engine-aware warmup to a
+    builder's predict fn. The worker detects `predict.engine` and
+    switches to the slot-refill loop (submit jobs as they arrive,
+    harvest finished captions between chunk dispatches) instead of
+    the one-job-at-a-time predict loop."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBatcher
+
+    engine = ContinuousBatcher.for_flattened(
+        model, params, cfg, n_slots=n_slots, inner_steps=inner_steps,
+        spec_k=max(1, speculative_k), source_len=source_len)
+    base_warmup = predict.warmup
+    stage = predict.stage
+
+    def warmup():
+        base_warmup()
+        # Compile the engine's prep/insert/chunk kernels before the
+        # ready signal (same rationale as the plain warmup). Stage the
+        # dummy so prep compiles against PRODUCTION dtypes (the
+        # flagship stages features to bf16; an fp32 warmup would leave
+        # the first real job paying a re-jit).
+        engine.submit(stage({k: np.asarray(v) for k, v in dummy.items()}))
+        engine.run()
+        engine.n_chunks = engine.n_committed = engine.n_slot_steps = 0
+
+    predict.engine = engine
+    predict.warmup = warmup
 
 
 def _fit_ids(ids, S: int, pad_id: int = 1):
@@ -137,7 +182,9 @@ def flagship_model_builder(max_len: int = 32,
                            quantize_head: bool = False,
                            params_path: Optional[str] = None,
                            batch_size: int = 1,
-                           speculative_k: int = 0):
+                           speculative_k: int = 0,
+                           continuous_slots: int = 0,
+                           inner_steps: int = 8):
     """Production serving builder: the FLAGSHIP captioner at the
     reference's serving shapes (article 512×1024, image 49×2048,
     tasks/captioner.py:79-144), bf16 end-to-end, greedy decode with
@@ -155,6 +202,13 @@ def flagship_model_builder(max_len: int = 32,
       plain greedy, wall-clock shrinks with draft acceptance. Jobs
       without article_ids fall back to the plain path (both paths
       are pre-compiled in warmup).
+    - continuous_slots: > 0 switches the worker to CONTINUOUS
+      BATCHING (generation/continuous.py): a pool of that many decode
+      slots refilled mid-flight, so one long caption never stalls the
+      others and throughput tracks offered load. Jobs must be single
+      requests (B=1); composes with speculative_k (per-slot drafts).
+      inner_steps = decode steps per device dispatch (host harvests
+      finished slots between dispatches).
 
     params_path: .npz of flattened params ('/'-joined keys, e.g. from
     `np.savez(path, **flatten(port_checkpoint(...)))`); random init
@@ -225,6 +279,8 @@ def flagship_model_builder(max_len: int = 32,
             if ids.shape[1] != S:        # keep the compiled shape
                 ids = _fit_ids(ids, S)
             staged["article_ids"] = jnp.asarray(ids, jnp.int32)
+        if "max_len" in job:   # per-request cap (continuous engine)
+            staged["max_len"] = int(np.asarray(job["max_len"]).ravel()[0])
         return staged
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -246,6 +302,16 @@ def flagship_model_builder(max_len: int = 32,
 
     predict.warmup = warmup
     predict.stage = stage
+    if continuous_slots > 0:
+        dummy = {
+            "image": np.zeros((1, P, 2048), np.float32),
+            "image_mask": np.zeros((1, P), bool),
+            "article": np.zeros((1, S, 1024), np.float32),
+            "article_mask": np.zeros((1, S), bool),
+        }
+        _attach_continuous(predict, model, params, cfg,
+                           continuous_slots, inner_steps,
+                           speculative_k, source_len=S, dummy=dummy)
     return predict
 
 
@@ -318,7 +384,11 @@ class CaptioningWorker(_MP.Process):
 
         threading.Thread(target=ingest, daemon=True).start()
         logger.info("worker %d ready", self.worker_id)
+        engine = getattr(predict, "engine", None)
         try:
+            if engine is not None:
+                self._continuous_loop(engine, staged_q, sink, logger)
+                return
             while True:
                 client_id, job_id, job, err = staged_q.get()
                 if err is not None:
@@ -334,6 +404,59 @@ class CaptioningWorker(_MP.Process):
             receiver.close()
             sink.close()
             ctx.term()
+
+    @staticmethod
+    def _continuous_loop(engine, staged_q, sink, logger):
+        """Continuous-batching serving loop: submit staged jobs into
+        the slot engine as they arrive, dispatch decode chunks, push
+        each caption to the sink the moment ITS slot finishes (the
+        plain loop answers jobs strictly in order; here a short
+        caption never waits behind a long one)."""
+        import queue as _queue
+
+        pending: Dict[int, tuple] = {}
+        while True:
+            # Block for work only when fully idle; while slots are
+            # decoding, drain whatever has arrived without waiting.
+            block = not pending
+            while True:
+                try:
+                    item = staged_q.get(block=block)
+                except _queue.Empty:
+                    break
+                block = False
+                client_id, job_id, job, err = item
+                if err is not None:
+                    sink.send_multipart(
+                        [client_id, job_id] + pack({"error": err}))
+                    continue
+                try:
+                    src = job.pop("article_ids", None)
+                    if src is not None:
+                        src = np.asarray(src)[0]   # [1, S] -> [S]
+                    ml = job.pop("max_len", None)
+                    rid = engine.submit(job, source_row=src,
+                                        max_len=ml)
+                    pending[rid] = (client_id, job_id)
+                except Exception as e:
+                    sink.send_multipart(
+                        [client_id, job_id] + pack({"error": repr(e)}))
+            if not pending:
+                continue
+            try:
+                done = engine.step()
+            except Exception as e:   # fail every in-flight request
+                logger.exception("continuous engine step failed")
+                for client_id, job_id in pending.values():
+                    sink.send_multipart(
+                        [client_id, job_id] + pack({"error": repr(e)}))
+                pending.clear()
+                continue
+            for rid, (toks, _lps) in done.items():
+                client_id, job_id = pending.pop(rid)
+                sink.send_multipart(
+                    [client_id, job_id]
+                    + pack({"tokens": toks[None]}))   # [1, L+1]
 
 
 def full_model_builder(caption_model=None, caption_params=None,

@@ -1,0 +1,140 @@
+"""Continuous batching: slot refill, per-slot positions, exactness.
+
+The engine (generation/continuous.py) must produce captions
+token-identical to `model.generate(..., sampling_topk=1)` run alone
+on each request, no matter when the request entered a slot or what
+the other slots were doing — per-slot KV/caches/positions are fully
+independent.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from news_image_caption_tpu.generation.continuous import ContinuousBatcher
+from news_image_caption_tpu.generation.generator import GenerationConfig
+from news_image_caption_tpu.models.captioner import TransformerFlattened
+
+from test_decoder import tiny_batch, tiny_decoder  # noqa: E402
+
+MAX_LEN = 12
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TransformerFlattened(tiny_decoder())
+    params = model.init(jax.random.PRNGKey(0), tiny_batch())
+    # 7 distinct single-request batches (different random contexts)
+    requests = [
+        {k: v for k, v in tiny_batch(B=1, key=100 + i).items()
+         if k != "caption_ids"}
+        for i in range(7)
+    ]
+    cfg = GenerationConfig(max_len=MAX_LEN, sampling_topk=1)
+    singles = [np.asarray(model.generate(params, r, cfg)[0][0])
+               for r in requests]
+    return model, params, requests, cfg, singles
+
+
+def test_staggered_submits_match_single_request_greedy(setup):
+    """Requests submitted mid-flight (while other slots are decoding
+    at different positions) decode to exactly their standalone greedy
+    captions; finished slots are harvested and refilled."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=3, inner_steps=2)
+    ids = [eng.submit(r) for r in requests[:4]]
+    results = {}
+    results.update(eng.step())
+    results.update(eng.step())
+    ids += [eng.submit(r) for r in requests[4:]]   # mid-flight
+    results.update(eng.run())
+    assert sorted(results) == sorted(ids)
+    for rid, want in zip(ids, singles):
+        got_tokens, got_lps = results[rid]
+        np.testing.assert_array_equal(got_tokens, want)
+    # slot reuse happened: 7 requests through 3 slots
+    assert eng.W == 3 and len(results) == 7
+
+
+def test_continuous_log_probs_match_generate(setup):
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=3)
+    rid = eng.submit(requests[0])
+    results = eng.run()
+    _, want_lps = model.generate(params, requests[0], cfg)
+    np.testing.assert_allclose(results[rid][1],
+                               np.asarray(want_lps[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_speculative_slots_are_exact_and_fewer_chunks(setup):
+    """spec_k>1: slots draft from their own source ids; captions stay
+    token-identical and oracle sources commit multiple tokens per
+    step (fewer device dispatches than plain greedy)."""
+    model, params, requests, cfg, singles = setup
+    plain = ContinuousBatcher.for_flattened(model, params, cfg,
+                                            n_slots=2, inner_steps=1)
+    for r in requests[:4]:
+        plain.submit(r)
+    plain_res = plain.run()
+
+    spec = ContinuousBatcher.for_flattened(model, params, cfg,
+                                           n_slots=2, inner_steps=1,
+                                           spec_k=4, source_len=16)
+    ids = [spec.submit(r, source_row=singles[i][1:])  # oracle drafts
+           for i, r in enumerate(requests[:4])]
+    spec_res = spec.run()
+    for i, rid in enumerate(ids):
+        np.testing.assert_array_equal(spec_res[rid][0], singles[i])
+    assert spec.n_chunks < plain.n_chunks
+    assert spec.occupancy > plain.occupancy
+
+
+def test_garbage_source_still_exact(setup):
+    """Worst-case drafts (never accepted) must not corrupt outputs —
+    verification commits the corrected token each chunk."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=2,
+                                          spec_k=3, source_len=8)
+    garbage = np.full((8,), 3, np.int32)
+    ids = [eng.submit(r, source_row=garbage) for r in requests[:3]]
+    results = eng.run()
+    for i, rid in enumerate(ids):
+        np.testing.assert_array_equal(results[rid][0], singles[i])
+
+
+def test_empty_engine_step_is_noop(setup):
+    model, params, requests, cfg, _ = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2)
+    assert eng.step() == {}
+    assert eng.n_chunks == 0
+    assert eng.run() == {}
+
+
+def test_per_request_max_len_frees_slots_early(setup):
+    """A short-capped request finishes at its own cap (not the pool
+    max), its tokens equal the standalone greedy prefix, and its slot
+    frees up for queued work."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=1, inner_steps=1)
+    short = eng.submit(requests[0], max_len=3)
+    long = eng.submit(requests[1])             # queued behind it
+    first = {}
+    while short not in first:
+        first.update(eng.step())
+    # the 1-slot pool must still be working on `long`
+    assert long not in first
+    toks, lps = first[short]
+    # capped caption = standalone greedy truncated at 3 tokens + pads
+    np.testing.assert_array_equal(toks[:4], singles[0][:4])
+    assert np.all(toks[4:] == cfg.pad_id)
+    rest = eng.run()
+    np.testing.assert_array_equal(rest[long][0], singles[1])
+    with pytest.raises(ValueError):
+        eng.submit(requests[0], max_len=MAX_LEN + 1)

@@ -378,3 +378,64 @@ def test_unflatten_params_roundtrip():
                                   tree["a"]["b"]["kernel"])
     np.testing.assert_array_equal(rebuilt["a"]["c"], tree["a"]["c"])
     np.testing.assert_array_equal(rebuilt["d"], tree["d"])
+
+
+def make_varied_job(seed: int, B=1):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": rng.standard_normal((B, 4, 16)).astype(np.float32),
+        "image_mask": np.zeros((B, 4), bool),
+        "article": rng.standard_normal((B, 6, 24)).astype(np.float32),
+        "article_mask": np.zeros((B, 6), bool),
+    }
+
+
+def test_continuous_worker_matches_plain(server_and_client):
+    """A continuous-batching worker (slot pool + mid-flight refill,
+    generation/continuous.py) returns captions token-identical to the
+    plain per-job worker — for MORE in-flight jobs than slots, so
+    harvest-and-refill actually happens, and with results routed by
+    job id (a short caption may return before a long one)."""
+    import functools
+
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import (
+        CaptioningWorker, default_model_builder)
+
+    _, plain_client = server_and_client
+    jobs = [make_varied_job(s) for s in range(5)]
+    refs = [plain_client.caption(j)["tokens"] for j in jobs]
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(
+            model_builder=functools.partial(default_model_builder,
+                                            continuous_slots=2,
+                                            inner_steps=2),
+            platform="cpu", **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=240000)
+    try:
+        # 5 jobs streamed with all of them in flight: 2 slots must
+        # harvest + refill to drain the queue.
+        results = list(client.caption_stream(iter(jobs), window=5))
+        # error propagation through the continuous loop: the worker
+        # must answer (not hang) and the engine must keep serving
+        bad = {"image": np.zeros((1, 2), np.float32)}
+        with pytest.raises(RuntimeError):
+            client.caption(bad)
+        after = client.caption(jobs[0])["tokens"]
+        # per-request length cap rides the job dict ("max_len")
+        capped_job = dict(jobs[0])
+        capped_job["max_len"] = 2
+        capped = client.caption(capped_job)["tokens"]
+    finally:
+        client.close()
+        server.stop()
+    assert len(results) == 5
+    for got, want in zip(results, refs):
+        np.testing.assert_array_equal(got["tokens"], want)
+    np.testing.assert_array_equal(after, refs[0])
+    np.testing.assert_array_equal(capped[0, :3], refs[0][0, :3])
+    assert np.all(capped[0, 3:] == 1)   # pad after the cap
