@@ -138,3 +138,20 @@ def test_per_request_max_len_frees_slots_early(setup):
     np.testing.assert_array_equal(rest[long][0], singles[1])
     with pytest.raises(ValueError):
         eng.submit(requests[0], max_len=MAX_LEN + 1)
+
+
+def test_continuous_matches_generate_under_quantize_kv(setup):
+    """quantize_kv flows through the per-request prep: the engine's
+    captions equal `generate` on the SAME quantized model (int8 K/V
+    slots insert/permute like exact ones)."""
+    model, params, requests, _, _ = setup
+    cfg = GenerationConfig(max_len=MAX_LEN, sampling_topk=1,
+                           quantize_kv=True)
+    want = [np.asarray(model.generate(params, r, cfg)[0][0])
+            for r in requests[:3]]
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=2)
+    ids = [eng.submit(r) for r in requests[:3]]
+    results = eng.run()
+    for rid, w in zip(ids, want):
+        np.testing.assert_array_equal(results[rid][0], w)
