@@ -131,6 +131,8 @@ def main():
         # compile prep/insert/chunk off the clock
         wid = eng.submit(reqs[0], max_len=max(2, args.lo))
         eng.run()
+        # warmup chunks must not pollute the occupancy/chunk report
+        eng.n_chunks = eng.n_committed = eng.n_slot_steps = 0
         t0 = time.perf_counter()
         for i, r in enumerate(reqs):
             eng.submit(r, max_len=int(caps[i]))

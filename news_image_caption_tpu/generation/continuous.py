@@ -38,7 +38,7 @@ import numpy as np
 
 from news_image_caption_tpu.generation.generator import GenerationConfig
 from news_image_caption_tpu.generation.speculative import (
-    commit_conv_caches, ngram_drafts)
+    commit_conv_caches, greedy_verify, ngram_drafts, write_rows)
 
 __all__ = ["SlotState", "ContinuousBatcher"]
 
@@ -63,18 +63,24 @@ class ContinuousBatcher:
     the chunk/commit protocol of generation/speculative.py.
 
     prep_fn(params, request)            -> kvs for ONE request (B=1)
-    chunk_fn(params, toks [W,k], pos, kvs, caches) -> (lp, ids, hs)
-        position t's output = greedy next token given chunk inputs
-        0..t (DynamicConvDecoder.step_chunk contract)
+    chunk_fn(params, toks [W,k], pos, kvs, caches, aux) ->
+        (lp, ids, hs) — position t's output = greedy next token given
+        chunk inputs 0..t (DynamicConvDecoder.step_chunk contract)
     commit_fn(caches, hs, m [W])        -> caches advanced per row
-    init_caches                         -> W-slot conv caches
+    init_caches_fn(W)                   -> W-slot conv caches
+    prepare_fn(params) -> aux           — optional per-params
+        precomputation (e.g. int8 head tables), run ONCE at build /
+        reset and passed to chunk_fn as a jit argument (never a
+        closure constant: big literals choke remote compiles).
     """
 
     def __init__(self, params, prep_fn: Callable, chunk_fn: Callable,
-                 commit_fn: Callable, init_caches,
+                 commit_fn: Callable, init_caches_fn: Callable,
                  config: GenerationConfig, n_slots: int,
                  inner_steps: int = 8, spec_k: int = 1,
-                 source_len: int = 1, ngram_n: int = 2):
+                 source_len: int = 1, ngram_n: int = 2,
+                 prepare_fn: Optional[Callable] = None,
+                 max_queue: Optional[int] = None):
         if spec_k < 1:
             raise ValueError("spec_k must be >= 1")
         if inner_steps < 1:
@@ -86,30 +92,54 @@ class ContinuousBatcher:
         self.inner_steps = inner_steps
         self.source_len = source_len
         self.ngram_n = ngram_n
+        # Admission bound for callers that poll `backlog` (the serving
+        # loop): beyond ~2 refills of queued work there is no
+        # throughput benefit, only held memory.
+        self.max_queue = (2 * n_slots if max_queue is None
+                          else max_queue)
+        self._init_caches_fn = init_caches_fn
         self._queue: deque = deque()
         self._slot_req: List[Optional[int]] = [None] * n_slots
         self._next_id = 0
+        self._failed: Dict[int, Exception] = {}
         # utilization accounting
         self.n_chunks = 0          # device dispatches
         self.n_committed = 0       # tokens committed across slots
         self.n_slot_steps = 0      # W * inner_steps per dispatch
 
-        L, k, W = config.max_len, spec_k, n_slots
-        self._buf = L + k + 1
-        self.state = SlotState(
-            tokens=jnp.full((W, self._buf), config.pad_id, jnp.int32),
-            lps=jnp.zeros((W, self._buf - 1), jnp.float32),
-            pos=jnp.zeros((W,), jnp.int32),
-            finished=jnp.ones((W,), bool),      # empty slots commit 0
-            limit=jnp.full((W,), L, jnp.int32),
-            kvs=None,                           # lazily sized on first insert
-            caches=init_caches,
-            source=jnp.full((W, source_len), config.pad_id, jnp.int32),
-        )
+        self._buf = config.max_len + spec_k + 1
         self._prep = jax.jit(prep_fn)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
         self._chunk = jax.jit(self._chunk_impl(chunk_fn, commit_fn),
                               donate_argnums=(1,))
+        self.aux = (None if prepare_fn is None
+                    else jax.jit(prepare_fn)(params))
+        self.reset()
+
+    def reset(self) -> None:
+        """Fresh slot state (same shapes -> jit caches stay warm).
+        Drops everything in flight: queued requests and occupied
+        slots are abandoned without results — callers fail them
+        (`serving/worker.py` error-replies pending jobs). The
+        recovery path for a failed chunk dispatch: `_chunk` donates
+        the state buffers, so after a device-level error the old
+        state is unusable either way."""
+        L, W = self.config.max_len, self.W
+        self.state = SlotState(
+            tokens=jnp.full((W, self._buf), self.config.pad_id,
+                            jnp.int32),
+            lps=jnp.zeros((W, self._buf - 1), jnp.float32),
+            pos=jnp.zeros((W,), jnp.int32),
+            finished=jnp.ones((W,), bool),      # empty slots commit 0
+            limit=jnp.full((W,), L, jnp.int32),
+            kvs=None,                          # sized on first insert
+            caches=self._init_caches_fn(W),
+            source=jnp.full((W, self.source_len), self.config.pad_id,
+                            jnp.int32),
+        )
+        self._queue.clear()
+        self._slot_req = [None] * self.W
+        self._failed.clear()
 
     # -- jitted kernels ------------------------------------------------
 
@@ -134,14 +164,9 @@ class ContinuousBatcher:
 
     def _chunk_impl(self, chunk_fn: Callable, commit_fn: Callable):
         cfg = self.config
-        L, k = cfg.max_len, self.k
+        k = self.k
 
-        def write_rows(b, vals, starts):
-            return jax.vmap(
-                lambda row, v, s: jax.lax.dynamic_update_slice(
-                    row, v, (s,)))(b, vals, starts)
-
-        def run(params, state: SlotState):
+        def run(params, state: SlotState, aux):
             def body(carry, _):
                 st, committed = carry
                 cur = jnp.take_along_axis(st.tokens, st.pos[:, None],
@@ -153,27 +178,16 @@ class ContinuousBatcher:
                                           pad_id=cfg.pad_id)  # [W,k-1]
                     inp = jnp.concatenate([cur, drafts], axis=1)
                 else:
+                    drafts = None
                     inp = cur
                 lp_c, ids, hs = chunk_fn(params, inp, st.pos,
-                                         st.kvs, st.caches)
-                # Greedy verification (speculative.py body): output t
-                # is valid iff drafts 0..t-1 matched; the first
-                # mismatch is the CORRECTED token (computed from
-                # verified inputs) -> commits = matches + 1.
-                if k > 1:
-                    n_match = jnp.sum(jnp.cumprod(
-                        (ids[:, :-1] == drafts).astype(jnp.int32),
-                        axis=1), axis=1)
-                    m = n_match + 1
-                else:
-                    m = jnp.ones_like(st.pos)
-                is_eos = ids == cfg.eos_id
-                first_eos = jnp.argmax(is_eos, axis=1)
-                has_eos = jnp.any(is_eos, axis=1)
-                m = jnp.where(has_eos, jnp.minimum(m, first_eos + 1),
-                              m)
-                m = jnp.minimum(m, st.limit - st.pos)
-                m = jnp.where(st.finished, 0, m)
+                                         st.kvs, st.caches, aux)
+                # The shared exactness-critical commit rule
+                # (speculative.py::greedy_verify), with the per-row
+                # request limit in place of the global max_len.
+                m, committed_eos = greedy_verify(
+                    ids, drafts, st.finished, st.pos, st.limit,
+                    cfg.eos_id)
                 live = (jnp.arange(k, dtype=jnp.int32)[None, :]
                         < m[:, None])
                 out_toks = jnp.where(live, ids, cfg.pad_id)
@@ -182,7 +196,6 @@ class ContinuousBatcher:
                 lps = write_rows(st.lps,
                                  out_lps.astype(st.lps.dtype), st.pos)
                 caches = commit_fn(st.caches, hs, m)
-                committed_eos = has_eos & (first_eos < m)
                 pos = st.pos + m
                 finished = (st.finished | committed_eos
                             | (pos >= st.limit))
@@ -225,33 +238,72 @@ class ContinuousBatcher:
             if not self._queue:
                 break
             rid, request, source_row, limit = self._queue.popleft()
-            kvs1 = self._prep(self.params, request)
-            if self.state.kvs is None:
-                # First insert sizes the W-slot KV pool from the B=1
-                # tree (zeros elsewhere; empty slots stay finished).
-                self.state = self.state._replace(kvs=jax.tree.map(
-                    lambda one: jnp.zeros((self.W,) + one.shape[1:],
-                                          one.dtype), kvs1))
-            src = np.full((self.source_len,), self.config.pad_id,
-                          np.int32)
-            if source_row is not None:
-                source_row = np.asarray(source_row, np.int32).ravel()
-                n = min(self.source_len, source_row.shape[0])
-                src[:n] = source_row[:n]
-            self.state = self._insert(self.state, jnp.int32(slot),
-                                      kvs1, jnp.asarray(src),
-                                      jnp.int32(limit))
+            try:
+                kvs1 = self._prep(self.params, request)
+                lead = {leaf.shape[0] for leaf in jax.tree.leaves(kvs1)
+                        if hasattr(leaf, "shape") and leaf.ndim > 0}
+                if lead != {1}:
+                    raise ValueError(
+                        f"continuous batching takes B=1 requests; this "
+                        f"request prepped KV with leading dims {lead} "
+                        f"(split batched jobs into per-row requests)")
+                if self.state.kvs is None:
+                    # First insert sizes the W-slot KV pool from the
+                    # B=1 tree (zeros elsewhere; empty slots stay
+                    # finished).
+                    self.state = self.state._replace(kvs=jax.tree.map(
+                        lambda one: jnp.zeros(
+                            (self.W,) + one.shape[1:], one.dtype),
+                        kvs1))
+                src = np.full((self.source_len,), self.config.pad_id,
+                              np.int32)
+                if source_row is not None:
+                    source_row = np.asarray(source_row,
+                                            np.int32).ravel()
+                    n = min(self.source_len, source_row.shape[0])
+                    src[:n] = source_row[:n]
+                self.state = self._insert(self.state, jnp.int32(slot),
+                                          kvs1, jnp.asarray(src),
+                                          jnp.int32(limit))
+            except Exception as e:   # malformed request: fail IT, not
+                self._failed[rid] = e  # the engine (shape errors raise
+                continue               # at trace time, pre-donation)
             self._slot_req[slot] = rid
+
+    def drain_failed(self) -> Dict[int, Exception]:
+        """Requests that failed prep/insert (malformed shapes etc.)
+        since the last drain — callers answer these as errors."""
+        out, self._failed = self._failed, {}
+        return out
+
+    @property
+    def backlog(self) -> int:
+        """Queued requests not yet in a slot. Admission control:
+        callers stop feeding `submit` while backlog >= max_queue
+        (staged features are real device memory)."""
+        return len(self._queue)
 
     def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Refill free slots, dispatch one jitted chunk
         (`inner_steps` decode steps for every slot), harvest finished
         slots. Returns {request_id: (tokens [max_len+1], lps
-        [max_len])} for captions completed by this call."""
+        [max_len])} for captions completed by this call.
+
+        Failed prep/inserts never raise here — they land in
+        `drain_failed()`. A failed CHUNK dispatch raises after
+        `reset()` (donated state: in-flight work is lost; the caller
+        fails pending requests and keeps serving)."""
         self._fill()
         if all(r is None for r in self._slot_req):
             return {}
-        self.state, committed = self._chunk(self.params, self.state)
+        try:
+            self.state, committed = self._chunk(self.params,
+                                                self.state, self.aux)
+        except Exception:
+            # The dispatch consumed the donated state buffers; rebuild
+            # a fresh pool so the engine survives device-level errors.
+            self.reset()
+            raise
         self.n_chunks += 1
         self.n_slot_steps += self.W * self.inner_steps
         self.n_committed += int(committed)
@@ -314,13 +366,18 @@ class ContinuousBatcher:
             return model._decode_setup(p, model._contexts(request),
                                        quantize_kv=config.quantize_kv)
 
-        def chunk_fn(p, toks, pos, kvs, caches):
-            tables = model._head_tables(p, config)
+        def chunk_fn(p, toks, pos, kvs, caches, aux):
+            # aux = int8 head tables quantized ONCE at engine build
+            # (prepare_fn below); None = exact tables read from p
+            # inside step_chunk.
             return model.decoder.apply(
-                p, toks, pos, kvs, caches, tables=tables,
+                p, toks, pos, kvs, caches, tables=aux,
                 method=DynamicConvDecoder.step_chunk)
 
+        prepare_fn = ((lambda p: model._head_tables(p, config))
+                      if config.quantize_head else None)
         return cls(params, prep_fn, chunk_fn, commit_conv_caches,
-                   model.decoder.init_cache(n_slots), config, n_slots,
+                   model.decoder.init_cache, config, n_slots,
                    inner_steps=inner_steps, spec_k=spec_k,
-                   source_len=source_len, ngram_n=ngram_n)
+                   source_len=source_len, ngram_n=ngram_n,
+                   prepare_fn=prepare_fn)

@@ -33,6 +33,50 @@ import jax.numpy as jnp
 from news_image_caption_tpu.generation.generator import GenerationConfig
 
 
+def write_rows(b: jax.Array, vals: jax.Array,
+               starts: jax.Array) -> jax.Array:
+    """Per-row dynamic-offset write: b[r, starts[r]:starts[r]+k] =
+    vals[r] (vmapped dynamic_update_slice)."""
+    return jax.vmap(
+        lambda row, v, s: jax.lax.dynamic_update_slice(row, v, (s,))
+    )(b, vals, starts)
+
+
+def greedy_verify(ids: jax.Array, drafts, finished: jax.Array,
+                  pos: jax.Array, limit,
+                  eos_id: int) -> Tuple[jax.Array, jax.Array]:
+    """Commit counts for one verified greedy chunk — the single
+    implementation of the exactness-critical rule shared by
+    `speculative_greedy` and the continuous-batching engine
+    (generation/continuous.py).
+
+    ids [B, k]: chunk argmax outputs (output t = greedy next token
+    given chunk inputs 0..t); drafts [B, k-1] or None (k = 1);
+    limit: max outputs per row (scalar or [B]).
+
+    Output t is valid iff drafts 0..t-1 all matched; the first
+    mismatching output is the CORRECTED token (computed from verified
+    inputs), so commits = matches + 1 — truncated at the first
+    committed eos and the per-row limit; finished rows commit 0.
+    Returns (m [B] int32, committed_eos [B] bool).
+    """
+    if drafts is not None and drafts.shape[1] > 0:
+        n_match = jnp.sum(
+            jnp.cumprod((ids[:, :-1] == drafts).astype(jnp.int32),
+                        axis=1), axis=1)
+        m = n_match + 1                                # [B] in 1..k
+    else:
+        m = jnp.ones_like(pos)
+    is_eos = ids == eos_id
+    first_eos = jnp.argmax(is_eos, axis=1)
+    has_eos = jnp.any(is_eos, axis=1)
+    m = jnp.where(has_eos, jnp.minimum(m, first_eos + 1), m)
+    m = jnp.minimum(m, limit - pos)
+    m = jnp.where(finished, 0, m)
+    committed_eos = has_eos & (first_eos < m)
+    return m, committed_eos
+
+
 def commit_conv_caches(caches: List[jax.Array], hs: List[jax.Array],
                        m: jax.Array) -> List[jax.Array]:
     """Advance shifted-copy conv histories by each row's verified prefix.
@@ -129,11 +173,6 @@ def speculative_greedy(
     else:
         finished0 = jnp.zeros((B,), bool)
 
-    def write_rows(b, vals, starts):
-        return jax.vmap(
-            lambda row, v, s: jax.lax.dynamic_update_slice(row, v, (s,))
-        )(b, vals, starts)
-
     # Without collect_flags the carry holds a 1-column dummy so the
     # non-flag callers (flagship/Gen-2/tgnc) pay no per-chunk
     # dynamic-offset write for flags they never read.
@@ -152,21 +191,8 @@ def speculative_greedy(
             lp_c, ids, aux, fl = chunk_fn(inp, pos, caches)
         else:
             lp_c, ids, aux = chunk_fn(inp, pos, caches)
-        # Output t (0-based) is valid iff drafts 0..t-1 all matched;
-        # the first mismatching output is the CORRECTED token (it was
-        # computed from verified inputs), so commits = matches + 1.
-        d_match = ids[:, :-1] == drafts                   # [B, k-1]
-        n_match = jnp.sum(
-            jnp.cumprod(d_match.astype(jnp.int32), axis=1), axis=1)
-        m = n_match + 1                                   # [B] in 1..k
-        # Truncate at the first committed eos.
-        is_eos = ids == config.eos_id
-        first_eos = jnp.argmax(is_eos, axis=1)
-        has_eos = jnp.any(is_eos, axis=1)
-        m = jnp.where(has_eos, jnp.minimum(m, first_eos + 1), m)
-        # Never commit past max_len outputs; finished rows commit 0.
-        m = jnp.minimum(m, L - pos)
-        m = jnp.where(finished, 0, m)
+        m, committed_eos = greedy_verify(ids, drafts, finished, pos,
+                                         L, config.eos_id)
         arange_k = jnp.arange(k, dtype=jnp.int32)[None, :]
         live = arange_k < m[:, None]
         out_toks = jnp.where(live, ids, config.pad_id)
@@ -179,7 +205,6 @@ def speculative_greedy(
         if collect_flags:
             flags = write_rows(flags, jnp.where(live, fl, False), pos)
         caches = commit_fn(caches, aux, m)
-        committed_eos = has_eos & (first_eos < m)
         pos = pos + m
         finished = finished | committed_eos | (pos >= L)
         return tokens, lps, flags, pos, finished, caches, n_chunks + 1

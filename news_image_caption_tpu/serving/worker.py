@@ -86,6 +86,11 @@ def default_model_builder(speculative_k: int = 0,
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
         b = stage(job)
+        if b.pop("max_len", None) is not None:
+            # honor-or-reject: the plain path decodes the full
+            # config max_len; silently ignoring the cap would lie.
+            raise ValueError("per-request max_len requires a "
+                             "--continuous-slots worker")
         if spec_gen is not None and "article_ids" in b:
             return {"tokens": np.asarray(spec_gen(b))}
         return {"tokens": np.asarray(gen(b))}
@@ -126,16 +131,16 @@ def _attach_continuous(predict, model, params, cfg, n_slots: int,
     engine = ContinuousBatcher.for_flattened(
         model, params, cfg, n_slots=n_slots, inner_steps=inner_steps,
         spec_k=max(1, speculative_k), source_len=source_len)
-    base_warmup = predict.warmup
     stage = predict.stage
 
     def warmup():
-        base_warmup()
-        # Compile the engine's prep/insert/chunk kernels before the
-        # ready signal (same rationale as the plain warmup). Stage the
-        # dummy so prep compiles against PRODUCTION dtypes (the
-        # flagship stages features to bf16; an fp32 warmup would leave
-        # the first real job paying a re-jit).
+        # Compile ONLY the engine's prep/insert/chunk kernels before
+        # the ready signal — the plain gen/spec_gen paths are dead
+        # code in continuous mode and their jits are minutes each on
+        # the remote-compile path. Stage the dummy so prep compiles
+        # against PRODUCTION dtypes (the flagship stages features to
+        # bf16; an fp32 warmup would leave the first real job paying
+        # a re-jit).
         engine.submit(stage({k: np.asarray(v) for k, v in dummy.items()}))
         engine.run()
         engine.n_chunks = engine.n_committed = engine.n_slot_steps = 0
@@ -288,6 +293,9 @@ def flagship_model_builder(max_len: int = 32,
         # no-op), so the direct path and the ingest-thread pipelined
         # path share one staging definition.
         b = stage(job)
+        if b.pop("max_len", None) is not None:
+            raise ValueError("per-request max_len requires a "
+                             "--continuous-slots worker")
         if spec_gen is not None and "article_ids" in b:
             return {"tokens": np.asarray(spec_gen(params, b))}
         return {"tokens": np.asarray(gen(params, b))}
@@ -417,9 +425,13 @@ class CaptioningWorker(_MP.Process):
         pending: Dict[int, tuple] = {}
         while True:
             # Block for work only when fully idle; while slots are
-            # decoding, drain whatever has arrived without waiting.
+            # decoding, drain arrivals without waiting — but stop
+            # admitting once the engine's queue is full (staged
+            # features are real device memory; overflow stays as
+            # packed bytes in the ZMQ buffers, same backpressure the
+            # plain loop gets from staged_q(maxsize=2)).
             block = not pending
-            while True:
+            while engine.backlog < engine.max_queue:
                 try:
                     item = staged_q.get(block=block)
                 except _queue.Empty:
@@ -445,18 +457,33 @@ class CaptioningWorker(_MP.Process):
                 continue
             try:
                 done = engine.step()
-            except Exception as e:   # fail every in-flight request
-                logger.exception("continuous engine step failed")
+            except Exception as e:
+                # step() reset the engine (donated state): every
+                # in-flight request is lost — fail them and keep
+                # serving on the fresh pool.
+                logger.exception("continuous engine step failed; "
+                                 "engine reset")
                 for client_id, job_id in pending.values():
                     sink.send_multipart(
                         [client_id, job_id] + pack({"error": repr(e)}))
                 pending.clear()
                 continue
+            # Per-request prep/insert failures (malformed jobs) fail
+            # only their own request. pop(rid, None): an unknown rid
+            # (e.g. surviving an engine reset) must never kill the
+            # loop.
+            for rid, e in engine.drain_failed().items():
+                entry = pending.pop(rid, None)
+                if entry is not None:
+                    sink.send_multipart(
+                        [entry[0], entry[1]]
+                        + pack({"error": repr(e)}))
             for rid, (toks, _lps) in done.items():
-                client_id, job_id = pending.pop(rid)
-                sink.send_multipart(
-                    [client_id, job_id]
-                    + pack({"tokens": toks[None]}))   # [1, L+1]
+                entry = pending.pop(rid, None)
+                if entry is not None:
+                    sink.send_multipart(
+                        [entry[0], entry[1]]
+                        + pack({"tokens": toks[None]}))   # [1, L+1]
 
 
 def full_model_builder(caption_model=None, caption_params=None,

@@ -155,3 +155,54 @@ def test_continuous_matches_generate_under_quantize_kv(setup):
     results = eng.run()
     for rid, w in zip(ids, want):
         np.testing.assert_array_equal(results[rid][0], w)
+
+
+def test_malformed_request_fails_alone(setup):
+    """A request whose context shape mismatches the pool (article
+    length != compiled S) fails via drain_failed() WITHOUT corrupting
+    the engine or the other slots' captions (shape errors raise at
+    trace time, before the donated insert consumes the state)."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=2)
+    good = eng.submit(requests[0])
+    bad_req = dict(requests[1])
+    bad_req["article"] = bad_req["article"][:, :3]      # wrong S
+    bad_req["article_mask"] = bad_req["article_mask"][:, :3]
+    bad = eng.submit(bad_req)
+    results, failed = {}, {}
+    while good not in results:
+        results.update(eng.step())
+        failed.update(eng.drain_failed())
+    assert bad in failed and good not in failed
+    np.testing.assert_array_equal(results[good][0], singles[0])
+    assert eng.idle
+
+
+def test_batched_request_rejected(setup):
+    """B>1 jobs are rejected per-request (the engine would silently
+    decode only row 0 otherwise)."""
+    model, params, requests, cfg, _ = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=1)
+    b2 = {k: np.concatenate([np.asarray(v)] * 2)
+          for k, v in requests[0].items()}
+    rid = eng.submit(b2)
+    eng.step()
+    failed = eng.drain_failed()
+    assert rid in failed and "B=1" in str(failed[rid])
+
+
+def test_reset_recovers_and_stays_warm(setup):
+    """reset() abandons in-flight work but the engine keeps serving
+    correctly (same state shapes -> jit caches stay valid)."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=2)
+    eng.submit(requests[0])
+    eng.step()                    # mid-decode
+    eng.reset()
+    assert eng.idle
+    rid = eng.submit(requests[1])
+    results = eng.run()
+    np.testing.assert_array_equal(results[rid][0], singles[1])
