@@ -381,3 +381,46 @@ class ContinuousBatcher:
                    inner_steps=inner_steps, spec_k=spec_k,
                    source_len=source_len, ngram_n=ngram_n,
                    prepare_fn=prepare_fn)
+
+    @classmethod
+    def for_gen2(cls, model, params, config: GenerationConfig,
+                 n_slots: int, inner_steps: int = 8, spec_k: int = 1,
+                 source_len: int = 512,
+                 ngram_n: int = 2) -> "ContinuousBatcher":
+        """Engine over Gen2Captioner (final* OnlyDecoder family).
+
+        Gen-2's chunk contract is even simpler than the flagship's:
+        `Gen2Transformer.step_chunk` RETURNS the committed caches
+        (self-attn K/V rows are masked by each row's pos, so adopting
+        the chunk's writes is the commit and slot reuse needs no
+        zeroing beyond the generic insert). The per-request article
+        pad mask rides the kvs tree so it inserts per-slot like K/V.
+        """
+        from news_image_caption_tpu.models.gen2 import Gen2Transformer
+        if config.sampling_topk != 1:
+            raise ValueError("continuous batching is greedy-only "
+                             "(sampling_topk must be 1)")
+        module = model.module
+
+        def prep_fn(p, request):
+            kvs = module.apply(p, model._memory(request),
+                               method=Gen2Transformer.precompute_kv)
+            return {"kvs": kvs, "masks": model._src_masks(request)}
+
+        def chunk_fn(p, toks, pos, tree, caches, aux):
+            return module.apply(p, toks, pos, tree["kvs"], caches,
+                                tree["masks"],
+                                method=Gen2Transformer.step_chunk)
+
+        def commit_fn(caches, hs, m):
+            return hs   # stale rows masked by pos (step_chunk doc)
+
+        def init_caches_fn(W):
+            # +spec_k slots: a chunk at pos = max_len-1 writes through
+            # pos + spec_k - 1 (tail past each row's commit is masked)
+            return module.init_cache(W, config.max_len + spec_k)
+
+        return cls(params, prep_fn, chunk_fn, commit_fn,
+                   init_caches_fn, config, n_slots,
+                   inner_steps=inner_steps, spec_k=spec_k,
+                   source_len=source_len, ngram_n=ngram_n)

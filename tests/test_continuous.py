@@ -206,3 +206,39 @@ def test_reset_recovers_and_stays_warm(setup):
     rid = eng.submit(requests[1])
     results = eng.run()
     np.testing.assert_array_equal(results[rid][0], singles[1])
+
+
+def test_gen2_engine_matches_generate(setup):
+    """for_gen2: the Gen-2 OnlyDecoder family runs the same slot
+    engine (its chunk caches commit by adoption — pos-keyed
+    validity); staggered requests match standalone greedy, and
+    speculative slots with oracle sources stay exact."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_gen2 import tiny_batch as g2_batch, tiny_model
+
+    g2 = tiny_model()
+    batch0 = g2_batch()
+    params = g2.init(jax.random.PRNGKey(0), batch0)
+    reqs = [{k: v for k, v in g2_batch(B=1, key=50 + i).items()
+             if k != "caption_ids"} for i in range(5)]
+    cfg = GenerationConfig(max_len=10, sampling_topk=1, bos_id=1,
+                           eos_id=0, pad_id=0, init_finished=False)
+    singles = [np.asarray(g2.generate(params, r, cfg)[0][0])
+               for r in reqs]
+
+    eng = ContinuousBatcher.for_gen2(g2, params, cfg, n_slots=2,
+                                     inner_steps=2)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    for rid, want in zip(ids, singles):
+        np.testing.assert_array_equal(results[rid][0], want)
+
+    spec = ContinuousBatcher.for_gen2(g2, params, cfg, n_slots=2,
+                                      inner_steps=1, spec_k=3,
+                                      source_len=12)
+    ids = [spec.submit(r, source_row=singles[i][1:])
+           for i, r in enumerate(reqs[:3])]
+    spec_res = spec.run()
+    for i, rid in enumerate(ids):
+        np.testing.assert_array_equal(spec_res[rid][0], singles[i])
