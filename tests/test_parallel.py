@@ -268,3 +268,41 @@ def test_sharded_speculative_decode_matches_unsharded(mesh_cfg):
     np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_ref),
                                rtol=1e-4, atol=1e-5)
     assert int(n) == int(n_ref)
+
+
+@pytest.mark.parametrize("mesh_cfg", [
+    MeshConfig(data=4, model=2),
+    MeshConfig(data=2, model=4),
+])
+def test_continuous_engine_under_tp_matches_unsharded(mesh_cfg):
+    """Continuous batching composes with tensor parallelism: an
+    engine over TP-sharded params (B=1 requests stay replicated;
+    the chunk forward shards like the decode matmuls) harvests
+    captions token-identical to the unsharded engine."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBatcher
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+
+    model = TransformerFlattened(tiny_decoder())
+    params = model.init(jax.random.PRNGKey(0), tiny_batch())
+    reqs = [{k: v for k, v in tiny_batch(B=1, key=70 + i).items()
+             if k != "caption_ids"} for i in range(3)]
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+
+    ref_eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                              n_slots=2, inner_steps=2)
+    ref_ids = [ref_eng.submit(r) for r in reqs]
+    ref = ref_eng.run()
+
+    mesh = make_mesh(mesh_cfg)
+    with mesh:
+        sp = jax.tree.map(jax.device_put, params,
+                          param_shardings(params, mesh))
+        eng = ContinuousBatcher.for_flattened(model, sp, cfg,
+                                              n_slots=2,
+                                              inner_steps=2)
+        ids = [eng.submit(r) for r in reqs]
+        got = eng.run()
+    for rid, ref_rid in zip(ids, ref_ids):
+        np.testing.assert_array_equal(got[rid][0], ref[ref_rid][0])
