@@ -90,6 +90,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="continuous mode: decode steps per device "
                          "dispatch (finished slots are harvested and "
                          "refilled between dispatches)")
+    ps.add_argument("--continuous-beam", action="store_true",
+                    help="continuous mode serves EXACT beam search "
+                         "(beam_size=5) from the slot pool; results "
+                         "carry [beam, L+1] tokens + scores")
     ps.add_argument("--no-early-exit", action="store_true")
     ps.add_argument("--params", default=None,
                     help=".npz checkpoint ('/'-joined flat keys) for "
@@ -341,7 +345,8 @@ def serve_command(args) -> int:
             default_model_builder,
             speculative_k=args.speculative_k,
             continuous_slots=args.continuous_slots,
-            inner_steps=args.inner_steps)
+            inner_steps=args.inner_steps,
+            continuous_beam=args.continuous_beam)
     else:
         builder = functools.partial(
             flagship_model_builder,
@@ -353,7 +358,8 @@ def serve_command(args) -> int:
             batch_size=args.batch_size,
             speculative_k=args.speculative_k,
             continuous_slots=args.continuous_slots,
-            inner_steps=args.inner_steps)
+            inner_steps=args.inner_steps,
+            continuous_beam=args.continuous_beam)
     server = CaptionServer(
         worker_factory=lambda **kw: CaptioningWorker(
             model_builder=builder, platform=args.platform, **kw),

@@ -40,7 +40,8 @@ from news_image_caption_tpu.generation.generator import GenerationConfig
 from news_image_caption_tpu.generation.speculative import (
     commit_conv_caches, greedy_verify, ngram_drafts, write_rows)
 
-__all__ = ["SlotState", "ContinuousBatcher"]
+__all__ = ["SlotState", "ContinuousBatcher",
+           "BeamSlotState", "ContinuousBeamBatcher"]
 
 
 class SlotState(NamedTuple):
@@ -424,3 +425,249 @@ class ContinuousBatcher:
                    init_caches_fn, config, n_slots,
                    inner_steps=inner_steps, spec_k=spec_k,
                    source_len=source_len, ngram_n=ngram_n)
+
+
+class BeamSlotState(NamedTuple):
+    """Fixed-shape device state for a W-slot beam-decode pool (K beam
+    rows per slot; flat row r belongs to slot r // K)."""
+
+    tokens: jax.Array    # [W*K, L+1] int32
+    scores: jax.Array    # [W*K] fp32 summed log-probs
+    pos: jax.Array       # [W] int32 decode steps taken by the slot
+    finished: jax.Array  # [W*K] bool per beam row
+    done: jax.Array      # [W] bool — slot frozen (harvest-ready/empty)
+    limit: jax.Array     # [W] int32 per-request length cap
+    kvs: Any             # per-layer context K/V, UNTILED: axis 0 = slot
+    caches: Any          # per-layer shifted conv histories [W*K, K-1, C]
+
+
+class ContinuousBeamBatcher:
+    """Continuous batching for EXACT beam search (the flagship's
+    production decode mode): W slots of K beams each, refilled
+    mid-flight. Each harvested result is token-identical to
+    `TransformerFlattened.generate_beam` run alone on that request
+    (default freeze-in-slot semantics + length-penalty ranking).
+
+    Per-slot depth rides `DynamicConvDecoder.step_topk_pos` (per-row
+    positions over shifted-copy caches; context K/V stay untiled and
+    shared across each slot's beams, exactly like generate_beam); the
+    combine and final ranking are the generator's own
+    `beam_combine`/`rank_beams` — one implementation, no drift.
+    """
+
+    def __init__(self, model, params, config: GenerationConfig,
+                 n_slots: int, inner_steps: int = 8,
+                 max_queue: Optional[int] = None):
+        from news_image_caption_tpu.generation.generator import (
+            beam_combine, permute_rows, rank_beams)
+        from news_image_caption_tpu.models.decoder_flattened import \
+            DynamicConvDecoder
+        model._check_max_len(config)
+        if config.harvest_finished:
+            raise ValueError("continuous beam implements the default "
+                             "freeze-in-slot semantics (the Gen-1 "
+                             "done-list mode is generate_beam-only)")
+        self.model = model
+        self.params = params
+        self.config = config
+        self.W = n_slots
+        self.K = config.beam_size
+        self.inner_steps = inner_steps
+        self.max_queue = (2 * n_slots if max_queue is None
+                          else max_queue)
+        self._queue: deque = deque()
+        self._slot_req: List[Optional[int]] = [None] * n_slots
+        self._next_id = 0
+        self._failed: Dict[int, Exception] = {}
+        self.n_chunks = 0
+
+        W, K, L = n_slots, self.K, config.max_len
+        cfg = config
+
+        def prep_fn(p, request):
+            return model._decode_setup(p, model._contexts(request),
+                                       quantize_kv=cfg.quantize_kv)
+
+        self._prep = jax.jit(prep_fn)
+        self.aux = (jax.jit(
+            lambda p: model._head_tables(p, cfg))(params)
+            if cfg.quantize_head else None)
+
+        def insert(state: BeamSlotState, slot, kvs1,
+                   limit) -> BeamSlotState:
+            kvs = jax.tree.map(lambda big, one: big.at[slot].set(one[0]),
+                               state.kvs, kvs1)
+            caches = jax.tree.map(
+                lambda c: jax.lax.dynamic_update_slice_in_dim(
+                    c, jnp.zeros((K,) + c.shape[1:], c.dtype),
+                    slot * K, axis=0), state.caches)
+            row0 = slot * K
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                state.tokens,
+                jnp.full((K, L + 1), cfg.pad_id,
+                         jnp.int32).at[:, 0].set(cfg.bos_id),
+                row0, axis=0)
+            # Only beam 0 live initially (all beams identical else).
+            scores = jax.lax.dynamic_update_slice_in_dim(
+                state.scores,
+                jnp.full((K,), -1e9, jnp.float32).at[0].set(0.0),
+                row0, axis=0)
+            fin0 = jnp.full(
+                (K,), cfg.init_finished and cfg.bos_id == cfg.eos_id)
+            finished = jax.lax.dynamic_update_slice_in_dim(
+                state.finished, fin0, row0, axis=0)
+            return state._replace(
+                tokens=tokens, scores=scores, finished=finished,
+                pos=state.pos.at[slot].set(0),
+                done=state.done.at[slot].set(False),
+                limit=state.limit.at[slot].set(limit),
+                kvs=kvs, caches=caches)
+
+        self._insert = jax.jit(insert, donate_argnums=(0,))
+
+        def run(params, state: BeamSlotState, aux):
+            def body(st: BeamSlotState, _):
+                pos_rows = jnp.repeat(st.pos, K)          # [W*K]
+                freeze = jnp.repeat(st.done, K)           # [W*K]
+                cur = jnp.take_along_axis(
+                    st.tokens, pos_rows[:, None], axis=1)[:, 0]
+                rv, ri, new_caches = model.decoder.apply(
+                    params, cur, pos_rows, st.kvs, st.caches, K,
+                    beam=K, tables=aux,
+                    method=DynamicConvDecoder.step_topk_pos)
+                scores, tok_flat, flat_src = beam_combine(
+                    st.scores, rv, ri, st.finished, W, K, cfg.pad_id)
+                tokens = jnp.take(st.tokens, flat_src, axis=0)
+                caches = jax.tree.map(
+                    lambda c: permute_rows(c, flat_src), new_caches)
+                finished = st.finished[flat_src]
+                tokens = write_rows(tokens, tok_flat[:, None],
+                                    pos_rows + 1)
+                just_eos = (tok_flat == cfg.eos_id) & ~finished
+                finished = finished | just_eos
+                # Freeze done slots (harvest-pending/empty): their
+                # tokens/scores/finished must not churn under the
+                # combine's re-sorts.
+                tokens = jnp.where(freeze[:, None], st.tokens, tokens)
+                scores = jnp.where(freeze, st.scores, scores)
+                finished = jnp.where(freeze, st.finished, finished)
+                pos = jnp.where(st.done, st.pos, st.pos + 1)
+                slot_fin = jnp.all(finished.reshape(W, K), axis=1)
+                done = st.done | slot_fin | (pos >= st.limit)
+                return st._replace(tokens=tokens, scores=scores,
+                                   pos=pos, finished=finished,
+                                   done=done, caches=caches), None
+
+            state, _ = jax.lax.scan(body, state, None,
+                                    length=self.inner_steps)
+            return state
+
+        self._chunk = jax.jit(run, donate_argnums=(1,))
+        self._rank = jax.jit(
+            lambda t, s: rank_beams(t[None], s[None], cfg.pad_id,
+                                    cfg.length_penalty))
+        self.reset()
+
+    def reset(self) -> None:
+        """Fresh pool (same shapes -> jit caches warm); abandons all
+        in-flight work — see ContinuousBatcher.reset."""
+        W, K, L = self.W, self.K, self.config.max_len
+        self.state = BeamSlotState(
+            tokens=jnp.full((W * K, L + 1), self.config.pad_id,
+                            jnp.int32),
+            scores=jnp.full((W * K,), -1e9, jnp.float32),
+            pos=jnp.zeros((W,), jnp.int32),
+            finished=jnp.zeros((W * K,), bool),
+            done=jnp.ones((W,), bool),          # empty slots frozen
+            limit=jnp.full((W,), L, jnp.int32),
+            kvs=None,
+            caches=self.model.decoder.init_cache(W * K),
+        )
+        self._queue.clear()
+        self._slot_req = [None] * self.W
+        self._failed.clear()
+
+    # -- host-side driving (same contract as ContinuousBatcher) ------
+
+    def submit(self, request: Dict[str, Any],
+               max_len: Optional[int] = None) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        limit = self.config.max_len if max_len is None else max_len
+        if not 0 < limit <= self.config.max_len:
+            raise ValueError(f"max_len {limit} outside (0, "
+                             f"{self.config.max_len}]")
+        self._queue.append((rid, request, limit))
+        return rid
+
+    @property
+    def backlog(self) -> int:
+        return len(self._queue)
+
+    @property
+    def idle(self) -> bool:
+        return (not self._queue
+                and all(r is None for r in self._slot_req))
+
+    def drain_failed(self) -> Dict[int, Exception]:
+        out, self._failed = self._failed, {}
+        return out
+
+    def _fill(self) -> None:
+        for slot in [s for s, r in enumerate(self._slot_req)
+                     if r is None]:
+            if not self._queue:
+                break
+            rid, request, limit = self._queue.popleft()
+            try:
+                kvs1 = self._prep(self.params, request)
+                lead = {leaf.shape[0] for leaf in jax.tree.leaves(kvs1)
+                        if hasattr(leaf, "shape") and leaf.ndim > 0}
+                if lead != {1}:
+                    raise ValueError(
+                        f"continuous beam takes B=1 requests; prepped "
+                        f"KV has leading dims {lead}")
+                if self.state.kvs is None:
+                    self.state = self.state._replace(kvs=jax.tree.map(
+                        lambda one: jnp.zeros(
+                            (self.W,) + one.shape[1:], one.dtype),
+                        kvs1))
+                self.state = self._insert(self.state, jnp.int32(slot),
+                                          kvs1, jnp.int32(limit))
+            except Exception as e:
+                self._failed[rid] = e
+                continue
+            self._slot_req[slot] = rid
+
+    def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Refill, dispatch `inner_steps` beam steps for every slot,
+        harvest done slots. Returns {request_id: (tokens
+        [beam, max_len+1], scores [beam])}, best-first."""
+        self._fill()
+        if all(r is None for r in self._slot_req):
+            return {}
+        try:
+            self.state = self._chunk(self.params, self.state,
+                                     self.aux)
+        except Exception:
+            self.reset()
+            raise
+        self.n_chunks += 1
+        done = np.asarray(self.state.done)
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        K = self.K
+        for s, rid in enumerate(self._slot_req):
+            if rid is None or not done[s]:
+                continue
+            toks = self.state.tokens[s * K:(s + 1) * K]
+            scores = self.state.scores[s * K:(s + 1) * K]
+            rt, rs = self._rank(toks, scores)
+            out[rid] = (np.asarray(rt[0]), np.asarray(rs[0]))
+            self._slot_req[s] = None
+        return out
+
+    def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        while not self.idle:
+            results.update(self.step())
+        return results

@@ -206,6 +206,44 @@ def generate_candidates(step_fn: Callable, init_caches,
     return tokens, lps.T
 
 
+def beam_combine(scores: jax.Array, rv: jax.Array, ri: jax.Array,
+                 finished: jax.Array, B: int, K: int, pad_id: int
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One beam-search combine — the single implementation of the
+    exactness-critical selection shared by `beam_search_candidates`
+    and the continuous beam engine (generation/continuous.py).
+
+    scores/finished [B*K]; rv/ri [B*K, K] per-row candidate
+    log-probs/ids (exact top-K per row). A finished row contributes
+    exactly one candidate: itself extended by pad at +0.0 (its other
+    slots are dead at -1e9). Returns (new_scores [B*K], tok_flat
+    [B*K], flat_src [B*K]) — the chosen continuation token per beam
+    slot and the ancestry source row for cache/token reordering.
+    """
+    neg_inf = jnp.float32(-1e9)
+    pad_vals = jnp.full((K,), neg_inf).at[0].set(0.0)
+    rv = jnp.where(finished[:, None], pad_vals[None, :], rv)
+    ri = jnp.where(finished[:, None], pad_id, ri)
+    cand = (scores[:, None] + rv).reshape(B, K * K)
+    top_scores, top_flat = jax.lax.top_k(cand, K)      # [B, K]
+    src_beam = top_flat // K
+    tok = jnp.take_along_axis(ri.reshape(B, K * K), top_flat, axis=1)
+    flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+    return top_scores.reshape(-1), tok.reshape(-1), flat_src
+
+
+def rank_beams(tokens: jax.Array, scores: jax.Array, pad_id: int,
+               length_penalty: float) -> Tuple[jax.Array, jax.Array]:
+    """Final best-first ordering by score / length**alpha (alpha=0
+    ranks by raw summed log-prob, the Gen-1 reference rule). tokens
+    [B, K, L+1], scores [B, K]; returns both reordered."""
+    lengths = jnp.sum(tokens != pad_id, axis=-1).astype(jnp.float32)
+    norm = scores / (jnp.maximum(lengths, 1.0) ** length_penalty)
+    order = jnp.argsort(-norm, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    return tokens, jnp.take_along_axis(norm, order, axis=1)
+
+
 def beam_search_candidates(step_fn: Callable, init_caches,
                            seed: jax.Array, config: GenerationConfig,
                            reorder_fn: Optional[Callable] = None
@@ -255,9 +293,6 @@ def beam_search_candidates(step_fn: Callable, init_caches,
         finished0 = flat_seed == config.eos_id
     else:
         finished0 = jnp.zeros((B * K,), bool)
-    # A finished row emits only pad (score += 0); its other candidate
-    # slots are dead.
-    pad_vals = jnp.full((K,), neg_inf).at[0].set(0.0)
     done0 = (jnp.full((B, K), neg_inf),
              jnp.full((B, K, L + 1), config.pad_id, jnp.int32))
 
@@ -274,21 +309,13 @@ def beam_search_candidates(step_fn: Callable, init_caches,
 
     def step_once(i, cur, scores, finished, tokens, caches, done):
         rv, ri, caches = step_fn(cur, i, caches)       # [B*K, K] x2
-        rv = jnp.where(finished[:, None], pad_vals[None, :], rv)
-        ri = jnp.where(finished[:, None], config.pad_id, ri)
-        cand = (scores[:, None] + rv).reshape(B, K * K)
-        top_scores, top_flat = jax.lax.top_k(cand, K)  # [B, K]
-        src_beam = top_flat // K
-        tok = jnp.take_along_axis(
-            ri.reshape(B, K * K), top_flat, axis=1)    # [B, K]
-        flat_src = (jnp.arange(B)[:, None] * K + src_beam).reshape(-1)
+        scores, tok_flat, flat_src = beam_combine(
+            scores, rv, ri, finished, B, K, config.pad_id)
         tokens = jnp.take(tokens, flat_src, axis=0)
         caches = reorder_fn(caches, flat_src)
         finished = finished[flat_src]
-        tok_flat = tok.reshape(-1)
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok_flat[:, None], (0, i + 1))
-        scores = top_scores.reshape(-1)
         just_eos = (tok_flat == config.eos_id) & ~finished
         if harvest:
             done = merge_done(done, tokens, scores, just_eos)
@@ -324,14 +351,8 @@ def beam_search_candidates(step_fn: Callable, init_caches,
     else:
         tokens = tokens.reshape(B, K, -1)
         scores = scores.reshape(B, K)
-    # Length penalty: normalize by (non-pad length)^alpha
-    # (alpha=0 ranks by raw summed log-prob, the Gen-1 reference rule).
-    lengths = jnp.sum(tokens != config.pad_id, axis=-1).astype(jnp.float32)
-    norm = scores / (jnp.maximum(lengths, 1.0) ** config.length_penalty)
-    order = jnp.argsort(-norm, axis=1)
-    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
-    scores = jnp.take_along_axis(norm, order, axis=1)
-    return tokens, scores
+    return rank_beams(tokens, scores, config.pad_id,
+                      config.length_penalty)
 
 
 def beam_search(step_fn: Callable, init_caches, seed: jax.Array,

@@ -674,6 +674,38 @@ class DynamicConvDecoder(nn.Module):
         v, ids = self.adaptive_softmax.topk_log_prob(x, k, tables)
         return v, ids, new_caches
 
+    def step_topk_pos(self, token_t: jax.Array, pos_row: jax.Array,
+                      kvs: List[LayerKV], caches: List[jax.Array],
+                      k: int, beam: int = 1, tables=None):
+        """`step_topk` with PER-ROW positions over shifted-copy
+        caches (continuous beam batching: slots sit at different
+        decode depths inside one flat batch). Positions only enter
+        via the embedder; the conv history is the shifted cache
+        content and the context attention reads precomputed KV, so
+        per-row depth needs no ring indexing. Token-exact vs
+        `step_topk` at uniform positions (ring and shifted layouts
+        hold identical histories — test_beam_impls_match_shifted_
+        copy_beam).
+
+        token_t [B]; pos_row [B] int32 tokens consumed per row;
+        caches: `init_cache(B)` layout. Returns (cand_log_probs
+        [B, k], cand_ids [B, k], new_caches).
+        """
+        pos = jnp.asarray(pos_row, jnp.int32)
+        x = self.embedder(token_t[:, None],
+                          start_pos=pos[:, None])[:, 0, :]
+        new_caches = []
+        for layer, kv, cache in zip(self.layers, kvs, caches):
+            x, nc = layer.step(x, kv, cache, beam=beam,
+                               step_idx=None)   # shifted-copy path
+            new_caches.append(nc)
+        if self.normalize_before and self.final_norm:
+            x = self.layer_norm(x)
+        if tables is None:
+            tables = self.embedder.embed_tables()
+        v, ids = self.adaptive_softmax.topk_log_prob(x, k, tables)
+        return v, ids, new_caches
+
     def step_chunk(self, tokens: jax.Array, pos: jax.Array | int,
                    kvs: List[LayerKV], caches: List[jax.Array],
                    tables=None):

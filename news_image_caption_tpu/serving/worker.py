@@ -27,7 +27,8 @@ from news_image_caption_tpu.utils.logging import setup_logger
 
 def default_model_builder(speculative_k: int = 0,
                           continuous_slots: int = 0,
-                          inner_steps: int = 8):
+                          inner_steps: int = 8,
+                          continuous_beam: bool = False):
     """Tiny random-weight captioner (smoke/serving tests).
 
     speculative_k >= 2 enables the same exact speculative-greedy
@@ -113,24 +114,35 @@ def default_model_builder(speculative_k: int = 0,
                            continuous_slots, inner_steps,
                            speculative_k, source_len=6,
                            dummy={k: v for k, v in batch.items()
-                                  if k != "caption_ids"})
+                                  if k != "caption_ids"},
+                           beam=continuous_beam)
     return predict
 
 
 def _attach_continuous(predict, model, params, cfg, n_slots: int,
                        inner_steps: int, speculative_k: int,
-                       source_len: int, dummy: Dict[str, Any]) -> None:
+                       source_len: int, dummy: Dict[str, Any],
+                       beam: bool = False) -> None:
     """Attach a ContinuousBatcher engine + engine-aware warmup to a
     builder's predict fn. The worker detects `predict.engine` and
     switches to the slot-refill loop (submit jobs as they arrive,
     harvest finished captions between chunk dispatches) instead of
-    the one-job-at-a-time predict loop."""
-    from news_image_caption_tpu.generation.continuous import \
-        ContinuousBatcher
+    the one-job-at-a-time predict loop. beam=True serves EXACT beam
+    search from the slot pool (ContinuousBeamBatcher; results carry
+    [beam, L+1] tokens + scores; speculative drafts are greedy-only
+    and ignored)."""
+    from news_image_caption_tpu.generation.continuous import (
+        ContinuousBatcher, ContinuousBeamBatcher)
 
-    engine = ContinuousBatcher.for_flattened(
-        model, params, cfg, n_slots=n_slots, inner_steps=inner_steps,
-        spec_k=max(1, speculative_k), source_len=source_len)
+    if beam:
+        engine = ContinuousBeamBatcher(model, params, cfg,
+                                       n_slots=n_slots,
+                                       inner_steps=inner_steps)
+    else:
+        engine = ContinuousBatcher.for_flattened(
+            model, params, cfg, n_slots=n_slots,
+            inner_steps=inner_steps, spec_k=max(1, speculative_k),
+            source_len=source_len)
     stage = predict.stage
 
     def warmup():
@@ -141,9 +153,13 @@ def _attach_continuous(predict, model, params, cfg, n_slots: int,
         # against PRODUCTION dtypes (the flagship stages features to
         # bf16; an fp32 warmup would leave the first real job paying
         # a re-jit).
-        engine.submit(stage({k: np.asarray(v) for k, v in dummy.items()}))
+        wjob = stage({k: np.asarray(v) for k, v in dummy.items()})
+        wjob.pop("max_len", None)
+        engine.submit(wjob)
         engine.run()
-        engine.n_chunks = engine.n_committed = engine.n_slot_steps = 0
+        engine.n_chunks = 0
+        if hasattr(engine, "n_committed"):
+            engine.n_committed = engine.n_slot_steps = 0
 
     predict.engine = engine
     predict.warmup = warmup
@@ -189,7 +205,8 @@ def flagship_model_builder(max_len: int = 32,
                            batch_size: int = 1,
                            speculative_k: int = 0,
                            continuous_slots: int = 0,
-                           inner_steps: int = 8):
+                           inner_steps: int = 8,
+                           continuous_beam: bool = False):
     """Production serving builder: the FLAGSHIP captioner at the
     reference's serving shapes (article 512×1024, image 49×2048,
     tasks/captioner.py:79-144), bf16 end-to-end, greedy decode with
@@ -319,7 +336,8 @@ def flagship_model_builder(max_len: int = 32,
         }
         _attach_continuous(predict, model, params, cfg,
                            continuous_slots, inner_steps,
-                           speculative_k, source_len=S, dummy=dummy)
+                           speculative_k, source_len=S, dummy=dummy,
+                           beam=continuous_beam)
     return predict
 
 
@@ -422,6 +440,9 @@ class CaptioningWorker(_MP.Process):
         caption never waits behind a long one)."""
         import queue as _queue
 
+        from news_image_caption_tpu.generation.continuous import \
+            ContinuousBeamBatcher
+        is_beam = isinstance(engine, ContinuousBeamBatcher)
         pending: Dict[int, tuple] = {}
         while True:
             # Block for work only when fully idle; while slots are
@@ -447,8 +468,11 @@ class CaptioningWorker(_MP.Process):
                     if src is not None:
                         src = np.asarray(src)[0]   # [1, S] -> [S]
                     ml = job.pop("max_len", None)
-                    rid = engine.submit(job, source_row=src,
-                                        max_len=ml)
+                    if is_beam:   # beam is exact, draft-free
+                        rid = engine.submit(job, max_len=ml)
+                    else:
+                        rid = engine.submit(job, source_row=src,
+                                            max_len=ml)
                     pending[rid] = (client_id, job_id)
                 except Exception as e:
                     sink.send_multipart(
@@ -478,12 +502,17 @@ class CaptioningWorker(_MP.Process):
                     sink.send_multipart(
                         [entry[0], entry[1]]
                         + pack({"error": repr(e)}))
-            for rid, (toks, _lps) in done.items():
+            for rid, (toks, aux_val) in done.items():
                 entry = pending.pop(rid, None)
-                if entry is not None:
-                    sink.send_multipart(
-                        [entry[0], entry[1]]
-                        + pack({"tokens": toks[None]}))   # [1, L+1]
+                if entry is None:
+                    continue
+                if is_beam:   # [1, beam, L+1] tokens + [1, beam] scores
+                    payload = {"tokens": toks[None],
+                               "scores": aux_val[None]}
+                else:         # [1, L+1] greedy tokens
+                    payload = {"tokens": toks[None]}
+                sink.send_multipart(
+                    [entry[0], entry[1]] + pack(payload))
 
 
 def full_model_builder(caption_model=None, caption_params=None,

@@ -242,3 +242,60 @@ def test_gen2_engine_matches_generate(setup):
     spec_res = spec.run()
     for i, rid in enumerate(ids):
         np.testing.assert_array_equal(spec_res[rid][0], singles[i])
+
+
+def test_beam_engine_matches_generate_beam(setup):
+    """ContinuousBeamBatcher: staggered beam-5 requests through a
+    2-slot pool are (tokens, scores)-identical to standalone
+    generate_beam — per-slot depths, mid-flight refill, frozen done
+    slots."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+
+    model, params, requests, _, _ = setup
+    cfg = GenerationConfig(max_len=MAX_LEN, beam_size=3,
+                           early_exit=True)
+    singles = [model.generate_beam(params, r, cfg) for r in requests]
+
+    eng = ContinuousBeamBatcher(model, params, cfg, n_slots=2,
+                                inner_steps=2)
+    ids = [eng.submit(r) for r in requests[:3]]
+    results = {}
+    results.update(eng.step())
+    ids += [eng.submit(r) for r in requests[3:]]   # mid-flight
+    results.update(eng.run())
+    assert sorted(results) == sorted(ids)
+    for i, rid in enumerate(ids):
+        want_t, want_s = singles[i]
+        got_t, got_s = results[rid]
+        np.testing.assert_array_equal(got_t, np.asarray(want_t[0]))
+        np.testing.assert_allclose(got_s, np.asarray(want_s[0]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_beam_engine_per_request_cap_and_failures(setup):
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+
+    model, params, requests, _, _ = setup
+    cfg = GenerationConfig(max_len=MAX_LEN, beam_size=3)
+    cfg_cap = GenerationConfig(max_len=4, beam_size=3,
+                               early_exit=True)
+    want_t, want_s = model.generate_beam(params, requests[0], cfg_cap)
+
+    eng = ContinuousBeamBatcher(model, params, cfg, n_slots=1,
+                                inner_steps=1)
+    capped = eng.submit(requests[0], max_len=4)
+    bad_req = dict(requests[1])
+    bad_req["article"] = bad_req["article"][:, :3]
+    bad_req["article_mask"] = bad_req["article_mask"][:, :3]
+    bad = eng.submit(bad_req)
+    results, failed = {}, {}
+    while not eng.idle:
+        results.update(eng.step())
+        failed.update(eng.drain_failed())
+    got_t = results[capped][0]
+    # engine rows live in the pool-wide buffer: cols past the cap pad
+    np.testing.assert_array_equal(got_t[:, :5], np.asarray(want_t[0]))
+    assert np.all(got_t[:, 5:] == cfg.pad_id)
+    assert bad in failed

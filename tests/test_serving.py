@@ -439,3 +439,56 @@ def test_continuous_worker_matches_plain(server_and_client):
     np.testing.assert_array_equal(after, refs[0])
     np.testing.assert_array_equal(capped[0, :3], refs[0][0, :3])
     assert np.all(capped[0, 3:] == 1)   # pad after the cap
+
+
+def test_continuous_beam_worker_matches_generate_beam(server_and_client):
+    """--continuous-beam: the worker serves EXACT beam search from the
+    slot pool; payloads carry [1, beam, L+1] tokens + scores matching
+    standalone generate_beam."""
+    import functools
+
+    import jax
+
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    from news_image_caption_tpu.models.captioner import \
+        TransformerFlattened
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import (
+        CaptioningWorker, default_model_builder)
+
+    # standalone reference: same toy model/params as the builder
+    model = TransformerFlattened(
+        vocab_size=64, cutoff=(16, 32, 64), embed_dim=32, ffn_dim=64,
+        num_heads=4, num_layers=2, kernel_sizes=(3, 5), image_dim=16,
+        article_dim=24, max_positions=64)
+    jobs = [make_varied_job(s) for s in range(3)]
+    init = dict(jobs[0])
+    init["caption_ids"] = np.zeros((1, 8), np.int32)
+    params = model.init(jax.random.PRNGKey(0), init)
+    cfg = GenerationConfig(max_len=16, early_exit=True)
+    refs = [model.generate_beam(params, j, cfg) for j in jobs]
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(
+            model_builder=functools.partial(default_model_builder,
+                                            continuous_slots=2,
+                                            inner_steps=2,
+                                            continuous_beam=True),
+            platform="cpu", **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=240000)
+    try:
+        results = list(client.caption_stream(iter(jobs), window=3))
+    finally:
+        client.close()
+        server.stop()
+    for got, (want_t, want_s) in zip(results, refs):
+        assert got["tokens"].shape == (1, 5, 17)
+        np.testing.assert_array_equal(got["tokens"][0],
+                                      np.asarray(want_t[0]))
+        np.testing.assert_allclose(got["scores"][0],
+                                   np.asarray(want_s[0]),
+                                   rtol=1e-5, atol=1e-6)
