@@ -333,6 +333,13 @@ def serve_command(args) -> int:
     from news_image_caption_tpu.training.preemption import \
         PreemptionHandler
 
+    if args.continuous_beam and args.continuous_slots <= 0:
+        # Never silently serve greedy payloads to a client expecting
+        # [beam, L+1] tokens + scores.
+        print("error: --continuous-beam requires --continuous-slots N",
+              file=sys.stderr)
+        return 2
+
     # Graceful SIGTERM (systemd/k8s stop, pod eviction): installed
     # BEFORE worker spawn so a stop during startup still reaches the
     # finally block, which drains the proxy and terminates the worker

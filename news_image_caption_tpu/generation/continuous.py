@@ -20,11 +20,14 @@ per-row history advance), so with spec_k >= 2 each slot ALSO decodes
 speculatively (prompt-lookup drafts from its own article ids) —
 continuous batching and speculative decoding compose.
 
-Token-exactness: every harvested caption is token-identical to
-`model.generate(..., sampling_topk=1)` run alone on that request
-(greedy verification commits only argmax-consistent prefixes;
-finished/empty slots commit nothing) — tested in
-tests/test_continuous.py.
+Two engines over one host-side pool (`_SlotPool`):
+- `ContinuousBatcher` — greedy (optionally speculative) decode; each
+  harvested caption is token-identical to `model.generate(...,
+  sampling_topk=1)` run alone on that request.
+- `ContinuousBeamBatcher` — EXACT beam search; each harvested
+  (tokens, scores) is identical to standalone
+  `TransformerFlattened.generate_beam`.
+Both tested in tests/test_continuous.py.
 """
 
 from __future__ import annotations
@@ -44,8 +47,160 @@ __all__ = ["SlotState", "ContinuousBatcher",
            "BeamSlotState", "ContinuousBeamBatcher"]
 
 
+class _SlotPool:
+    """Shared host-side machinery of both continuous engines: the
+    request queue, slot bookkeeping, per-request failure isolation,
+    admission control, and the refill/dispatch/harvest skeleton.
+
+    Subclasses provide the device side: `reset()` builds the state
+    pytree (and must call `_reset_bookkeeping`), `_insert_slot(slot,
+    kvs1, extra)` grafts one prepped request, `_dispatch_chunk()`
+    advances every slot `inner_steps` steps, `_harvest()` collects
+    done slots.
+    """
+
+    def __init__(self, params, config: GenerationConfig, n_slots: int,
+                 inner_steps: int, max_queue: Optional[int]):
+        if n_slots < 1:
+            raise ValueError("n_slots must be >= 1")
+        if inner_steps < 1:
+            raise ValueError("inner_steps must be >= 1")
+        self.params = params
+        self.config = config
+        self.W = n_slots
+        self.inner_steps = inner_steps
+        # Admission bound for callers that poll `backlog` (the serving
+        # loop): beyond ~2 refills of queued work there is no
+        # throughput benefit, only held memory.
+        self.max_queue = (2 * n_slots if max_queue is None
+                          else max_queue)
+        self._queue: deque = deque()
+        self._slot_req: List[Optional[int]] = [None] * n_slots
+        self._next_id = 0
+        self._failed: Dict[int, Exception] = {}
+        self.n_chunks = 0          # device dispatches
+
+    # -- bookkeeping -----------------------------------------------------
+
+    def _reset_bookkeeping(self) -> None:
+        self._queue.clear()
+        self._slot_req = [None] * self.W
+        self._failed.clear()
+
+    def _enqueue(self, request: Dict[str, Any], extra: tuple) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, request, extra))
+        return rid
+
+    def _check_limit(self, max_len: Optional[int]) -> int:
+        limit = self.config.max_len if max_len is None else max_len
+        if not 0 < limit <= self.config.max_len:
+            raise ValueError(f"max_len {limit} outside (0, "
+                             f"{self.config.max_len}]")
+        return limit
+
+    @property
+    def backlog(self) -> int:
+        """Queued requests not yet in a slot. Admission control:
+        callers stop feeding `submit` while backlog >= max_queue
+        (staged features are real device memory)."""
+        return len(self._queue)
+
+    @property
+    def idle(self) -> bool:
+        """True when nothing is queued and no slot is decoding."""
+        return (not self._queue
+                and all(r is None for r in self._slot_req))
+
+    def drain_failed(self) -> Dict[int, Exception]:
+        """Requests that failed prep/insert (malformed shapes etc.)
+        since the last drain — callers answer these as errors."""
+        out, self._failed = self._failed, {}
+        return out
+
+    # -- refill / dispatch / harvest skeleton -----------------------------
+
+    def _fill(self) -> None:
+        for slot in [s for s, r in enumerate(self._slot_req)
+                     if r is None]:
+            if not self._queue:
+                break
+            rid, request, extra = self._queue.popleft()
+            try:
+                kvs1 = self._prep(self.params, request)
+                lead = {leaf.shape[0] for leaf in jax.tree.leaves(kvs1)
+                        if hasattr(leaf, "shape") and leaf.ndim > 0}
+                if lead != {1}:
+                    raise ValueError(
+                        f"continuous batching takes B=1 requests; "
+                        f"this request prepped KV with leading dims "
+                        f"{lead} (split batched jobs into per-row "
+                        f"requests)")
+                sized_now = False
+                if self.state.kvs is None:
+                    # The FIRST successfully-inserted request sizes
+                    # the W-slot KV pool (zeros elsewhere; empty slots
+                    # stay frozen) and thereby pins the pool's context
+                    # shapes — later requests with different shapes
+                    # fail alone via drain_failed. Serving pins the
+                    # canonical shapes up front with the warmup dummy
+                    # (serving/worker.py::_attach_continuous).
+                    self.state = self.state._replace(kvs=jax.tree.map(
+                        lambda one: jnp.zeros(
+                            (self.W,) + one.shape[1:], one.dtype),
+                        kvs1))
+                    sized_now = True
+                try:
+                    self._insert_slot(slot, kvs1, extra)
+                except Exception:
+                    if sized_now:
+                        # Never let a malformed request dictate the
+                        # pool's KV shapes — well-formed requests must
+                        # still size it on their turn.
+                        self.state = self.state._replace(kvs=None)
+                    raise
+            except Exception as e:   # malformed request: fail IT, not
+                self._failed[rid] = e  # the engine (shape errors raise
+                continue               # at trace time, pre-donation)
+            self._slot_req[slot] = rid
+
+    def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Refill free slots, dispatch one jitted chunk
+        (`inner_steps` decode steps for every slot), harvest finished
+        slots. Returns {request_id: results} for captions completed
+        by this call.
+
+        Failed prep/inserts never raise here — they land in
+        `drain_failed()`. A failed CHUNK dispatch raises after
+        `reset()` (donated state: in-flight work is lost; the caller
+        fails pending requests and keeps serving)."""
+        self._fill()
+        if all(r is None for r in self._slot_req):
+            return {}
+        try:
+            self._dispatch_chunk()
+        except Exception:
+            # The dispatch consumed the donated state buffers; rebuild
+            # a fresh pool so the engine survives device-level errors.
+            self.reset()
+            raise
+        self.n_chunks += 1
+        return self._harvest()
+
+    def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+        """Drive `step()` until the queue and every slot drain;
+        returns everything decoded by this call. (A long-running
+        server uses `step()` directly and owns result routing — the
+        engine holds no result history.)"""
+        results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        while not self.idle:
+            results.update(self.step())
+        return results
+
+
 class SlotState(NamedTuple):
-    """Fixed-shape device state for a W-slot decode pool."""
+    """Fixed-shape device state for a W-slot greedy decode pool."""
 
     tokens: jax.Array    # [W, L + k + 1] int32, row r = slot r's caption
     lps: jax.Array       # [W, L + k] fp32 per-token log-probs
@@ -57,11 +212,12 @@ class SlotState(NamedTuple):
     source: jax.Array    # [W, S] int32 draft source ids (spec mode)
 
 
-class ContinuousBatcher:
-    """Host-side engine around three jitted kernels (prep / insert /
-    chunk). Build one per worker via `for_flattened` (the flagship
-    serving model) or the generic constructor for any model exposing
-    the chunk/commit protocol of generation/speculative.py.
+class ContinuousBatcher(_SlotPool):
+    """Greedy (optionally speculative) slot engine around three
+    jitted kernels (prep / insert / chunk). Build one per worker via
+    `for_flattened` (the flagship serving model) / `for_gen2`, or the
+    generic constructor for any model exposing the chunk/commit
+    protocol of generation/speculative.py.
 
     prep_fn(params, request)            -> kvs for ONE request (B=1)
     chunk_fn(params, toks [W,k], pos, kvs, caches, aux) ->
@@ -82,29 +238,15 @@ class ContinuousBatcher:
                  source_len: int = 1, ngram_n: int = 2,
                  prepare_fn: Optional[Callable] = None,
                  max_queue: Optional[int] = None):
+        super().__init__(params, config, n_slots, inner_steps,
+                         max_queue)
         if spec_k < 1:
             raise ValueError("spec_k must be >= 1")
-        if inner_steps < 1:
-            raise ValueError("inner_steps must be >= 1")
-        self.params = params
-        self.config = config
-        self.W = n_slots
         self.k = spec_k
-        self.inner_steps = inner_steps
         self.source_len = source_len
         self.ngram_n = ngram_n
-        # Admission bound for callers that poll `backlog` (the serving
-        # loop): beyond ~2 refills of queued work there is no
-        # throughput benefit, only held memory.
-        self.max_queue = (2 * n_slots if max_queue is None
-                          else max_queue)
         self._init_caches_fn = init_caches_fn
-        self._queue: deque = deque()
-        self._slot_req: List[Optional[int]] = [None] * n_slots
-        self._next_id = 0
-        self._failed: Dict[int, Exception] = {}
-        # utilization accounting
-        self.n_chunks = 0          # device dispatches
+        # utilization accounting (greedy engine only)
         self.n_committed = 0       # tokens committed across slots
         self.n_slot_steps = 0      # W * inner_steps per dispatch
 
@@ -138,9 +280,7 @@ class ContinuousBatcher:
             source=jnp.full((W, self.source_len), self.config.pad_id,
                             jnp.int32),
         )
-        self._queue.clear()
-        self._slot_req = [None] * self.W
-        self._failed.clear()
+        self._reset_bookkeeping()
 
     # -- jitted kernels ------------------------------------------------
 
@@ -211,7 +351,7 @@ class ContinuousBatcher:
 
         return run
 
-    # -- host-side driving ----------------------------------------------
+    # -- host-side hooks ---------------------------------------------
 
     def submit(self, request: Dict[str, Any],
                source_row: Optional[np.ndarray] = None,
@@ -222,120 +362,40 @@ class ContinuousBatcher:
         (spec mode; defaults to pads = no drafts ever accepted).
         max_len: per-request length cap (<= config.max_len) — slots
         serving short-capped requests free up early."""
-        rid = self._next_id
-        self._next_id += 1
-        limit = self.config.max_len if max_len is None else max_len
-        if not 0 < limit <= self.config.max_len:
-            raise ValueError(f"max_len {limit} outside (0, "
-                             f"{self.config.max_len}]")
-        self._queue.append((rid, request, source_row, limit))
-        return rid
+        return self._enqueue(request,
+                             (source_row, self._check_limit(max_len)))
 
-    def _free_slots(self) -> List[int]:
-        return [s for s, r in enumerate(self._slot_req) if r is None]
+    def _insert_slot(self, slot: int, kvs1, extra: tuple) -> None:
+        source_row, limit = extra
+        src = np.full((self.source_len,), self.config.pad_id,
+                      np.int32)
+        if source_row is not None:
+            source_row = np.asarray(source_row, np.int32).ravel()
+            n = min(self.source_len, source_row.shape[0])
+            src[:n] = source_row[:n]
+        self.state = self._insert(self.state, jnp.int32(slot), kvs1,
+                                  jnp.asarray(src), jnp.int32(limit))
 
-    def _fill(self) -> None:
-        for slot in self._free_slots():
-            if not self._queue:
-                break
-            rid, request, source_row, limit = self._queue.popleft()
-            try:
-                kvs1 = self._prep(self.params, request)
-                lead = {leaf.shape[0] for leaf in jax.tree.leaves(kvs1)
-                        if hasattr(leaf, "shape") and leaf.ndim > 0}
-                if lead != {1}:
-                    raise ValueError(
-                        f"continuous batching takes B=1 requests; this "
-                        f"request prepped KV with leading dims {lead} "
-                        f"(split batched jobs into per-row requests)")
-                if self.state.kvs is None:
-                    # First insert sizes the W-slot KV pool from the
-                    # B=1 tree (zeros elsewhere; empty slots stay
-                    # finished).
-                    self.state = self.state._replace(kvs=jax.tree.map(
-                        lambda one: jnp.zeros(
-                            (self.W,) + one.shape[1:], one.dtype),
-                        kvs1))
-                src = np.full((self.source_len,), self.config.pad_id,
-                              np.int32)
-                if source_row is not None:
-                    source_row = np.asarray(source_row,
-                                            np.int32).ravel()
-                    n = min(self.source_len, source_row.shape[0])
-                    src[:n] = source_row[:n]
-                self.state = self._insert(self.state, jnp.int32(slot),
-                                          kvs1, jnp.asarray(src),
-                                          jnp.int32(limit))
-            except Exception as e:   # malformed request: fail IT, not
-                self._failed[rid] = e  # the engine (shape errors raise
-                continue               # at trace time, pre-donation)
-            self._slot_req[slot] = rid
-
-    def drain_failed(self) -> Dict[int, Exception]:
-        """Requests that failed prep/insert (malformed shapes etc.)
-        since the last drain — callers answer these as errors."""
-        out, self._failed = self._failed, {}
-        return out
-
-    @property
-    def backlog(self) -> int:
-        """Queued requests not yet in a slot. Admission control:
-        callers stop feeding `submit` while backlog >= max_queue
-        (staged features are real device memory)."""
-        return len(self._queue)
-
-    def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        """Refill free slots, dispatch one jitted chunk
-        (`inner_steps` decode steps for every slot), harvest finished
-        slots. Returns {request_id: (tokens [max_len+1], lps
-        [max_len])} for captions completed by this call.
-
-        Failed prep/inserts never raise here — they land in
-        `drain_failed()`. A failed CHUNK dispatch raises after
-        `reset()` (donated state: in-flight work is lost; the caller
-        fails pending requests and keeps serving)."""
-        self._fill()
-        if all(r is None for r in self._slot_req):
-            return {}
-        try:
-            self.state, committed = self._chunk(self.params,
-                                                self.state, self.aux)
-        except Exception:
-            # The dispatch consumed the donated state buffers; rebuild
-            # a fresh pool so the engine survives device-level errors.
-            self.reset()
-            raise
-        self.n_chunks += 1
+    def _dispatch_chunk(self) -> None:
+        self.state, committed = self._chunk(self.params, self.state,
+                                            self.aux)
         self.n_slot_steps += self.W * self.inner_steps
         self.n_committed += int(committed)
+
+    def _harvest(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         finished = np.asarray(self.state.finished)
         out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         done_slots = [s for s, r in enumerate(self._slot_req)
                       if r is not None and finished[s]]
         if done_slots:
-            toks = np.asarray(self.state.tokens[jnp.asarray(done_slots)])
+            toks = np.asarray(
+                self.state.tokens[jnp.asarray(done_slots)])
             lps = np.asarray(self.state.lps[jnp.asarray(done_slots)])
             L = self.config.max_len
             for i, s in enumerate(done_slots):
                 out[self._slot_req[s]] = (toks[i, :L + 1], lps[i, :L])
                 self._slot_req[s] = None
         return out
-
-    @property
-    def idle(self) -> bool:
-        """True when nothing is queued and no slot is decoding."""
-        return (not self._queue
-                and all(r is None for r in self._slot_req))
-
-    def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        """Drive `step()` until the queue and every slot drain; returns
-        {request_id: (tokens, lps)} for everything decoded by this
-        call. (A long-running server uses `step()` directly and owns
-        result routing — the engine holds no result history.)"""
-        results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        while not self.idle:
-            results.update(self.step())
-        return results
 
     @property
     def occupancy(self) -> float:
@@ -441,7 +501,7 @@ class BeamSlotState(NamedTuple):
     caches: Any          # per-layer shifted conv histories [W*K, K-1, C]
 
 
-class ContinuousBeamBatcher:
+class ContinuousBeamBatcher(_SlotPool):
     """Continuous batching for EXACT beam search (the flagship's
     production decode mode): W slots of K beams each, refilled
     mid-flight. Each harvested result is token-identical to
@@ -462,24 +522,15 @@ class ContinuousBeamBatcher:
             beam_combine, permute_rows, rank_beams)
         from news_image_caption_tpu.models.decoder_flattened import \
             DynamicConvDecoder
+        super().__init__(params, config, n_slots, inner_steps,
+                         max_queue)
         model._check_max_len(config)
         if config.harvest_finished:
             raise ValueError("continuous beam implements the default "
                              "freeze-in-slot semantics (the Gen-1 "
                              "done-list mode is generate_beam-only)")
         self.model = model
-        self.params = params
-        self.config = config
-        self.W = n_slots
         self.K = config.beam_size
-        self.inner_steps = inner_steps
-        self.max_queue = (2 * n_slots if max_queue is None
-                          else max_queue)
-        self._queue: deque = deque()
-        self._slot_req: List[Optional[int]] = [None] * n_slots
-        self._next_id = 0
-        self._failed: Dict[int, Exception] = {}
-        self.n_chunks = 0
 
         W, K, L = n_slots, self.K, config.max_len
         cfg = config
@@ -563,8 +614,12 @@ class ContinuousBeamBatcher:
             return state
 
         self._chunk = jax.jit(run, donate_argnums=(1,))
-        self._rank = jax.jit(
-            lambda t, s: rank_beams(t[None], s[None], cfg.pad_id,
+        # One fixed-shape ranking over ALL W slots per harvest (a
+        # per-done-slot jit would re-dispatch N_done times on the
+        # serving hot loop; ranking W slots of K beams is trivial).
+        self._rank_all = jax.jit(
+            lambda t, s: rank_beams(t.reshape(W, K, L + 1),
+                                    s.reshape(W, K), cfg.pad_id,
                                     cfg.length_penalty))
         self.reset()
 
@@ -583,91 +638,37 @@ class ContinuousBeamBatcher:
             kvs=None,
             caches=self.model.decoder.init_cache(W * K),
         )
-        self._queue.clear()
-        self._slot_req = [None] * self.W
-        self._failed.clear()
+        self._reset_bookkeeping()
 
-    # -- host-side driving (same contract as ContinuousBatcher) ------
+    # -- host-side hooks ---------------------------------------------
 
     def submit(self, request: Dict[str, Any],
                max_len: Optional[int] = None) -> int:
-        rid = self._next_id
-        self._next_id += 1
-        limit = self.config.max_len if max_len is None else max_len
-        if not 0 < limit <= self.config.max_len:
-            raise ValueError(f"max_len {limit} outside (0, "
-                             f"{self.config.max_len}]")
-        self._queue.append((rid, request, limit))
-        return rid
+        """Queue one B=1 request; `step()` eventually returns
+        (tokens [beam, max_len+1], scores [beam]) under the returned
+        id, best-first."""
+        return self._enqueue(request, (self._check_limit(max_len),))
 
-    @property
-    def backlog(self) -> int:
-        return len(self._queue)
+    def _insert_slot(self, slot: int, kvs1, extra: tuple) -> None:
+        (limit,) = extra
+        self.state = self._insert(self.state, jnp.int32(slot), kvs1,
+                                  jnp.int32(limit))
 
-    @property
-    def idle(self) -> bool:
-        return (not self._queue
-                and all(r is None for r in self._slot_req))
+    def _dispatch_chunk(self) -> None:
+        self.state = self._chunk(self.params, self.state, self.aux)
 
-    def drain_failed(self) -> Dict[int, Exception]:
-        out, self._failed = self._failed, {}
-        return out
-
-    def _fill(self) -> None:
-        for slot in [s for s, r in enumerate(self._slot_req)
-                     if r is None]:
-            if not self._queue:
-                break
-            rid, request, limit = self._queue.popleft()
-            try:
-                kvs1 = self._prep(self.params, request)
-                lead = {leaf.shape[0] for leaf in jax.tree.leaves(kvs1)
-                        if hasattr(leaf, "shape") and leaf.ndim > 0}
-                if lead != {1}:
-                    raise ValueError(
-                        f"continuous beam takes B=1 requests; prepped "
-                        f"KV has leading dims {lead}")
-                if self.state.kvs is None:
-                    self.state = self.state._replace(kvs=jax.tree.map(
-                        lambda one: jnp.zeros(
-                            (self.W,) + one.shape[1:], one.dtype),
-                        kvs1))
-                self.state = self._insert(self.state, jnp.int32(slot),
-                                          kvs1, jnp.int32(limit))
-            except Exception as e:
-                self._failed[rid] = e
-                continue
-            self._slot_req[slot] = rid
-
-    def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        """Refill, dispatch `inner_steps` beam steps for every slot,
-        harvest done slots. Returns {request_id: (tokens
-        [beam, max_len+1], scores [beam])}, best-first."""
-        self._fill()
-        if all(r is None for r in self._slot_req):
-            return {}
-        try:
-            self.state = self._chunk(self.params, self.state,
-                                     self.aux)
-        except Exception:
-            self.reset()
-            raise
-        self.n_chunks += 1
+    def _harvest(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         done = np.asarray(self.state.done)
+        done_slots = [s for s, r in enumerate(self._slot_req)
+                      if r is not None and done[s]]
         out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        K = self.K
-        for s, rid in enumerate(self._slot_req):
-            if rid is None or not done[s]:
-                continue
-            toks = self.state.tokens[s * K:(s + 1) * K]
-            scores = self.state.scores[s * K:(s + 1) * K]
-            rt, rs = self._rank(toks, scores)
-            out[rid] = (np.asarray(rt[0]), np.asarray(rs[0]))
+        if not done_slots:
+            return out
+        rt, rs = self._rank_all(self.state.tokens, self.state.scores)
+        idx = jnp.asarray(done_slots)
+        toks = np.asarray(rt[idx])
+        scores = np.asarray(rs[idx])
+        for i, s in enumerate(done_slots):
+            out[self._slot_req[s]] = (toks[i], scores[i])
             self._slot_req[s] = None
         return out
-
-    def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        while not self.idle:
-            results.update(self.step())
-        return results

@@ -109,6 +109,10 @@ def default_model_builder(speculative_k: int = 0,
 
     predict.warmup = warmup
     predict.stage = stage
+    if continuous_beam and continuous_slots <= 0:
+        raise ValueError("continuous_beam requires continuous_slots "
+                         "> 0 (a plain worker would silently serve "
+                         "greedy payloads)")
     if continuous_slots > 0:
         _attach_continuous(predict, model, params, cfg,
                            continuous_slots, inner_steps,
@@ -327,6 +331,10 @@ def flagship_model_builder(max_len: int = 32,
 
     predict.warmup = warmup
     predict.stage = stage
+    if continuous_beam and continuous_slots <= 0:
+        raise ValueError("continuous_beam requires continuous_slots "
+                         "> 0 (a plain worker would silently serve "
+                         "greedy payloads)")
     if continuous_slots > 0:
         dummy = {
             "image": np.zeros((1, P, 2048), np.float32),

@@ -299,3 +299,42 @@ def test_beam_engine_per_request_cap_and_failures(setup):
     np.testing.assert_array_equal(got_t[:, :5], np.asarray(want_t[0]))
     assert np.all(got_t[:, 5:] == cfg.pad_id)
     assert bad in failed
+
+
+def test_first_request_sizes_pool_later_mismatches_fail_alone(setup):
+    """Pool-shape semantics: the FIRST successfully-inserted request
+    defines the pool's context shapes (serving pins them via the
+    warmup dummy); a later request with different shapes fails alone
+    and the first keeps decoding correctly."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=2)
+    short_req = {k: (v[:, :3] if k in ("article", "article_mask")
+                     else v) for k, v in requests[0].items()}
+    first = eng.submit(short_req)      # sizes the pool at S=3
+    mismatched = eng.submit(requests[1])
+    results, failed = {}, {}
+    while not eng.idle:
+        results.update(eng.step())
+        failed.update(eng.drain_failed())
+    failed.update(eng.drain_failed())
+    assert mismatched in failed and first in results
+    want = np.asarray(model.generate(params, short_req, cfg)[0][0])
+    np.testing.assert_array_equal(results[first][0], want)
+
+
+def test_engine_constructor_validation(setup):
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+
+    model, params, _, cfg, _ = setup
+    with pytest.raises(ValueError):
+        ContinuousBatcher.for_flattened(model, params, cfg,
+                                        n_slots=2, inner_steps=0)
+    with pytest.raises(ValueError):
+        ContinuousBeamBatcher(model, params,
+                              GenerationConfig(max_len=8, beam_size=2),
+                              n_slots=2, inner_steps=0)
+    with pytest.raises(ValueError):
+        ContinuousBatcher.for_flattened(model, params, cfg,
+                                        n_slots=0)
