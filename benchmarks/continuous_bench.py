@@ -34,6 +34,10 @@ def main():
                     help="force a JAX backend (e.g. cpu)")
     ap.add_argument("--tiny", action="store_true",
                     help="toy dims (CPU smoke)")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="> 0: ALSO run the exact-beam comparison "
+                         "at this beam size (generate_beam batches "
+                         "vs ContinuousBeamBatcher)")
     args = ap.parse_args()
 
     import jax
@@ -146,6 +150,54 @@ def main():
             "occupancy": round(eng.occupancy, 3),
             "speedup_vs_batch": round(dt_b / dt, 2)}), flush=True)
         assert len(results) == args.n
+
+    if args.beam > 0:
+        from news_image_caption_tpu.generation.continuous import \
+            ContinuousBeamBatcher
+        K = args.beam
+        cfgb = GenerationConfig(max_len=args.max_len, beam_size=K,
+                                early_exit=True)
+        genb = jax.jit(lambda p, b: model.generate_beam(p, b, cfgb)[0])
+
+        def run_beam_batched():
+            outs = []
+            for i in range(0, args.n, W):
+                group = reqs[i:i + W]
+                while len(group) < W:
+                    group.append(group[-1])
+                big = {k: jnp.concatenate([g[k] for g in group])
+                       for k in group[0]}
+                outs.append(genb(params, big))
+            return np.asarray(outs[-1])
+
+        run_beam_batched()
+        t0 = time.perf_counter()
+        run_beam_batched()
+        dt_bb = time.perf_counter() - t0
+        print(json.dumps({"mode": "beam_batch", "beam": K,
+                          "seconds": round(dt_bb, 3),
+                          "captions_per_s": round(args.n / dt_bb, 1)}),
+              flush=True)
+        for inner in [int(x) for x in args.inner.split(",")]:
+            cfg = GenerationConfig(max_len=args.max_len, beam_size=K)
+            eng = ContinuousBeamBatcher(model, params, cfg, n_slots=W,
+                                        inner_steps=inner)
+            eng.submit(reqs[0], max_len=max(2, args.lo))
+            eng.run()                 # compile off the clock
+            eng.n_chunks = 0
+            t0 = time.perf_counter()
+            for i, r in enumerate(reqs):
+                eng.submit(r, max_len=int(caps[i]))
+            results = eng.run()
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "mode": "beam_continuous", "beam": K,
+                "inner_steps": inner, "seconds": round(dt, 3),
+                "captions_per_s": round(args.n / dt, 1),
+                "chunks": eng.n_chunks,
+                "speedup_vs_beam_batch": round(dt_bb / dt, 2)}),
+                flush=True)
+            assert len(results) == args.n
 
 
 if __name__ == "__main__":
