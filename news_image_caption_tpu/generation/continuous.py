@@ -210,6 +210,7 @@ class SlotState(NamedTuple):
     kvs: Any             # per-layer context K/V, batch axis 0 = slot
     caches: Any          # per-layer shifted-copy conv histories [W, K-1, C]
     source: jax.Array    # [W, S] int32 draft source ids (spec mode)
+    key: jax.Array       # [W, 2] uint32 per-slot PRNG chain (sampling)
 
 
 class ContinuousBatcher(_SlotPool):
@@ -237,11 +238,20 @@ class ContinuousBatcher(_SlotPool):
                  inner_steps: int = 8, spec_k: int = 1,
                  source_len: int = 1, ngram_n: int = 2,
                  prepare_fn: Optional[Callable] = None,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 sample_step_fn: Optional[Callable] = None):
         super().__init__(params, config, n_slots, inner_steps,
                          max_queue)
         if spec_k < 1:
             raise ValueError("spec_k must be >= 1")
+        self._sampling = config.sampling_topk > 1
+        if self._sampling and spec_k > 1:
+            raise ValueError("speculative decoding is greedy-only; "
+                             "sampling_topk > 1 requires spec_k == 1")
+        if self._sampling and sample_step_fn is None:
+            raise ValueError("sampling_topk > 1 needs a "
+                             "sample_step_fn (per-row-position top-k "
+                             "candidate step)")
         self.k = spec_k
         self.source_len = source_len
         self.ngram_n = ngram_n
@@ -253,8 +263,10 @@ class ContinuousBatcher(_SlotPool):
         self._buf = config.max_len + spec_k + 1
         self._prep = jax.jit(prep_fn)
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
-        self._chunk = jax.jit(self._chunk_impl(chunk_fn, commit_fn),
-                              donate_argnums=(1,))
+        impl = (self._sampling_chunk_impl(sample_step_fn)
+                if self._sampling
+                else self._chunk_impl(chunk_fn, commit_fn))
+        self._chunk = jax.jit(impl, donate_argnums=(1,))
         self.aux = (None if prepare_fn is None
                     else jax.jit(prepare_fn)(params))
         self.reset()
@@ -279,6 +291,7 @@ class ContinuousBatcher(_SlotPool):
             caches=self._init_caches_fn(W),
             source=jnp.full((W, self.source_len), self.config.pad_id,
                             jnp.int32),
+            key=jnp.zeros((W, 2), jnp.uint32),
         )
         self._reset_bookkeeping()
 
@@ -286,7 +299,8 @@ class ContinuousBatcher(_SlotPool):
 
     def _insert_impl(self, state: SlotState, slot: jax.Array,
                      kvs1, source_row: jax.Array,
-                     limit: jax.Array) -> SlotState:
+                     limit: jax.Array,
+                     key_row: jax.Array) -> SlotState:
         cfg = self.config
         kvs = jax.tree.map(lambda big, one: big.at[slot].set(one[0]),
                            state.kvs, kvs1)
@@ -301,7 +315,8 @@ class ContinuousBatcher(_SlotPool):
                 cfg.init_finished and cfg.bos_id == cfg.eos_id),
             limit=state.limit.at[slot].set(limit),
             kvs=kvs, caches=caches,
-            source=state.source.at[slot].set(source_row))
+            source=state.source.at[slot].set(source_row),
+            key=state.key.at[slot].set(key_row))
 
     def _chunk_impl(self, chunk_fn: Callable, commit_fn: Callable):
         cfg = self.config
@@ -351,22 +366,87 @@ class ContinuousBatcher(_SlotPool):
 
         return run
 
+    def _sampling_chunk_impl(self, sample_step_fn: Callable):
+        """Top-k SAMPLING body (the reference's own generation mode,
+        transformer_flattened.py:240-328). Per-slot PRNG chains
+        replicate `generate_candidates`' B=1 key schedule exactly
+        (key, sub = split(key) per step; categorical(sub, lp[1, k]))
+        — a harvested caption equals `model.generate(request,
+        config, rng=<that request's key>)` token-for-token."""
+        cfg = self.config
+        k = cfg.sampling_topk
+
+        def per_row_draw(sub, lp_row):
+            # lp_row[None, :] mirrors the standalone B=1 logits shape
+            # so the categorical consumes identical random bits.
+            return jax.random.categorical(sub, lp_row[None, :])[0]
+
+        def run(params, state: SlotState, aux):
+            def body(carry, _):
+                st, committed = carry
+                cur = jnp.take_along_axis(
+                    st.tokens, st.pos[:, None], axis=1)[:, 0]  # [W]
+                lp_c, ids, caches = sample_step_fn(
+                    params, cur, st.pos, st.kvs, st.caches, aux)
+                lp_c = lp_c / cfg.sampling_temp
+                split2 = jax.vmap(
+                    lambda kk: jax.random.split(kk))(st.key)
+                key_next, subs = split2[:, 0], split2[:, 1]
+                choice = jax.vmap(per_row_draw)(subs, lp_c)
+                sel_lp = jnp.take_along_axis(
+                    lp_c, choice[:, None], axis=1)[:, 0]
+                sel_idx = jnp.take_along_axis(
+                    ids, choice[:, None], axis=1)[:, 0]
+                live = ~st.finished
+                next_tok = jnp.where(live, sel_idx, cfg.pad_id)
+                out_lp = jnp.where(live, sel_lp, 0.0).astype(
+                    jnp.float32)
+                m = live.astype(jnp.int32)
+                tokens = write_rows(st.tokens, next_tok[:, None],
+                                    st.pos + 1)
+                lps = write_rows(st.lps, out_lp[:, None], st.pos)
+                pos = st.pos + m
+                finished = (st.finished | (next_tok == cfg.eos_id)
+                            | (pos >= st.limit))
+                st = st._replace(tokens=tokens, lps=lps, pos=pos,
+                                 finished=finished, caches=caches,
+                                 key=key_next)
+                return (st, committed + jnp.sum(m)), None
+
+            (state, committed), _ = jax.lax.scan(
+                body, (state, jnp.int32(0)), None,
+                length=self.inner_steps)
+            return state, committed
+
+        return run
+
     # -- host-side hooks ---------------------------------------------
 
     def submit(self, request: Dict[str, Any],
                source_row: Optional[np.ndarray] = None,
-               max_len: Optional[int] = None) -> int:
+               max_len: Optional[int] = None,
+               rng: Optional[Any] = None) -> int:
         """Queue one request (a B=1 batch dict for prep_fn). Returns a
         request id; the caption appears under that id in `step()`'s
-        results once decoded. source_row: [S] draft-source token ids
-        (spec mode; defaults to pads = no drafts ever accepted).
+        results once decoded (tokens match `model.generate` run alone
+        on the request — greedy, or sampled with the same rng).
+        source_row: [S] draft-source token ids (spec mode; defaults
+        to pads = no drafts ever accepted).
         max_len: per-request length cap (<= config.max_len) — slots
-        serving short-capped requests free up early."""
-        return self._enqueue(request,
-                             (source_row, self._check_limit(max_len)))
+        serving short-capped requests free up early. rng: per-request
+        PRNG key for sampling mode (sampling_topk > 1); defaults to
+        PRNGKey(request_id) — pass the key you would hand to
+        `model.generate` to reproduce it exactly."""
+        rid = self._enqueue(request, ())   # reserve the id first
+        key = (np.asarray(rng, np.uint32) if rng is not None
+               else np.asarray(jax.random.PRNGKey(rid), np.uint32))
+        self._queue[-1] = (rid, request,
+                           (source_row, self._check_limit(max_len),
+                            key))
+        return rid
 
     def _insert_slot(self, slot: int, kvs1, extra: tuple) -> None:
-        source_row, limit = extra
+        source_row, limit, key = extra
         src = np.full((self.source_len,), self.config.pad_id,
                       np.int32)
         if source_row is not None:
@@ -374,7 +454,8 @@ class ContinuousBatcher(_SlotPool):
             n = min(self.source_len, source_row.shape[0])
             src[:n] = source_row[:n]
         self.state = self._insert(self.state, jnp.int32(slot), kvs1,
-                                  jnp.asarray(src), jnp.int32(limit))
+                                  jnp.asarray(src), jnp.int32(limit),
+                                  jnp.asarray(key))
 
     def _dispatch_chunk(self) -> None:
         self.state, committed = self._chunk(self.params, self.state,
@@ -419,9 +500,6 @@ class ContinuousBatcher(_SlotPool):
         from news_image_caption_tpu.models.decoder_flattened import \
             DynamicConvDecoder
         model._check_max_len(config)
-        if config.sampling_topk != 1:
-            raise ValueError("continuous batching is greedy-only "
-                             "(sampling_topk must be 1)")
 
         def prep_fn(p, request):
             return model._decode_setup(p, model._contexts(request),
@@ -435,13 +513,21 @@ class ContinuousBatcher(_SlotPool):
                 p, toks, pos, kvs, caches, tables=aux,
                 method=DynamicConvDecoder.step_chunk)
 
+        def sample_step_fn(p, tok, pos, kvs, caches, aux):
+            # per-row-position top-k candidates (sampling mode)
+            return model.decoder.apply(
+                p, tok, pos, kvs, caches, config.sampling_topk,
+                tables=aux,
+                method=DynamicConvDecoder.step_topk_pos)
+
         prepare_fn = ((lambda p: model._head_tables(p, config))
                       if config.quantize_head else None)
         return cls(params, prep_fn, chunk_fn, commit_conv_caches,
                    model.decoder.init_cache, config, n_slots,
                    inner_steps=inner_steps, spec_k=spec_k,
                    source_len=source_len, ngram_n=ngram_n,
-                   prepare_fn=prepare_fn)
+                   prepare_fn=prepare_fn,
+                   sample_step_fn=sample_step_fn)
 
     @classmethod
     def for_gen2(cls, model, params, config: GenerationConfig,
