@@ -371,3 +371,22 @@ def test_sampling_slots_match_generate_with_same_rng(setup):
     assert not all(
         np.array_equal(np.asarray(singles[i][0][0]),
                        np.asarray(greedy[0][0])) for i in range(5))
+
+
+def test_beam_engine_under_quantize_kv(setup):
+    """quantize_kv flows through the beam engine's per-request prep:
+    results equal generate_beam on the SAME quantized model."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+
+    model, params, requests, _, _ = setup
+    cfg = GenerationConfig(max_len=8, beam_size=3, quantize_kv=True,
+                           early_exit=True)
+    want = [model.generate_beam(params, r, cfg) for r in requests[:2]]
+    eng = ContinuousBeamBatcher(model, params, cfg, n_slots=2,
+                                inner_steps=2)
+    ids = [eng.submit(r) for r in requests[:2]]
+    results = eng.run()
+    for i, rid in enumerate(ids):
+        np.testing.assert_array_equal(results[rid][0],
+                                      np.asarray(want[i][0][0]))

@@ -306,3 +306,36 @@ def test_continuous_engine_under_tp_matches_unsharded(mesh_cfg):
         got = eng.run()
     for rid, ref_rid in zip(ids, ref_ids):
         np.testing.assert_array_equal(got[rid][0], ref[ref_rid][0])
+
+
+def test_beam_engine_under_tp_matches_unsharded():
+    """The continuous BEAM engine composes with tensor parallelism the
+    same way the greedy engine does."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+
+    model = TransformerFlattened(tiny_decoder())
+    params = model.init(jax.random.PRNGKey(0), tiny_batch())
+    reqs = [{k: v for k, v in tiny_batch(B=1, key=80 + i).items()
+             if k != "caption_ids"} for i in range(2)]
+    cfg = GenerationConfig(max_len=8, beam_size=3)
+
+    ref_eng = ContinuousBeamBatcher(model, params, cfg, n_slots=2,
+                                    inner_steps=2)
+    ref_ids = [ref_eng.submit(r) for r in reqs]
+    ref = ref_eng.run()
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    with mesh:
+        sp = jax.tree.map(jax.device_put, params,
+                          param_shardings(params, mesh))
+        eng = ContinuousBeamBatcher(model, sp, cfg, n_slots=2,
+                                    inner_steps=2)
+        ids = [eng.submit(r) for r in reqs]
+        got = eng.run()
+    for rid, ref_rid in zip(ids, ref_ids):
+        np.testing.assert_array_equal(got[rid][0], ref[ref_rid][0])
+        np.testing.assert_allclose(got[rid][1], ref[ref_rid][1],
+                                   rtol=1e-5, atol=1e-6)
