@@ -390,3 +390,56 @@ def test_beam_engine_under_quantize_kv(setup):
     for i, rid in enumerate(ids):
         np.testing.assert_array_equal(results[rid][0],
                                       np.asarray(want[i][0][0]))
+
+
+def test_faces_objects_variant_through_both_engines():
+    """The reference's production serving model (transformer_faces_
+    objects, 4 attended contexts) runs through for_flattened and the
+    beam engine unchanged — per-request faces/obj contexts insert
+    per-slot like image/article KV."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+    from news_image_caption_tpu.utils.registry import MODELS
+
+    import test_variants as tv
+
+    model = MODELS.get("transformer_faces_objects")(
+        face_dim=8, obj_dim=6, **tv.tiny_kwargs())
+    init_b = tv.base_batch()
+    init_b["faces"] = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8))
+    init_b["faces_mask"] = jnp.zeros((2, 3), bool)
+    init_b["obj"] = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 6))
+    init_b["obj_mask"] = jnp.zeros((2, 5), bool)
+    params = model.init(jax.random.PRNGKey(0), init_b)
+
+    def req(i):
+        ks = jax.random.split(jax.random.PRNGKey(200 + i), 4)
+        r = {k: v for k, v in tv.base_batch(B=1, key=300 + i).items()
+             if k != "caption_ids"}
+        r["faces"] = jax.random.normal(ks[0], (1, 3, 8))
+        r["faces_mask"] = jnp.zeros((1, 3), bool)
+        r["obj"] = jax.random.normal(ks[1], (1, 5, 6))
+        r["obj_mask"] = jnp.zeros((1, 5), bool)
+        return r
+
+    reqs = [req(i) for i in range(3)]
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    singles = [np.asarray(model.generate(params, r, cfg)[0][0])
+               for r in reqs]
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=2, inner_steps=2)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    for rid, want in zip(ids, singles):
+        np.testing.assert_array_equal(results[rid][0], want)
+
+    bcfg = GenerationConfig(max_len=8, beam_size=3, early_exit=True)
+    beam_singles = [model.generate_beam(params, r, bcfg)
+                    for r in reqs[:2]]
+    beng = ContinuousBeamBatcher(model, params, bcfg, n_slots=2,
+                                 inner_steps=2)
+    bids = [beng.submit(r) for r in reqs[:2]]
+    bres = beng.run()
+    for i, rid in enumerate(bids):
+        np.testing.assert_array_equal(bres[rid][0],
+                                      np.asarray(beam_singles[i][0][0]))
