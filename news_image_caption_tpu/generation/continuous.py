@@ -211,6 +211,8 @@ class SlotState(NamedTuple):
     caches: Any          # per-layer shifted-copy conv histories [W, K-1, C]
     source: jax.Array    # [W, S] int32 draft source ids (spec mode)
     key: jax.Array       # [W, 2] uint32 per-slot PRNG chain (sampling)
+    flags: jax.Array     # [W, L + k] bool per-token flags (pointer
+                         # family's copied markers; [W, 1] dummy off)
 
 
 class ContinuousBatcher(_SlotPool):
@@ -239,15 +241,22 @@ class ContinuousBatcher(_SlotPool):
                  source_len: int = 1, ngram_n: int = 2,
                  prepare_fn: Optional[Callable] = None,
                  max_queue: Optional[int] = None,
-                 sample_step_fn: Optional[Callable] = None):
+                 sample_step_fn: Optional[Callable] = None,
+                 collect_flags: bool = False):
         super().__init__(params, config, n_slots, inner_steps,
                          max_queue)
+        # collect_flags: chunk_fn returns a 4th [W, k] bool array of
+        # per-position flags (the pointer family's copied markers);
+        # harvest then yields (tokens, lps, flags) triples.
+        self.collect_flags = collect_flags
         if spec_k < 1:
             raise ValueError("spec_k must be >= 1")
         self._sampling = config.sampling_topk > 1
         if self._sampling and spec_k > 1:
             raise ValueError("speculative decoding is greedy-only; "
                              "sampling_topk > 1 requires spec_k == 1")
+        if self._sampling and collect_flags:
+            raise ValueError("collect_flags is greedy-only")
         if self._sampling and sample_step_fn is None:
             raise ValueError("sampling_topk > 1 needs a "
                              "sample_step_fn (per-row-position top-k "
@@ -292,6 +301,9 @@ class ContinuousBatcher(_SlotPool):
             source=jnp.full((W, self.source_len), self.config.pad_id,
                             jnp.int32),
             key=jnp.zeros((W, 2), jnp.uint32),
+            flags=jnp.zeros(
+                (W, self._buf - 1 if self.collect_flags else 1),
+                bool),
         )
         self._reset_bookkeeping()
 
@@ -304,7 +316,11 @@ class ContinuousBatcher(_SlotPool):
         cfg = self.config
         kvs = jax.tree.map(lambda big, one: big.at[slot].set(one[0]),
                            state.kvs, kvs1)
-        caches = jax.tree.map(lambda c: c.at[slot].set(0), state.caches)
+        # dtype-matched zero: cache trees mix floats with e.g. the
+        # pointer family's bool copied table
+        caches = jax.tree.map(
+            lambda c: c.at[slot].set(jnp.zeros((), c.dtype)),
+            state.caches)
         tokens = state.tokens.at[slot].set(cfg.pad_id)
         tokens = tokens.at[slot, 0].set(cfg.bos_id)
         return state._replace(
@@ -316,7 +332,8 @@ class ContinuousBatcher(_SlotPool):
             limit=state.limit.at[slot].set(limit),
             kvs=kvs, caches=caches,
             source=state.source.at[slot].set(source_row),
-            key=state.key.at[slot].set(key_row))
+            key=state.key.at[slot].set(key_row),
+            flags=state.flags.at[slot].set(False))
 
     def _chunk_impl(self, chunk_fn: Callable, commit_fn: Callable):
         cfg = self.config
@@ -336,8 +353,13 @@ class ContinuousBatcher(_SlotPool):
                 else:
                     drafts = None
                     inp = cur
-                lp_c, ids, hs = chunk_fn(params, inp, st.pos,
-                                         st.kvs, st.caches, aux)
+                if self.collect_flags:
+                    lp_c, ids, hs, fl = chunk_fn(params, inp, st.pos,
+                                                 st.kvs, st.caches,
+                                                 aux)
+                else:
+                    lp_c, ids, hs = chunk_fn(params, inp, st.pos,
+                                             st.kvs, st.caches, aux)
                 # The shared exactness-critical commit rule
                 # (speculative.py::greedy_verify), with the per-row
                 # request limit in place of the global max_len.
@@ -351,12 +373,17 @@ class ContinuousBatcher(_SlotPool):
                 tokens = write_rows(st.tokens, out_toks, st.pos + 1)
                 lps = write_rows(st.lps,
                                  out_lps.astype(st.lps.dtype), st.pos)
+                flags = st.flags
+                if self.collect_flags:
+                    flags = write_rows(flags, jnp.where(live, fl,
+                                                        False), st.pos)
                 caches = commit_fn(st.caches, hs, m)
                 pos = st.pos + m
                 finished = (st.finished | committed_eos
                             | (pos >= st.limit))
                 st = st._replace(tokens=tokens, lps=lps, pos=pos,
-                                 finished=finished, caches=caches)
+                                 finished=finished, caches=caches,
+                                 flags=flags)
                 return (st, committed + jnp.sum(m)), None
 
             (state, committed), _ = jax.lax.scan(
@@ -469,12 +496,17 @@ class ContinuousBatcher(_SlotPool):
         done_slots = [s for s, r in enumerate(self._slot_req)
                       if r is not None and finished[s]]
         if done_slots:
-            toks = np.asarray(
-                self.state.tokens[jnp.asarray(done_slots)])
-            lps = np.asarray(self.state.lps[jnp.asarray(done_slots)])
+            idx = jnp.asarray(done_slots)
+            toks = np.asarray(self.state.tokens[idx])
+            lps = np.asarray(self.state.lps[idx])
+            flags = (np.asarray(self.state.flags[idx])
+                     if self.collect_flags else None)
             L = self.config.max_len
             for i, s in enumerate(done_slots):
-                out[self._slot_req[s]] = (toks[i, :L + 1], lps[i, :L])
+                res = (toks[i, :L + 1], lps[i, :L])
+                if flags is not None:
+                    res = res + (flags[i, :L],)
+                out[self._slot_req[s]] = res
                 self._slot_req[s] = None
         return out
 
@@ -528,6 +560,73 @@ class ContinuousBatcher(_SlotPool):
                    source_len=source_len, ngram_n=ngram_n,
                    prepare_fn=prepare_fn,
                    sample_step_fn=sample_step_fn)
+
+    @classmethod
+    def for_pointer(cls, model, variables, config: GenerationConfig,
+                    n_slots: int, inner_steps: int = 8,
+                    spec_k: int = 1, source_len: int = 512,
+                    ngram_n: int = 2) -> "ContinuousBatcher":
+        """Engine over TransformerPointer (entity gate + copy head).
+
+        Results are (tokens, lps, copied_flags) triples. The copy
+        machinery is per-slot state: raw article features /
+        context ids / proper-noun relevance ride the kvs tree
+        (inserted per slot like K/V), and the caches triple is
+        (conv histories, entity KV cache, copied-token table). The
+        chunk/commit math is the pointer's own `pointer_chunk` /
+        `pointer_commit` — one implementation shared with
+        generate_speculative. transformer_only_pointer (no entity
+        head) has no copy gate: use `for_flattened` on its captioner.
+        """
+        from news_image_caption_tpu.models.decoder_flattened import \
+            DynamicConvDecoder
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        if config.sampling_topk != 1:
+            raise ValueError("the pointer engine is greedy-only "
+                             "(sampling_topk must be 1)")
+        if not model.use_entity_head:
+            raise ValueError("transformer_only_pointer has no copy "
+                             "gate; use for_flattened on "
+                             "model.captioner with "
+                             "variables['captioner']")
+        dec = model.captioner.decoder
+        model.captioner._check_max_len(config)
+
+        def prep_fn(vars_, request):
+            ctx = model.captioner._contexts(request)
+            kvs = decode_kv_tree(dec.apply(
+                vars_["captioner"], ctx,
+                method=DynamicConvDecoder.precompute_kv))
+            S = request["article_ids"].shape[1]
+            mask = request.get("article_mask")
+            if mask is None:   # tree leaves must exist to pool-size
+                mask = jnp.zeros((1, S), bool)
+            return {"kvs": kvs,
+                    "article": jnp.asarray(request["article"]),
+                    "article_mask": jnp.asarray(mask),
+                    "context_ids": jnp.asarray(
+                        request["article_ids"], jnp.int32),
+                    "relevant": (jnp.asarray(
+                        request["context_proper_masks"]) >= 1
+                    ).astype(jnp.float32)}
+
+        def chunk_fn(vars_, toks, pos, tree, caches, aux):
+            return model.pointer_chunk(vars_, toks, pos, tree,
+                                       caches, config.eos_id)
+
+        def init_caches_fn(W):
+            return (dec.init_cache(W),
+                    model.entity_attn.init_cache(
+                        W, config.max_len + max(spec_k, 1),
+                        dtype=getattr(dec, "dtype", None)
+                        or jnp.float32),
+                    jnp.zeros((W, model.vocab_size), bool))
+
+        return cls(variables, prep_fn, chunk_fn, model.pointer_commit,
+                   init_caches_fn, config, n_slots,
+                   inner_steps=inner_steps, spec_k=spec_k,
+                   source_len=source_len, ngram_n=ngram_n,
+                   collect_flags=True)
 
     @classmethod
     def for_gen2(cls, model, params, config: GenerationConfig,

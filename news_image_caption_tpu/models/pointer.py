@@ -555,6 +555,80 @@ class TransformerPointer:
         tokens = jnp.concatenate([seed[:, None], toks.T], axis=1)
         return tokens, copied_flags.T
 
+    def pointer_chunk(self, variables, toks, pos, tree, caches,
+                      eos_id: int):
+        """One chunked pointer decode step — the single implementation
+        shared by `generate_speculative` and the continuous engine
+        (generation/continuous.py::ContinuousBatcher.for_pointer).
+
+        tree: per-call context {kvs, article, article_mask,
+        context_ids, relevant}; caches: (conv, entity_kv, copied).
+        Returns (lp [B, k], ids [B, k], aux, copied_flags [B, k]).
+        """
+        dec = self.captioner.decoder
+        conv, e_c, copied = caches
+        B, k = toks.shape
+        rows = jnp.arange(B)
+        lp, gen_ids, h, hs = dec.apply(
+            variables["captioner"], toks, pos, tree["kvs"], conv,
+            method=DynamicConvDecoder.step_chunk_with_hidden)
+        h_ent, e_c = self.entity_attn.apply(
+            variables["entity_attn"], h, pos, e_c,
+            method=EntitySelfAttention.chunk)
+        ent_logits = self.entity_fc_mod.apply(
+            variables["entity_fc"], h_ent)               # [B, k, 2]
+        want_copy = jnp.argmax(ent_logits, axis=-1) == 1
+        attn = self.copy_attn.apply(
+            variables["copy_attn"], h, tree["article"],
+            tree["article_mask"])
+        attn = attn * tree["relevant"][:, None, :]       # [B, k, S]
+        dist = copy_distribution(
+            attn.reshape(B * k, -1),
+            jnp.repeat(tree["context_ids"], k, axis=0),
+            self.vocab_size)
+        copy_p, copy_idx = jax.lax.top_k(dist, 1)
+        copy_tok = copy_idx[:, 0].reshape(B, k)
+        copy_p = copy_p[:, 0].reshape(B, k)
+        # Greedy specialization of the reference gate: top-1 copy
+        # candidate, suppressed on (near-)zero prob or a previous
+        # copy of the same token (transformer_pointer.py:585-625).
+        # The within-chunk replay is O(k^2) [B]-vector compares:
+        # "already copied" = committed `copied` gather OR an
+        # ACCEPTED copy of the same token earlier in this chunk —
+        # no [B, V] state materializes per position.
+        gate_pre = want_copy & (copy_p >= 1e-6)
+        committed_hit = copied[rows[:, None], copy_tok]  # [B, k]
+        ids, gates = [], []
+        for j in range(k):
+            cj = copy_tok[:, j]
+            dup = committed_hit[:, j]
+            for i in range(j):
+                dup = dup | (gates[i] & (copy_tok[:, i] == cj))
+            gj = gate_pre[:, j] & ~dup
+            ids.append(jnp.where(gj, cj, gen_ids[:, j]))
+            gates.append(gj)
+        ids = jnp.stack(ids, axis=1)
+        gates = jnp.stack(gates, axis=1)
+        # generate() drops the flag when the copied token is eos
+        # (finished flips before the flag is emitted).
+        flags = gates & (ids != eos_id)
+        return lp, ids, (hs, e_c, copy_tok, gates), flags
+
+    @staticmethod
+    def pointer_commit(caches, aux, m):
+        """Advance (conv, entity_kv, copied) by each row's verified
+        prefix (companion of `pointer_chunk`)."""
+        from news_image_caption_tpu.generation.speculative import \
+            commit_conv_caches
+        conv, _, copied = caches
+        hs, e_c, copy_tok, gates = aux
+        conv = commit_conv_caches(conv, hs, m)
+        live = (jnp.arange(copy_tok.shape[1])[None, :]
+                < m[:, None])
+        rows = jnp.arange(copy_tok.shape[0])
+        copied = copied.at[rows[:, None], copy_tok].max(gates & live)
+        return conv, e_c, copied
+
     def generate_speculative(self, variables, batch,
                              config: GenerationConfig = GenerationConfig(),
                              spec_k: int = 8,
@@ -595,69 +669,19 @@ class TransformerPointer:
         dec, B, kvs, conv_caches, e_cache, relevant = \
             self._decode_setup(variables, batch,
                                config.max_len + spec_k)
-        context_ids = batch["article_ids"]
-        article = batch["article"]
-        article_mask = batch.get("article_mask")
+        tree = {"kvs": kvs, "article": batch["article"],
+                "article_mask": batch.get("article_mask"),
+                "context_ids": batch["article_ids"],
+                "relevant": relevant}
         source = (draft_source if draft_source is not None
                   else batch["article_ids"])
         copied0 = jnp.zeros((B, self.vocab_size), bool)
-        rows = jnp.arange(B)
 
         def chunk_fn(toks, pos, caches):
-            conv, e_c, copied = caches
-            k = toks.shape[1]
-            lp, gen_ids, h, hs = dec.apply(
-                params, toks, pos, kvs, conv,
-                method=DynamicConvDecoder.step_chunk_with_hidden)
-            h_ent, e_c = self.entity_attn.apply(
-                variables["entity_attn"], h, pos, e_c,
-                method=EntitySelfAttention.chunk)
-            ent_logits = self.entity_fc_mod.apply(
-                variables["entity_fc"], h_ent)           # [B, k, 2]
-            want_copy = jnp.argmax(ent_logits, axis=-1) == 1
-            attn = self.copy_attn.apply(
-                variables["copy_attn"], h, article, article_mask)
-            attn = attn * relevant[:, None, :]           # [B, k, S]
-            dist = copy_distribution(
-                attn.reshape(B * k, -1),
-                jnp.repeat(context_ids, k, axis=0), self.vocab_size)
-            copy_p, copy_idx = jax.lax.top_k(dist, 1)
-            copy_tok = copy_idx[:, 0].reshape(B, k)
-            copy_p = copy_p[:, 0].reshape(B, k)
-            # Greedy specialization of the reference gate: top-1 copy
-            # candidate, suppressed on (near-)zero prob or a previous
-            # copy of the same token (transformer_pointer.py:585-625).
-            # The within-chunk replay is O(k^2) [B]-vector compares:
-            # "already copied" = committed `copied` gather OR an
-            # ACCEPTED copy of the same token earlier in this chunk —
-            # no [B, V] state materializes per position.
-            gate_pre = want_copy & (copy_p >= 1e-6)
-            committed_hit = copied[rows[:, None], copy_tok]  # [B, k]
-            ids, gates = [], []
-            for j in range(k):
-                cj = copy_tok[:, j]
-                dup = committed_hit[:, j]
-                for i in range(j):
-                    dup = dup | (gates[i] & (copy_tok[:, i] == cj))
-                gj = gate_pre[:, j] & ~dup
-                ids.append(jnp.where(gj, cj, gen_ids[:, j]))
-                gates.append(gj)
-            ids = jnp.stack(ids, axis=1)
-            gates = jnp.stack(gates, axis=1)
-            # generate() drops the flag when the copied token is eos
-            # (finished flips before the flag is emitted).
-            flags = gates & (ids != config.eos_id)
-            return lp, ids, (hs, e_c, copy_tok, gates), flags
+            return self.pointer_chunk(variables, toks, pos, tree,
+                                      caches, config.eos_id)
 
-        def commit_fn(caches, aux, m):
-            conv, _, copied = caches
-            hs, e_c, copy_tok, gates = aux
-            conv = commit_conv_caches(conv, hs, m)
-            live = (jnp.arange(copy_tok.shape[1])[None, :]
-                    < m[:, None])
-            copied = copied.at[rows[:, None], copy_tok].max(
-                gates & live)
-            return conv, e_c, copied
+        commit_fn = self.pointer_commit
 
         def draft_fn(tokens, pos, finished):
             return ngram_drafts(source, tokens, pos, spec_k - 1,

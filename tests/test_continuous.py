@@ -443,3 +443,52 @@ def test_faces_objects_variant_through_both_engines():
     for i, rid in enumerate(bids):
         np.testing.assert_array_equal(bres[rid][0],
                                       np.asarray(beam_singles[i][0][0]))
+
+
+def test_pointer_engine_matches_generate():
+    """for_pointer: the copy gate + entity head run per slot; tokens
+    AND copied flags are identical to standalone
+    TransformerPointer.generate, for plain and forced-copy gates,
+    with speculative drafts on top."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pointer import make_pointer, pointer_batch
+    from test_speculative import _force_copy_gate
+
+    model = make_pointer()
+    init_b = pointer_batch(B=2, S=10)
+    variables = model.init(jax.random.PRNGKey(0), init_b)
+    variables = _force_copy_gate(variables)
+
+    def req(i):
+        b = pointer_batch(B=1, S=10, key=400 + i)
+        return {k: v for k, v in b.items()
+                if k not in ("caption_ids", "caption_copy_masks")}
+
+    reqs = [req(i) for i in range(4)]
+    cfg = GenerationConfig(max_len=9, sampling_topk=1)
+    singles = [model.generate(variables, r, cfg) for r in reqs]
+
+    eng = ContinuousBatcher.for_pointer(model, variables, cfg,
+                                        n_slots=2, inner_steps=2)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    for i, rid in enumerate(ids):
+        want_t, want_f = singles[i]
+        got_t, got_lp, got_f = results[rid]
+        np.testing.assert_array_equal(got_t, np.asarray(want_t[0]))
+        np.testing.assert_array_equal(got_f, np.asarray(want_f[0]))
+
+    # speculative pointer slots: oracle drafts, same exact outputs
+    spec = ContinuousBatcher.for_pointer(model, variables, cfg,
+                                         n_slots=2, inner_steps=1,
+                                         spec_k=3, source_len=16)
+    sids = [spec.submit(r, source_row=np.asarray(singles[i][0][0][1:]))
+            for i, r in enumerate(reqs)]
+    sres = spec.run()
+    for i, rid in enumerate(sids):
+        np.testing.assert_array_equal(sres[rid][0],
+                                      np.asarray(singles[i][0][0]))
+        np.testing.assert_array_equal(sres[rid][2],
+                                      np.asarray(singles[i][1][0]))
+    assert spec.n_chunks < eng.n_chunks or spec.occupancy >= eng.occupancy
