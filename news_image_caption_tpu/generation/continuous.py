@@ -629,6 +629,49 @@ class ContinuousBatcher(_SlotPool):
                    collect_flags=True)
 
     @classmethod
+    def for_tgnc(cls, model, variables, config: GenerationConfig,
+                 n_slots: int, inner_steps: int = 8, spec_k: int = 1,
+                 source_len: int = 512,
+                 ngram_n: int = 2) -> "ContinuousBatcher":
+        """Engine over TGNC's template-guided decoder: the per-request
+        template logits (ClassificationHead over article+image) are
+        computed once in prep and ride the kvs tree per slot; trunk +
+        per-template-head conv caches share the shifted-copy commit.
+        TGNC without use_template_decoder is a plain flattened model:
+        use `for_flattened` on model.captioner."""
+        from news_image_caption_tpu.models.tgnc import \
+            TemplateGuidedDecoder
+        from news_image_caption_tpu.ops.attention import decode_kv_tree
+        if config.sampling_topk != 1:
+            raise ValueError("the tgnc engine is greedy-only "
+                             "(sampling_topk must be 1)")
+        if not model.use_template_decoder:
+            raise ValueError("this TGNC has no template decoder; use "
+                             "for_flattened on model.captioner with "
+                             "variables['captioner']")
+
+        def prep_fn(vars_, request):
+            contexts = model._contexts(request)
+            tl = model.classifier.apply(
+                vars_["classifier"], request["article"],
+                request["image"])                     # [1, n]
+            kvs = decode_kv_tree(model.tg_decoder.apply(
+                vars_["decoder"], contexts,
+                method=TemplateGuidedDecoder.precompute_kv))
+            return {"kvs": kvs, "template_logits": tl}
+
+        def chunk_fn(vars_, toks, pos, tree, caches, aux):
+            return model.tg_decoder.apply(
+                vars_["decoder"], toks, pos, tree["kvs"], caches,
+                tree["template_logits"],
+                method=TemplateGuidedDecoder.step_chunk)
+
+        return cls(variables, prep_fn, chunk_fn, commit_conv_caches,
+                   model.tg_decoder.init_cache, config, n_slots,
+                   inner_steps=inner_steps, spec_k=spec_k,
+                   source_len=source_len, ngram_n=ngram_n)
+
+    @classmethod
     def for_gen2(cls, model, params, config: GenerationConfig,
                  n_slots: int, inner_steps: int = 8, spec_k: int = 1,
                  source_len: int = 512,

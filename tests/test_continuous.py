@@ -492,3 +492,30 @@ def test_pointer_engine_matches_generate():
         np.testing.assert_array_equal(sres[rid][2],
                                       np.asarray(singles[i][1][0]))
     assert spec.n_chunks < eng.n_chunks or spec.occupancy >= eng.occupancy
+
+
+def test_tgnc_engine_matches_generate():
+    """for_tgnc: template-mixed heads per slot — staggered requests
+    match standalone TGNC.generate exactly (template logits computed
+    per request in prep)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_variants import base_batch, tiny_kwargs
+
+    from news_image_caption_tpu.models.tgnc import TGNC
+
+    model = TGNC(use_template_decoder=True, n_templates=2,
+                 **tiny_kwargs())
+    init_b = base_batch()
+    variables = model.init(jax.random.PRNGKey(0), init_b)
+    reqs = [{k: v for k, v in base_batch(B=1, key=500 + i).items()
+             if k != "caption_ids"} for i in range(3)]
+    cfg = GenerationConfig(max_len=8, sampling_topk=1)
+    singles = [np.asarray(model.generate(variables, r, cfg)[0][0])
+               for r in reqs]
+    eng = ContinuousBatcher.for_tgnc(model, variables, cfg,
+                                     n_slots=2, inner_steps=2)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    for i, rid in enumerate(ids):
+        np.testing.assert_array_equal(results[rid][0], singles[i])
