@@ -40,7 +40,7 @@ def _cast_bf16(tree):
 
 
 def _wait_for_device(max_wait_s: float = 1800.0,
-                     probe_timeout_s: float = 120.0) -> bool:
+                     probe_timeout_s: float = 360.0) -> bool:
     """The axon tunnel goes down for stretches (hours observed); a
     probe op in a watchdogged subprocess tells us whether the chip is
     reachable without hanging the whole bench. Retries up to

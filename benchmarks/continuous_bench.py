@@ -17,9 +17,12 @@ Prints one JSON line per measurement.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 
 def main():

@@ -119,6 +119,19 @@ class _SlotPool:
         out, self._failed = self._failed, {}
         return out
 
+    def stats(self) -> Dict[str, Any]:
+        """Engine telemetry snapshot (host-side counters only — no
+        device sync). Served by the worker's `_stats` job RPC."""
+        return {
+            "engine": type(self).__name__,
+            "slots": self.W,
+            "inner_steps": self.inner_steps,
+            "busy_slots": sum(r is not None for r in self._slot_req),
+            "backlog": self.backlog,
+            "max_queue": self.max_queue,
+            "n_chunks": self.n_chunks,
+        }
+
     # -- refill / dispatch / harvest skeleton -----------------------------
 
     def _fill(self) -> None:
@@ -464,12 +477,15 @@ class ContinuousBatcher(_SlotPool):
         PRNG key for sampling mode (sampling_topk > 1); defaults to
         PRNGKey(request_id) — pass the key you would hand to
         `model.generate` to reproduce it exactly."""
-        rid = self._enqueue(request, ())   # reserve the id first
-        key = (np.asarray(rng, np.uint32) if rng is not None
+        # Validate BEFORE enqueueing: a raising submit must not leave
+        # a zombie queue entry behind (it would later fail at unpack
+        # time under an id the caller never received).
+        limit = self._check_limit(max_len)
+        rid = self._enqueue(request, ())   # reserve the id (default
+        key = (np.asarray(rng, np.uint32)  # rng is keyed on it)
+               if rng is not None
                else np.asarray(jax.random.PRNGKey(rid), np.uint32))
-        self._queue[-1] = (rid, request,
-                           (source_row, self._check_limit(max_len),
-                            key))
+        self._queue[-1] = (rid, request, (source_row, limit, key))
         return rid
 
     def _insert_slot(self, slot: int, kvs1, extra: tuple) -> None:
@@ -516,6 +532,13 @@ class ContinuousBatcher(_SlotPool):
         committed a token every inner step; spec mode can exceed 1)."""
         return (self.n_committed / self.n_slot_steps
                 if self.n_slot_steps else 0.0)
+
+    def stats(self) -> Dict[str, Any]:
+        return {**super().stats(),
+                "n_committed": self.n_committed,
+                "occupancy": round(self.occupancy, 4),
+                "spec_k": self.k,
+                "sampling_topk": self.config.sampling_topk}
 
     # -- model adapters --------------------------------------------------
 
@@ -876,6 +899,9 @@ class ContinuousBeamBatcher(_SlotPool):
         (tokens [beam, max_len+1], scores [beam]) under the returned
         id, best-first."""
         return self._enqueue(request, (self._check_limit(max_len),))
+
+    def stats(self) -> Dict[str, Any]:
+        return {**super().stats(), "beam_size": self.K}
 
     def _insert_slot(self, slot: int, kvs1, extra: tuple) -> None:
         (limit,) = extra

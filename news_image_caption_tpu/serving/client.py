@@ -64,6 +64,15 @@ class CaptioningClient:
         raise TimeoutError(
             f"no result for job {job_id!r} within {self.timeout_ms}ms")
 
+    def stats(self) -> Dict[str, Any]:
+        """Worker telemetry via the `_stats` job RPC (rides the normal
+        job routing; with several workers the ventilator delivers it
+        to ONE of them round-robin — call repeatedly to sample the
+        pool). Plain workers report {mode, jobs_served, uptime_s};
+        continuous workers add the engine snapshot (slots, busy_slots,
+        backlog, occupancy, ...)."""
+        return self.caption({"_stats": True})
+
     def caption_stream(self, jobs, window: int = 2):
         """Pipelined captioning: keep up to `window` jobs in flight
         and yield results in submission order.

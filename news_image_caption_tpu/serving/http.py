@@ -30,7 +30,17 @@ def make_handler(client: CaptioningClient, server_info: dict):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.startswith("/status"):
+            if self.path == "/status/worker":
+                # Live worker telemetry over the `_stats` job RPC
+                # (reference analog: bert-serving's /status/server,
+                # server/http.py:8-66). One worker answers per call.
+                try:
+                    with client_lock:
+                        stats = client.stats()
+                    self._json(200, {"status": "ok", **stats})
+                except Exception as e:
+                    self._json(502, {"error": repr(e)})
+            elif self.path.startswith("/status"):
                 self._json(200, {"status": "ok", **server_info})
             else:
                 self._json(404, {"error": "unknown endpoint"})

@@ -410,7 +410,9 @@ class CaptioningWorker(_MP.Process):
                     continue   # the thread must outlive bad clients
                 try:
                     job = unpack(frames[2:])
-                    if stage is not None:
+                    # Stats RPC: no feature tensors, must not hit
+                    # stage() (it would KeyError on "image").
+                    if not job.get("_stats") and stage is not None:
                         job = stage(job)
                     staged_q.put((client_id, job_id, job, None))
                 except Exception as e:   # malformed job / bad stage
@@ -419,17 +421,29 @@ class CaptioningWorker(_MP.Process):
         threading.Thread(target=ingest, daemon=True).start()
         logger.info("worker %d ready", self.worker_id)
         engine = getattr(predict, "engine", None)
+        import time as _time
+        t_ready = _time.monotonic()
+        n_served = 0
         try:
             if engine is not None:
-                self._continuous_loop(engine, staged_q, sink, logger)
+                self._continuous_loop(engine, staged_q, sink, logger,
+                                      worker_id=self.worker_id,
+                                      t_ready=t_ready)
                 return
             while True:
                 client_id, job_id, job, err = staged_q.get()
                 if err is not None:
                     result = {"error": err}
+                elif job.get("_stats"):
+                    result = {"mode": "plain",
+                              "worker_id": self.worker_id,
+                              "jobs_served": n_served,
+                              "uptime_s": round(
+                                  _time.monotonic() - t_ready, 1)}
                 else:
                     try:
                         result = predict(job)
+                        n_served += 1
                     except Exception as e:  # report errors to client
                         result = {"error": repr(e)}
                 sink.send_multipart(
@@ -440,13 +454,15 @@ class CaptioningWorker(_MP.Process):
             ctx.term()
 
     @staticmethod
-    def _continuous_loop(engine, staged_q, sink, logger):
+    def _continuous_loop(engine, staged_q, sink, logger,
+                         worker_id: int = 0, t_ready: float = 0.0):
         """Continuous-batching serving loop: submit staged jobs into
         the slot engine as they arrive, dispatch decode chunks, push
         each caption to the sink the moment ITS slot finishes (the
         plain loop answers jobs strictly in order; here a short
         caption never waits behind a long one)."""
         import queue as _queue
+        import time as _time
 
         from news_image_caption_tpu.generation.continuous import \
             ContinuousBeamBatcher
@@ -470,6 +486,16 @@ class CaptioningWorker(_MP.Process):
                 if err is not None:
                     sink.send_multipart(
                         [client_id, job_id] + pack({"error": err}))
+                    continue
+                if job.get("_stats"):
+                    stats = {"mode": "continuous",
+                             "worker_id": worker_id,
+                             "in_flight": len(pending),
+                             "uptime_s": round(
+                                 _time.monotonic() - t_ready, 1),
+                             **engine.stats()}
+                    sink.send_multipart(
+                        [client_id, job_id] + pack(stats))
                     continue
                 try:
                     src = job.pop("article_ids", None)

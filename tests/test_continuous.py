@@ -138,6 +138,14 @@ def test_per_request_max_len_frees_slots_early(setup):
     np.testing.assert_array_equal(rest[long][0], singles[1])
     with pytest.raises(ValueError):
         eng.submit(requests[0], max_len=MAX_LEN + 1)
+    # A rejected submit must leave NO zombie queue entry behind (it
+    # would later fail at extra-unpack time under an id the caller
+    # never received) — and the engine must still serve new work.
+    assert eng.backlog == 0 and eng.idle
+    ok = eng.submit(requests[0], max_len=2)
+    res = eng.run()
+    assert not eng.drain_failed()
+    np.testing.assert_array_equal(res[ok][0][:3], singles[0][:3])
 
 
 def test_continuous_matches_generate_under_quantize_kv(setup):

@@ -174,6 +174,19 @@ def test_worker_error_propagates(server_and_client):
         client.caption(bad)
 
 
+def test_worker_stats_rpc(server_and_client):
+    """The `_stats` job RPC reports plain-worker telemetry through
+    the normal job routing (no dedicated control socket)."""
+    _, client = server_and_client
+    client.caption(make_job())
+    stats = client.stats()
+    assert stats["mode"] == "plain" and stats["worker_id"] == 0
+    n = stats["jobs_served"]
+    assert n >= 1 and stats["uptime_s"] >= 0
+    client.caption(make_job())
+    assert client.stats()["jobs_served"] == n + 1
+
+
 def test_http_proxy(server_and_client):
     from news_image_caption_tpu.serving.http import serve_http
     _, client = server_and_client
@@ -183,6 +196,12 @@ def test_http_proxy(server_and_client):
                 f"http://127.0.0.1:{port}/status") as r:
             status = json.loads(r.read())
         assert status["status"] == "ok" and status["model"] == "tiny"
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status/worker") as r:
+            wstat = json.loads(r.read())
+        assert wstat["status"] == "ok" and wstat["mode"] == "plain"
+        assert "jobs_served" in wstat
 
         job = make_job()
         payload = {k: {"data": v.tolist(), "dtype": str(v.dtype)}
@@ -430,6 +449,13 @@ def test_continuous_worker_matches_plain(server_and_client):
         capped_job = dict(jobs[0])
         capped_job["max_len"] = 2
         capped = client.caption(capped_job)["tokens"]
+        # engine telemetry through the same routing
+        stats = client.stats()
+        assert stats["mode"] == "continuous"
+        assert stats["engine"] == "ContinuousBatcher"
+        assert stats["slots"] == 2 and stats["inner_steps"] == 2
+        assert stats["in_flight"] == 0 and stats["n_chunks"] > 0
+        assert 0 < stats["occupancy"] <= 1.0
     finally:
         client.close()
         server.stop()
@@ -482,6 +508,9 @@ def test_continuous_beam_worker_matches_generate_beam(server_and_client):
                               server.sink_pub_addr, timeout_ms=240000)
     try:
         results = list(client.caption_stream(iter(jobs), window=3))
+        stats = client.stats()
+        assert stats["engine"] == "ContinuousBeamBatcher"
+        assert stats["beam_size"] == 5 and stats["in_flight"] == 0
     finally:
         client.close()
         server.stop()
