@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 import __graft_entry__ as ge  # noqa: E402
 from news_image_caption_tpu.generation.generator import (  # noqa: E402

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from news_image_caption_tpu.models.gen1 import (  # noqa: E402
     Gen1Captioner, Gen1Model)

@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 N_WORKERS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 N_JOBS = int(sys.argv[2]) if len(sys.argv) > 2 else 60

@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 
 def make_job(seed: int, max_len: int | None = None,
@@ -78,13 +78,16 @@ def drive(server, jobs, window, n, tag):
             lats.append(t_now - t_prev)
             t_prev = t_now
         el = time.perf_counter() - t0
-        lats_ms = np.array(lats) * 1e3
         row = {
             "mode": tag, "n_jobs": n, "wall_s": round(el, 2),
-            "captions_per_s": round(n / el, 2),
-            "gap_ms_p50": round(float(np.percentile(lats_ms, 50)), 1),
-            "gap_ms_p99": round(float(np.percentile(lats_ms, 99)), 1),
+            "captions_per_s": round(n / el, 2) if el > 0 else None,
         }
+        if lats:   # --n 1 streams nothing after the warmup job
+            lats_ms = np.array(lats) * 1e3
+            row["gap_ms_p50"] = round(
+                float(np.percentile(lats_ms, 50)), 1)
+            row["gap_ms_p99"] = round(
+                float(np.percentile(lats_ms, 99)), 1)
         print(json.dumps(row), flush=True)
         return row
     finally:

@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 N_JOBS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 QUANT = len(sys.argv) > 2 and sys.argv[2] in ("1", "true", "quantize_kv")

@@ -13,7 +13,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from news_image_caption_tpu.data.native_loader import (  # noqa: E402
     NativeShardLoader, write_shard)

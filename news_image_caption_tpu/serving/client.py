@@ -38,8 +38,17 @@ class CaptioningClient:
             import time
             time.sleep(subscribe_settle_s)
 
-    def caption(self, job: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        """Send one job, block for its result (or raise TimeoutError)."""
+    def caption(self, job: Dict[str, np.ndarray],
+                timeout_ms: int = None) -> Dict[str, Any]:
+        """Send one job, block for its result (or raise TimeoutError).
+
+        `_stats` is a RESERVED key (the worker telemetry RPC — see
+        `stats()`); a job carrying a truthy `_stats` returns worker
+        stats instead of a caption. External entry points (the HTTP
+        proxy) strip it from user payloads.
+
+        timeout_ms overrides the client-wide timeout for this call.
+        """
         self._job_counter += 1
         job_id = str(self._job_counter).encode()
         self._push.send_multipart(
@@ -51,7 +60,8 @@ class CaptioningClient:
         # immediately, and charging a full poll step per frame would
         # silently shrink the budget by 100 ms each.
         import time as _time
-        deadline = _time.monotonic() + self.timeout_ms / 1000.0
+        budget_ms = self.timeout_ms if timeout_ms is None else timeout_ms
+        deadline = _time.monotonic() + budget_ms / 1000.0
         while _time.monotonic() < deadline:
             events = dict(poller.poll(timeout=100))
             if self._sub in events:
@@ -62,16 +72,21 @@ class CaptioningClient:
                         raise RuntimeError(result["error"])
                     return result
         raise TimeoutError(
-            f"no result for job {job_id!r} within {self.timeout_ms}ms")
+            f"no result for job {job_id!r} within {budget_ms}ms")
 
-    def stats(self) -> Dict[str, Any]:
+    def stats(self, timeout_ms: int = 5000) -> Dict[str, Any]:
         """Worker telemetry via the `_stats` job RPC (rides the normal
         job routing; with several workers the ventilator delivers it
         to ONE of them round-robin — call repeatedly to sample the
         pool). Plain workers report {mode, jobs_served, uptime_s};
         continuous workers add the engine snapshot (slots, busy_slots,
-        backlog, occupancy, ...)."""
-        return self.caption({"_stats": True})
+        backlog, occupancy, ...).
+
+        Uses its own short timeout (default 5 s) so telemetry polls
+        never inherit a long job timeout — the HTTP proxy serializes
+        all RPCs through one lock, and a slow stats call would block
+        /encode for the whole client timeout otherwise."""
+        return self.caption({"_stats": True}, timeout_ms=timeout_ms)
 
     def caption_stream(self, jobs, window: int = 2):
         """Pipelined captioning: keep up to `window` jobs in flight

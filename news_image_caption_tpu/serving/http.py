@@ -52,6 +52,10 @@ def make_handler(client: CaptioningClient, server_info: dict):
             length = int(self.headers.get("Content-Length", 0))
             try:
                 req = json.loads(self.rfile.read(length))
+                # `_stats` is the worker telemetry RPC key (reserved,
+                # see CaptioningClient.caption) — a user payload must
+                # not be able to hijack /encode into a stats response.
+                req.pop("_stats", None)
                 job = {k: np.asarray(v["data"], dtype=v["dtype"])
                        if isinstance(v, dict) and "data" in v else v
                        for k, v in req.items()}

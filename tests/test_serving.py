@@ -214,6 +214,17 @@ def test_http_proxy(server_and_client):
             result = json.loads(r.read())
         assert "tokens" in result
         assert len(result["tokens"][0]) == 17
+
+        # `_stats` is reserved for the telemetry RPC: a user payload
+        # carrying it must still get a caption, not a stats response.
+        payload["_stats"] = True
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/encode",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            hijack = json.loads(r.read())
+        assert "tokens" in hijack and "jobs_served" not in hijack
     finally:
         httpd.shutdown()
 
