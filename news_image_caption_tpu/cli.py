@@ -94,6 +94,16 @@ def main(argv: Optional[list] = None) -> int:
                     help="continuous mode serves EXACT beam search "
                          "(beam_size=5) from the slot pool; results "
                          "carry [beam, L+1] tokens + scores")
+    ps.add_argument("--sampling-topk", type=int, default=1,
+                    help="> 1 serves top-k SAMPLED captions from the "
+                         "slot pool (the reference's own generation "
+                         "mode, transformer_flattened.py:296-310); "
+                         "per-request PRNG via the job's rng_seed "
+                         "field (default: the request id). Requires "
+                         "--continuous-slots; excludes "
+                         "--continuous-beam/--speculative-k")
+    ps.add_argument("--sampling-temp", type=float, default=1.0,
+                    help="sampling temperature (with --sampling-topk)")
     ps.add_argument("--no-early-exit", action="store_true")
     ps.add_argument("--params", default=None,
                     help=".npz checkpoint ('/'-joined flat keys) for "
@@ -339,6 +349,19 @@ def serve_command(args) -> int:
         print("error: --continuous-beam requires --continuous-slots N",
               file=sys.stderr)
         return 2
+    if args.sampling_topk > 1:
+        # Sampling is served from the slot pool only (per-slot PRNG
+        # chains, generation/continuous.py); a plain worker would
+        # silently serve greedy captions instead of the sampled ones
+        # the client asked for.
+        if args.continuous_slots <= 0:
+            print("error: --sampling-topk requires "
+                  "--continuous-slots N", file=sys.stderr)
+            return 2
+        if args.continuous_beam or args.speculative_k >= 2:
+            print("error: --sampling-topk excludes --continuous-beam "
+                  "and --speculative-k", file=sys.stderr)
+            return 2
 
     # Graceful SIGTERM (systemd/k8s stop, pod eviction): installed
     # BEFORE worker spawn so a stop during startup still reaches the
@@ -353,7 +376,9 @@ def serve_command(args) -> int:
             speculative_k=args.speculative_k,
             continuous_slots=args.continuous_slots,
             inner_steps=args.inner_steps,
-            continuous_beam=args.continuous_beam)
+            continuous_beam=args.continuous_beam,
+            sampling_topk=args.sampling_topk,
+            sampling_temp=args.sampling_temp)
     else:
         builder = functools.partial(
             flagship_model_builder,
@@ -366,7 +391,9 @@ def serve_command(args) -> int:
             speculative_k=args.speculative_k,
             continuous_slots=args.continuous_slots,
             inner_steps=args.inner_steps,
-            continuous_beam=args.continuous_beam)
+            continuous_beam=args.continuous_beam,
+            sampling_topk=args.sampling_topk,
+            sampling_temp=args.sampling_temp)
     server = CaptionServer(
         worker_factory=lambda **kw: CaptioningWorker(
             model_builder=builder, platform=args.platform, **kw),

@@ -28,7 +28,9 @@ from news_image_caption_tpu.utils.logging import setup_logger
 def default_model_builder(speculative_k: int = 0,
                           continuous_slots: int = 0,
                           inner_steps: int = 8,
-                          continuous_beam: bool = False):
+                          continuous_beam: bool = False,
+                          sampling_topk: int = 1,
+                          sampling_temp: float = 1.0):
     """Tiny random-weight captioner (smoke/serving tests).
 
     speculative_k >= 2 enables the same exact speculative-greedy
@@ -36,7 +38,8 @@ def default_model_builder(speculative_k: int = 0,
     others fall back) so the serving contract is testable on CPU.
     continuous_slots > 0 attaches a ContinuousBatcher engine (the
     worker switches to its slot-refill loop) so that serving mode is
-    CPU-testable too.
+    CPU-testable too. sampling_topk > 1 serves top-k sampled captions
+    from the slot pool (per-request rng via the job's `rng_seed`).
     """
     import jax
 
@@ -59,7 +62,10 @@ def default_model_builder(speculative_k: int = 0,
         "article_mask": jnp.zeros((B, 6), bool),
     }
     params = model.init(jax.random.PRNGKey(0), batch)
-    cfg = GenerationConfig(max_len=16)
+    _check_sampling_args(sampling_topk, continuous_slots,
+                         continuous_beam, speculative_k)
+    cfg = GenerationConfig(max_len=16, sampling_topk=sampling_topk,
+                           sampling_temp=sampling_temp)
     gen = jax.jit(lambda b: model.generate(params, b, cfg)[0])
     spec_gen = None
     if speculative_k >= 2:
@@ -83,6 +89,8 @@ def default_model_builder(speculative_k: int = 0,
             b["article_ids"] = jnp.asarray(ids, jnp.int32)
         if "max_len" in job:   # per-request cap (continuous engine)
             b["max_len"] = int(np.asarray(job["max_len"]).ravel()[0])
+        if "rng_seed" in job:  # per-request PRNG (sampling slots)
+            b["rng_seed"] = int(np.asarray(job["rng_seed"]).ravel()[0])
         return b
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -92,6 +100,10 @@ def default_model_builder(speculative_k: int = 0,
             # config max_len; silently ignoring the cap would lie.
             raise ValueError("per-request max_len requires a "
                              "--continuous-slots worker")
+        if b.pop("rng_seed", None) is not None:
+            raise ValueError("per-request rng_seed requires a "
+                             "--sampling-topk --continuous-slots "
+                             "worker")
         if spec_gen is not None and "article_ids" in b:
             return {"tokens": np.asarray(spec_gen(b))}
         return {"tokens": np.asarray(gen(b))}
@@ -121,6 +133,25 @@ def default_model_builder(speculative_k: int = 0,
                                   if k != "caption_ids"},
                            beam=continuous_beam)
     return predict
+
+
+def _check_sampling_args(sampling_topk: int, continuous_slots: int,
+                         continuous_beam: bool,
+                         speculative_k: int) -> None:
+    """Serving-mode validation for top-k sampling: it is served from
+    the slot pool only (per-slot PRNG chains replicate generate's B=1
+    key schedule); the plain/beam/speculative paths would silently
+    serve something other than what the client asked for."""
+    if sampling_topk <= 1:
+        return
+    if continuous_slots <= 0:
+        raise ValueError("sampling_topk > 1 requires continuous_slots "
+                         "> 0 (sampling is served from the slot pool)")
+    if continuous_beam:
+        raise ValueError("sampling_topk > 1 excludes continuous_beam")
+    if speculative_k >= 2:
+        raise ValueError("sampling_topk > 1 excludes speculative_k "
+                         "(the draft-verify commit rule is greedy)")
 
 
 def _attach_continuous(predict, model, params, cfg, n_slots: int,
@@ -210,7 +241,9 @@ def flagship_model_builder(max_len: int = 32,
                            speculative_k: int = 0,
                            continuous_slots: int = 0,
                            inner_steps: int = 8,
-                           continuous_beam: bool = False):
+                           continuous_beam: bool = False,
+                           sampling_topk: int = 1,
+                           sampling_temp: float = 1.0):
     """Production serving builder: the FLAGSHIP captioner at the
     reference's serving shapes (article 512×1024, image 49×2048,
     tasks/captioner.py:79-144), bf16 end-to-end, greedy decode with
@@ -276,7 +309,10 @@ def flagship_model_builder(max_len: int = 32,
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-    cfg = GenerationConfig(max_len=max_len, sampling_topk=1,
+    _check_sampling_args(sampling_topk, continuous_slots,
+                         continuous_beam, speculative_k)
+    cfg = GenerationConfig(max_len=max_len, sampling_topk=sampling_topk,
+                           sampling_temp=sampling_temp,
                            early_exit=early_exit,
                            quantize_kv=quantize_kv,
                            quantize_head=quantize_head)
@@ -307,6 +343,9 @@ def flagship_model_builder(max_len: int = 32,
             staged["article_ids"] = jnp.asarray(ids, jnp.int32)
         if "max_len" in job:   # per-request cap (continuous engine)
             staged["max_len"] = int(np.asarray(job["max_len"]).ravel()[0])
+        if "rng_seed" in job:  # per-request PRNG (sampling slots)
+            staged["rng_seed"] = int(
+                np.asarray(job["rng_seed"]).ravel()[0])
         return staged
 
     def predict(job: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -317,6 +356,10 @@ def flagship_model_builder(max_len: int = 32,
         if b.pop("max_len", None) is not None:
             raise ValueError("per-request max_len requires a "
                              "--continuous-slots worker")
+        if b.pop("rng_seed", None) is not None:
+            raise ValueError("per-request rng_seed requires a "
+                             "--sampling-topk --continuous-slots "
+                             "worker")
         if spec_gen is not None and "article_ids" in b:
             return {"tokens": np.asarray(spec_gen(params, b))}
         return {"tokens": np.asarray(gen(params, b))}
@@ -464,6 +507,8 @@ class CaptioningWorker(_MP.Process):
         import queue as _queue
         import time as _time
 
+        import jax
+
         from news_image_caption_tpu.generation.continuous import \
             ContinuousBeamBatcher
         is_beam = isinstance(engine, ContinuousBeamBatcher)
@@ -502,11 +547,22 @@ class CaptioningWorker(_MP.Process):
                     if src is not None:
                         src = np.asarray(src)[0]   # [1, S] -> [S]
                     ml = job.pop("max_len", None)
+                    seed = job.pop("rng_seed", None)
                     if is_beam:   # beam is exact, draft-free
+                        if seed is not None:
+                            raise ValueError(
+                                "rng_seed requires a --sampling-topk "
+                                "worker (this one serves exact beam)")
                         rid = engine.submit(job, max_len=ml)
                     else:
+                        # Per-request PRNG: the key the client would
+                        # hand to model.generate(rng=...) — results
+                        # reproduce it exactly (sampling mode; the
+                        # greedy engine ignores the key).
+                        rng = (jax.random.PRNGKey(int(seed))
+                               if seed is not None else None)
                         rid = engine.submit(job, source_row=src,
-                                            max_len=ml)
+                                            max_len=ml, rng=rng)
                     pending[rid] = (client_id, job_id)
                 except Exception as e:
                     sink.send_multipart(

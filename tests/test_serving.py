@@ -532,3 +532,93 @@ def test_continuous_beam_worker_matches_generate_beam(server_and_client):
         np.testing.assert_allclose(got["scores"][0],
                                    np.asarray(want_s[0]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sampling_worker_matches_generate_with_seed(server_and_client):
+    """--sampling-topk serving: a continuous worker with
+    sampling_topk > 1 serves top-k SAMPLED captions (the reference's
+    own generation mode, transformer_flattened.py:296-310) from the
+    slot pool; a job's `rng_seed` reproduces
+    model.generate(request, cfg, rng=PRNGKey(seed)) token-for-token,
+    regardless of slot timing (mirrors the engine-level
+    test_sampling_slots_match_generate_with_same_rng)."""
+    import functools
+
+    import jax
+
+    from news_image_caption_tpu.generation.generator import \
+        GenerationConfig
+    from news_image_caption_tpu.models.captioner import \
+        TransformerFlattened
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import (
+        CaptioningWorker, default_model_builder)
+
+    _, plain_client = server_and_client
+
+    # standalone reference: same toy model/params as the builder
+    model = TransformerFlattened(
+        vocab_size=64, cutoff=(16, 32, 64), embed_dim=32, ffn_dim=64,
+        num_heads=4, num_layers=2, kernel_sizes=(3, 5), image_dim=16,
+        article_dim=24, max_positions=64)
+    jobs = [make_varied_job(s) for s in range(5)]
+    init = dict(jobs[0])
+    init["caption_ids"] = np.zeros((1, 8), np.int32)
+    params = model.init(jax.random.PRNGKey(0), init)
+    cfg = GenerationConfig(max_len=16, sampling_topk=4,
+                           sampling_temp=0.8)
+    seeds = [1000 + i for i in range(5)]
+    refs = [np.asarray(model.generate(
+                params, j, cfg, rng=jax.random.PRNGKey(s))[0][0])
+            for j, s in zip(jobs, seeds)]
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(
+            model_builder=functools.partial(default_model_builder,
+                                            continuous_slots=2,
+                                            inner_steps=2,
+                                            sampling_topk=4,
+                                            sampling_temp=0.8),
+            platform="cpu", **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=240000)
+    try:
+        seeded = [dict(j, rng_seed=s) for j, s in zip(jobs, seeds)]
+        results = list(client.caption_stream(iter(seeded), window=5))
+        # sampling is the default without a seed too (rid-keyed):
+        # the job must still be answered, just not seed-reproducible
+        unseeded = client.caption(jobs[0])
+        stats = client.stats()
+        assert stats["mode"] == "continuous"
+        assert stats["sampling_topk"] == 4
+    finally:
+        client.close()
+        server.stop()
+    assert len(results) == 5
+    for got, want in zip(results, refs):
+        np.testing.assert_array_equal(got["tokens"][0], want)
+    assert unseeded["tokens"].shape == (1, 17)
+    # at topk 4 / temp 0.8 the sampled captions must not all equal
+    # the greedy decode (sanity that the draw path actually ran)
+    greedy = plain_client.caption(jobs[0])["tokens"][0]
+    assert not all(np.array_equal(r, greedy) for r in refs)
+    # rng_seed on a PLAIN worker is honor-or-reject, never silently
+    # greedy
+    with pytest.raises(RuntimeError):
+        plain_client.caption(dict(jobs[0], rng_seed=7))
+
+
+def test_sampling_args_validation():
+    from news_image_caption_tpu.serving.worker import (
+        default_model_builder)
+
+    with pytest.raises(ValueError):   # needs the slot pool
+        default_model_builder(sampling_topk=4)
+    with pytest.raises(ValueError):   # beam is exact, not sampled
+        default_model_builder(sampling_topk=4, continuous_slots=2,
+                              continuous_beam=True)
+    with pytest.raises(ValueError):   # draft-verify commit is greedy
+        default_model_builder(sampling_topk=4, continuous_slots=2,
+                              speculative_k=4)
