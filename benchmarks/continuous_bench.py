@@ -41,6 +41,17 @@ def main():
                     help="> 0: ALSO run the exact-beam comparison "
                          "at this beam size (generate_beam batches "
                          "vs ContinuousBeamBatcher)")
+    ap.add_argument("--project-local", action="store_true",
+                    help="ALSO measure raw chunk-dispatch device "
+                         "time (streamed, one barrier fetch) and "
+                         "print a projected local-host row. The "
+                         "engine pays one device->host round trip "
+                         "per chunk (the [W] finished-flag read in "
+                         "_harvest); on this machine's axon tunnel "
+                         "that RTT is ~10-20x the chunk's device "
+                         "work, so measured wall is an environment "
+                         "artifact — locally-attached hosts see "
+                         "chunks * chunk_device_time.")
     args = ap.parse_args()
 
     import jax
@@ -154,6 +165,38 @@ def main():
             "speedup_vs_batch": round(dt_b / dt, 2)}), flush=True)
         assert len(results) == args.n
 
+        if args.project_local:
+            # Raw chunk device time: fill the pool, then stream M
+            # dispatches with ONE barrier fetch at the end (finished
+            # slots just keep taking no-op steps — same static shape,
+            # same cost). Separately time the [W] finished-flag fetch
+            # _harvest pays per chunk (the per-chunk RTT).
+            chunks_real = eng.n_chunks
+            for _ in range(W):
+                eng.submit(make_request(999), max_len=args.max_len)
+            eng.step()            # fill + 1 chunk + harvest
+            M = 20
+            t0 = time.perf_counter()
+            for _ in range(M):
+                eng._dispatch_chunk()
+            np.asarray(eng.state.finished)   # barrier
+            t_chunk = (time.perf_counter() - t0) / M
+            t0 = time.perf_counter()
+            for _ in range(5):
+                np.asarray(eng.state.finished)
+            t_rtt = (time.perf_counter() - t0) / 5
+            proj = chunks_real * t_chunk
+            print(json.dumps({
+                "mode": "continuous_projected", "inner_steps": inner,
+                "chunks": chunks_real,
+                "chunk_device_ms": round(t_chunk * 1e3, 2),
+                "harvest_rtt_ms": round(t_rtt * 1e3, 2),
+                "projected_seconds": round(proj, 3),
+                "projected_captions_per_s": round(args.n / proj, 1),
+                "projected_speedup_vs_batch": round(dt_b / proj, 2)}),
+                flush=True)
+            eng.reset()
+
     if args.beam > 0:
         from news_image_caption_tpu.generation.continuous import \
             ContinuousBeamBatcher
@@ -201,6 +244,30 @@ def main():
                 "speedup_vs_beam_batch": round(dt_bb / dt, 2)}),
                 flush=True)
             assert len(results) == args.n
+
+            if args.project_local:
+                chunks_real = eng.n_chunks
+                for _ in range(W):
+                    eng.submit(make_request(999),
+                               max_len=args.max_len)
+                eng.step()
+                M = 20
+                t0 = time.perf_counter()
+                for _ in range(M):
+                    eng._dispatch_chunk()
+                np.asarray(eng.state.finished)
+                t_chunk = (time.perf_counter() - t0) / M
+                proj = chunks_real * t_chunk
+                print(json.dumps({
+                    "mode": "beam_continuous_projected", "beam": K,
+                    "inner_steps": inner, "chunks": chunks_real,
+                    "chunk_device_ms": round(t_chunk * 1e3, 2),
+                    "projected_seconds": round(proj, 3),
+                    "projected_captions_per_s": round(
+                        args.n / proj, 1),
+                    "projected_speedup_vs_beam_batch": round(
+                        dt_bb / proj, 2)}), flush=True)
+                eng.reset()
 
 
 if __name__ == "__main__":
