@@ -15,7 +15,22 @@ steps and make the comparison ragged). Acceptance on REAL trained
 checkpoints with real articles is workload-dependent; these sweeps
 bound the win (oracle) and the loss (noise).
 
-Run: python benchmarks/spec_decode_bench.py [BATCH ...]
+Exactness on TPU, learned the hard way (r4): every committed token
+comes from the CHUNK forward, so speculative output is
+DRAFT-INDEPENDENT by construction — that is the mechanism invariant
+this bench asserts (`self_consistent`). Bit-equality with the
+step-path greedy scan additionally requires chunk and step matmuls
+to round identically, which the MXU does not guarantee across
+shapes; with RANDOM weights the top-1/top-2 logit gap at vocab 50k
+is ~spread/50k — far below bf16 resolution — so argmax flips at
+nearly every token and `agree_vs_greedy` is ~0 AND acceptance is ~0
+(the r3 queue measured exactly that: tok/chunk=1.0 even for oracle
+drafts). On trained (peaked) checkpoints the gap is orders of
+magnitude above the rounding noise; pass --params to measure the
+real acceptance/throughput curve.
+
+Run: python benchmarks/spec_decode_bench.py [--model=pointer]
+         [--params ckpt.npz] [BATCH ...]
 """
 
 import sys
@@ -52,7 +67,15 @@ def _pointer_extras(batch, vocab=50265, key=11):
             "context_proper_masks": proper}
 
 
-def _build(which):
+def _load_params(path):
+    import numpy as _np
+
+    from news_image_caption_tpu.serving.worker import unflatten_params
+    p = unflatten_params(dict(_np.load(path)))
+    return jax.tree.map(jnp.asarray, p)
+
+
+def _build(which, params_path=None):
     if which == "pointer":
         from news_image_caption_tpu.models.pointer import \
             TransformerPointer
@@ -67,10 +90,13 @@ def _build(which):
                                            init_b))
         return model, params
     model = ge._flagship(dtype=jnp.bfloat16)
-    params = _cast(jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        ge._batch(B=2, T=32, P=49, S=512, image_dim=2048,
-                  article_dim=1024, vocab=50265)))
+    if params_path is not None:
+        params = _cast(_load_params(params_path))
+    else:
+        params = _cast(jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            ge._batch(B=2, T=32, P=49, S=512, image_dim=2048,
+                      article_dim=1024, vocab=50265)))
     return model, params
 
 
@@ -80,7 +106,14 @@ def main():
     if "--model=pointer" in args:
         which = "pointer"
         args.remove("--model=pointer")
-    model, params = _build(which)
+    params_path = None
+    if "--params" in args:
+        i = args.index("--params")
+        params_path = args[i + 1]
+        del args[i:i + 2]
+        if which == "pointer":
+            raise SystemExit("--params supports the flagship only")
+    model, params = _build(which, params_path)
     cfg = GenerationConfig(max_len=MAX_LEN, sampling_topk=1, eos_id=-1)
 
     for B in [int(a) for a in (args or ["64"])]:
@@ -131,10 +164,12 @@ def main():
                            model.generate_speculative(p, b, cfg,
                                                       spec_k=k,
                                                       draft_source=s))
+            spec_outs = {}
             for name, src in sources.items():
                 toks, _, nc = spec(params, batch, src)
                 toks_np, nc0 = np.asarray(toks), int(nc)
-                exact = bool((toks_np == greedy_toks).all())
+                spec_outs[name] = toks_np
+                agree = float((toks_np == greedy_toks).mean())
                 t0 = time.perf_counter()
                 for _ in range(STEPS):
                     out = spec(params, batch, src)
@@ -143,7 +178,25 @@ def main():
                 print(f"B={B} spec_k={spec_k:2d} {name:9s}: "
                       f"{B/dt:7.1f} captions/s ({dt*1e3:6.1f} ms) "
                       f"chunks={nc0:3d} tok/chunk={MAX_LEN/nc0:4.1f} "
-                      f"speedup={base_dt/dt:4.2f}x exact={exact}")
+                      f"speedup={base_dt/dt:4.2f}x "
+                      f"agree_vs_greedy={agree:.3f}", flush=True)
+            # Mechanism invariant (see module docstring): committed
+            # tokens come from the chunk forward only, so outputs
+            # must be IDENTICAL across draft sources. A violation
+            # here is a cache-commit bug, not numerics.
+            names = list(spec_outs)
+            self_consistent = all(
+                (spec_outs[n] == spec_outs[names[0]]).all()
+                for n in names[1:])
+            print(f"B={B} spec_k={spec_k:2d} self_consistent="
+                  f"{self_consistent}  (oracle==corrupt==noise "
+                  f"outputs: required)", flush=True)
+            if not self_consistent:
+                for n in names[1:]:
+                    frac = float(
+                        (spec_outs[n] == spec_outs[names[0]]).mean())
+                    print(f"  {names[0]} vs {n}: {frac:.4f} "
+                          f"token agreement", flush=True)
 
 
 if __name__ == "__main__":

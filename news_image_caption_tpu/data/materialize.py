@@ -88,17 +88,27 @@ def _pad_ids(ids: List[int], length: int, pad: int = 1) -> np.ndarray:
     return out
 
 
-def materialize(input_jsonl: str, out_prefix: str,
+def materialize(input_jsonl: Optional[str], out_prefix: str,
                 records_per_shard: int = 1024,
                 caption_len: int = 64, article_len: int = 512,
                 encoders: Optional[FeatureEncoders] = None,
                 indexer: Optional[RobertaCopyIndexer] = None,
                 with_copy_masks: bool = True,
                 image_size: int = 256,
-                batch_size: int = 16) -> List[str]:
-    """Returns the list of shard paths written."""
+                batch_size: int = 16,
+                reader=None) -> List[str]:
+    """Returns the list of shard paths written.
+
+    reader: any re-iterable NewsRecord source (JsonlNewsReader,
+    MongoNewsReader, ...) — replaces input_jsonl, so the reference's
+    live Mongo data path (nytimes_faces_ner_matched.py:88-190) feeds
+    the same offline pass as materialized jsonl. Re-iterable because
+    the BPE corpus build is a first pass (pass an indexer to skip it).
+    """
+    if reader is None:
+        reader = JsonlNewsReader(input_jsonl)
     if indexer is None:
-        corpus = [r.caption for r in JsonlNewsReader(input_jsonl)]
+        corpus = [r.caption for r in reader]
         indexer = RobertaCopyIndexer(ByteBPE.train(corpus, 200),
                                      max_len=article_len)
     builder = InstanceBuilder(indexer,
@@ -152,7 +162,7 @@ def materialize(input_jsonl: str, out_prefix: str,
                 flush()
         pending = []
 
-    for rec in JsonlNewsReader(input_jsonl):
+    for rec in reader:
         inst = builder.build(rec)
         item = {
             "caption_ids": _pad_ids(list(inst["caption_ids"]),
@@ -197,18 +207,38 @@ def materialize(input_jsonl: str, out_prefix: str,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("input_jsonl")
+    p.add_argument("input_jsonl",
+                   help="source .jsonl ('-' with --mongo-db)")
     p.add_argument("out_prefix")
     p.add_argument("--records-per-shard", type=int, default=1024)
     p.add_argument("--caption-len", type=int, default=64)
     p.add_argument("--article-len", type=int, default=512)
     p.add_argument("--no-copy-masks", action="store_true")
+    p.add_argument("--mongo-db", default=None,
+                   help="read records live from this MongoDB database "
+                        "(goodnews/nytimes schema) instead of jsonl; "
+                        "requires pymongo")
+    p.add_argument("--mongo-host", default="localhost")
+    p.add_argument("--mongo-port", type=int, default=27017)
+    p.add_argument("--mongo-split", default="train")
+    p.add_argument("--image-dir", default=".",
+                   help="JPEG directory for --mongo-db records")
     args = p.parse_args(argv)
-    paths = materialize(args.input_jsonl, args.out_prefix,
-                        records_per_shard=args.records_per_shard,
-                        caption_len=args.caption_len,
-                        article_len=args.article_len,
-                        with_copy_masks=not args.no_copy_masks)
+    reader = None
+    if args.mongo_db is not None:
+        from news_image_caption_tpu.data.readers import MongoNewsReader
+        reader = MongoNewsReader(
+            host=args.mongo_host, port=args.mongo_port,
+            database=args.mongo_db, split=args.mongo_split,
+            image_dir=args.image_dir)
+    paths = materialize(
+        None if args.input_jsonl == "-" else args.input_jsonl,
+        args.out_prefix,
+        records_per_shard=args.records_per_shard,
+        caption_len=args.caption_len,
+        article_len=args.article_len,
+        with_copy_masks=not args.no_copy_masks,
+        reader=reader)
     print(json.dumps({"shards": paths}))
     return 0
 

@@ -147,10 +147,18 @@ class MongoNewsReader:
 
     def __init__(self, host: str = "localhost", port: int = 27017,
                  database: str = "goodnews", split: str = "train",
-                 image_dir: str = "."):
-        import pymongo  # gated dependency
-        self.client = pymongo.MongoClient(host=host, port=port)
-        self.db = self.client[database]
+                 image_dir: str = ".", db=None):
+        """db: injected database handle exposing `.splits.find(...)`
+        and `.articles.find_one(...)` — bypasses pymongo entirely
+        (dependency injection; the transport/schema mapping is tested
+        against a fake this way, pymongo is not installable here)."""
+        if db is not None:
+            self.client = None
+            self.db = db
+        else:
+            import pymongo  # gated dependency
+            self.client = pymongo.MongoClient(host=host, port=port)
+            self.db = self.client[database]
         self.split = split
         self.image_dir = image_dir
 
