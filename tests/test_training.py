@@ -724,3 +724,71 @@ def test_cli_pointer_train_evaluate_speculative(tmp_path):
                "-o", json.dumps({"generation": {"speculative_k": 4}})])
     assert rc == 0
     assert (ser / "generations_spec.jsonl").read_text() == plain
+
+
+@pytest.mark.slow
+def test_cli_train_evaluate_from_nics_shards(tmp_path):
+    """The PRODUCTION ingest path end-to-end through the CLI: NICS
+    shards on disk -> `dataset: {type: nics_shards}` -> C++ prefetch
+    reader -> tellax train (checkpoints + metrics) -> tellax evaluate
+    (generations.jsonl). This is the composed loop VERDICT r03 item 3
+    exercises at flagship dims on the chip; here it is pinned at toy
+    dims on CPU."""
+    import yaml
+
+    from news_image_caption_tpu.cli import main
+    from news_image_caption_tpu.data.native_loader import write_shard
+
+    rng = np.random.default_rng(0)
+    T, P, S, IMG, ART, V = 12, 4, 6, 16, 24, 64
+    for split, n_shards, n in (("train", 2, 12), ("val", 1, 6),
+                               ("test", 1, 6)):
+        for i in range(n_shards):
+            caption = rng.integers(3, V, size=(n, T)).astype(np.int32)
+            caption[:, 0] = 0
+            caption[:, -1] = 2
+            write_shard(str(tmp_path / f"{split}-{i:03d}.nics"), {
+                "caption_ids": caption,
+                "image": rng.standard_normal(
+                    (n, P, IMG)).astype(np.float32),
+                "article": rng.standard_normal(
+                    (n, S, ART)).astype(np.float32),
+                "article_mask": (rng.random((n, S)) > 0.9).astype(
+                    np.uint8),
+                "image_mask": np.zeros((n, P), np.uint8),
+            })
+    cfg = {
+        "dataset": {
+            "type": "nics_shards",
+            "train": {"pattern": str(tmp_path / "train-*.nics")},
+            "val": {"pattern": str(tmp_path / "val-*.nics")},
+            "test": {"pattern": str(tmp_path / "test-*.nics")},
+        },
+        "model": {"type": "transformer_flattened", "decoder": {
+            "type": "dynamic_conv_decoder_flattened",
+            "vocab_size": V, "embed_dim": 16, "ffn_dim": 32,
+            "num_heads": 4, "num_layers": 2, "kernel_sizes": [3, 5],
+            "cutoff": [16, 32, V], "image_dim": IMG,
+            "article_dim": ART, "max_positions": 32}},
+        "iterator": {"batch_size": 4},
+        "generation": {"max_len": 8},
+        "trainer": {"num_epochs": 2, "patience": None,
+                    "optimizer": {"type": "bert_adam", "lr": 1e-3,
+                                  "t_total": 100}},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    rc = main(["train", cfg_path])
+    assert rc == 0
+    ser = tmp_path / "serialization"
+    metrics = [json.loads(line) for line in
+               (ser / "metrics.jsonl").read_text().strip().split("\n")]
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert len(losses) >= 2
+    rc = main(["evaluate", cfg_path, "--split", "test"])
+    assert rc == 0
+    lines = (ser / "generations.jsonl").read_text().strip().split("\n")
+    # 6 test records, batch 4, drop_last in the loader: evaluate sees
+    # at least one full batch
+    assert len(lines) >= 4
