@@ -271,7 +271,22 @@ class Trainer:
             # batches without a round trip).
             window: list = []
             preempted = False
-            for batch in train_batches(epoch):
+            # Input-wait accounting: host time blocked in the batch
+            # iterator vs wall. Step dispatch is async, so this is the
+            # standard starvation proxy — ~0% means the pipeline
+            # (C++ reader -> DeviceLoader prefetch) outruns the step;
+            # large values mean the loop is ingest-bound (BASELINE.md
+            # records it for the flagship e2e run).
+            t_input = 0.0
+            batch_iter = iter(train_batches(epoch))
+            while True:
+                t_fetch = time.time()
+                try:
+                    batch = next(batch_iter)
+                except StopIteration:
+                    t_input += time.time() - t_fetch
+                    break
+                t_input += time.time() - t_fetch
                 if self._preemption_agreed(guard):
                     preempted = True
                     break
@@ -314,18 +329,23 @@ class Trainer:
                         self.logger.warning(
                             "%d NaN/inf-loss batches guarded in-jit",
                             n_skipped)
+                    input_wait = t_input / max(dt, 1e-9)
                     self.logger.info(
-                        "epoch %d step %d loss %.4f (%.1f tok/s)",
+                        "epoch %d step %d loss %.4f (%.1f tok/s, "
+                        "input wait %.1f%%)",
                         epoch, int(state.step), loss,
-                        total_tokens / max(dt, 1e-9))
+                        total_tokens / max(dt, 1e-9),
+                        100.0 * input_wait)
                     self._log_metrics({
                         "epoch": epoch, "step": int(state.step),
                         "loss": loss, "skipped": n_skipped,
+                        "input_wait": round(input_wait, 4),
                         "split": "train"})
                     self._tb_scalars(int(state.step), [
                         ("train/loss", loss),
                         ("train/tokens_per_sec",
                          total_tokens / max(dt, 1e-9)),
+                        ("train/input_wait", input_wait),
                         ("train/skipped_batches", n_skipped)])
             if preempted or self._preemption_agreed(guard):
                 # Eviction imminent: persist NOW (blocking — the
