@@ -113,12 +113,39 @@ def main():
         del args[i:i + 2]
         if which == "pointer":
             raise SystemExit("--params supports the flagship only")
+    shards_glob = None
+    if "--shards" in args:
+        # In-distribution eval features for a --params checkpoint
+        # (e.g. the e2e run's train shards): acceptance on a trained
+        # model is only meaningful where its logits are peaked.
+        i = args.index("--shards")
+        shards_glob = args[i + 1]
+        del args[i:i + 2]
     model, params = _build(which, params_path)
     cfg = GenerationConfig(max_len=MAX_LEN, sampling_topk=1, eos_id=-1)
 
     for B in [int(a) for a in (args or ["64"])]:
-        batch = _cast(ge._batch(B=B, T=32, P=49, S=512, image_dim=2048,
-                                article_dim=1024, vocab=50265))
+        if shards_glob is not None:
+            import glob as _glob
+
+            from news_image_caption_tpu.data.native_loader import \
+                NativeShardLoader
+            loader = NativeShardLoader(sorted(_glob.glob(shards_glob)),
+                                       batch_size=B)
+            raw = next(loader.epoch(shuffle=False))
+            batch = {
+                "image": jnp.asarray(raw["image"], jnp.bfloat16),
+                "image_mask": jnp.asarray(
+                    raw["image_mask"].astype(bool)),
+                "article": jnp.asarray(raw["article"], jnp.bfloat16),
+                "article_mask": jnp.asarray(
+                    raw["article_mask"].astype(bool)),
+            }
+            loader.close()
+        else:
+            batch = _cast(ge._batch(B=B, T=32, P=49, S=512,
+                                    image_dim=2048,
+                                    article_dim=1024, vocab=50265))
         if which == "pointer":
             batch = _pointer_extras(batch)
 

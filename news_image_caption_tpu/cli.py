@@ -26,6 +26,11 @@ def main(argv: Optional[list] = None) -> int:
     pt.add_argument("-r", "--recover", action="store_true",
                     help="resume from the latest checkpoint")
     pt.add_argument("-s", "--serialization-dir", default=None)
+    pt.add_argument("--platform", default=None,
+                    help="force a JAX backend (e.g. cpu); default = "
+                         "environment (TPU). The JAX_PLATFORMS env "
+                         "var is not honored in all images; this flag "
+                         "uses jax.config.update")
 
     pe = sub.add_parser("evaluate", help="generate + score on a split")
     pe.add_argument("param_path")
@@ -38,6 +43,8 @@ def main(argv: Optional[list] = None) -> int:
                     help="write bare generation/caption records "
                          "(skip the NER/readability/TTR enrichment "
                          "the reference applies in evaluate)")
+    pe.add_argument("--platform", default=None,
+                    help="force a JAX backend (e.g. cpu)")
     pe.add_argument("--dump-attention", default=None, metavar="DIR",
                     help="write per-batch attention maps (.npz) over "
                          "the generated captions to DIR (parity: Gen-1 "
@@ -211,7 +218,15 @@ def port_command(args) -> int:
     ckpt_dir = os.path.join(serialization_dir, "checkpoints")
     store = CheckpointStore(ckpt_dir)
     tx = build_optimizer(cfg)
-    state = create_train_state(cand, tx)
+    # Match the state shape evaluate will build from this config
+    # (bf16_o2 configs restore into an O2 template — fp32 master in
+    # opt_state; a plain-state checkpoint would not load).
+    if cfg.get("trainer", {}).get("mixed_precision") == "bf16_o2":
+        from news_image_caption_tpu.training.train_step import \
+            create_o2_train_state
+        state = create_o2_train_state(cand, tx)
+    else:
+        state = create_train_state(cand, tx)
     # metrics entry marks this as 'best' so evaluate's default
     # (-m best) picks the ported weights up directly.
     store.save(state, step=0, metrics={store.best_metric: 0.0})
@@ -229,6 +244,8 @@ def port_command(args) -> int:
 
 def train_command(args) -> int:
     import jax
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
 
     from news_image_caption_tpu.config import (build_dataset, build_model,
                                                build_optimizer, load_config)
@@ -430,6 +447,8 @@ def serve_command(args) -> int:
 
 def evaluate_command(args) -> int:
     import jax
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from news_image_caption_tpu.config import (build_dataset, build_model,
@@ -480,7 +499,15 @@ def evaluate_command(args) -> int:
         else:
             store = CheckpointStore(ckpt_dir)
         tx = build_optimizer(cfg)
-        state = create_train_state(params, tx)
+        # The restore template must match the TRAINING state shape:
+        # a bf16_o2 run checkpoints the fp32 master copy inside
+        # opt_state (apex-O2-true), which a plain template rejects.
+        if cfg.get("trainer", {}).get("mixed_precision") == "bf16_o2":
+            from news_image_caption_tpu.training.train_step import \
+                create_o2_train_state
+            state = create_o2_train_state(params, tx)
+        else:
+            state = create_train_state(params, tx)
         which = args.model_path or "best"
         try:
             if isinstance(which, str) and which.startswith("avg:"):

@@ -772,7 +772,11 @@ def test_cli_train_evaluate_from_nics_shards(tmp_path):
             "article_dim": ART, "max_positions": 32}},
         "iterator": {"batch_size": 4},
         "generation": {"max_len": 8},
+        # bf16_o2 ALSO pins the restore-template fix: evaluate must
+        # rebuild the O2 state (fp32 master in opt_state) to load a
+        # checkpoint this run writes — a plain template rejects it.
         "trainer": {"num_epochs": 2, "patience": None,
+                    "mixed_precision": "bf16_o2",
                     "optimizer": {"type": "bert_adam", "lr": 1e-3,
                                   "t_total": 100}},
     }
