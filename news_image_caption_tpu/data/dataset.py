@@ -304,9 +304,21 @@ class NicsShardDataset:
 
     @staticmethod
     def _cast(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        return {k: (v.astype(bool) if k.endswith("_mask")
-                    and v.dtype == np.uint8 else v)
-                for k, v in batch.items()}
+        # float16 is this framework's DISK/WIRE format only (shards
+        # halve storage + H2D bytes); TPU compute has no f16 — Mosaic
+        # rejects it outright and the compute-dtype-follows-input
+        # linears (ops/linear.py) would otherwise propagate it into
+        # every kernel. Promote to bfloat16 at delivery: same byte
+        # width (H2D unchanged), one memcpy-speed host pass.
+        import ml_dtypes
+
+        def one(k, v):
+            if k.endswith("_mask") and v.dtype == np.uint8:
+                return v.astype(bool)
+            if v.dtype == np.float16:
+                return v.astype(ml_dtypes.bfloat16)
+            return v
+        return {k: one(k, v) for k, v in batch.items()}
 
     def batches(self, batch_size: int, shuffle: bool = True,
                 seed: int = 0, drop_last: bool = True

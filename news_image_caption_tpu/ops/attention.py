@@ -225,6 +225,14 @@ class MultiHeadAttention(nn.Module):
                 k_flat = kv.k.reshape(B, S, self.embed_dim)
                 v_flat = kv.v.reshape(B, S, self.embed_dim)
                 q_flat = q.reshape(B, T, self.embed_dim)
+                if q_flat.dtype == jnp.float16:
+                    # Mosaic has no f16 type; f16 is a disk/wire
+                    # format that must never reach TPU kernels
+                    # (datasets promote at delivery — this guards
+                    # ad-hoc ingestion paths).
+                    q_flat = q_flat.astype(jnp.bfloat16)
+                    k_flat = k_flat.astype(jnp.bfloat16)
+                    v_flat = v_flat.astype(jnp.bfloat16)
                 if kv.mask is None:
                     bias = jnp.zeros((B, S), jnp.float32)
                 else:

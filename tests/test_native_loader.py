@@ -250,3 +250,35 @@ def test_soa_pool_keeps_last_pool_size_batches_valid(tmp_path):
             np.testing.assert_array_equal(hb["caption_ids"],
                                           ref[j]["caption_ids"])
     loader.close()
+
+
+def test_nics_dataset_promotes_f16_to_bf16(tmp_path):
+    """float16 is a DISK format only: NicsShardDataset must deliver
+    bfloat16 to the model (Mosaic has no f16, and the compute-dtype-
+    follows-input linears would propagate f16 into every TPU kernel —
+    the r4 e2e flagship run died exactly this way)."""
+    import ml_dtypes
+
+    from news_image_caption_tpu.data.dataset import NicsShardDataset
+
+    rng = np.random.default_rng(7)
+    n = 8
+    write_shard(str(tmp_path / "h-000.nics"), {
+        "caption_ids": rng.integers(0, 50, (n, 6)).astype(np.int32),
+        "image": rng.standard_normal((n, 3, 4)).astype(np.float16),
+        "article": rng.standard_normal((n, 5, 4)).astype(np.float16),
+        "article_mask": (rng.random((n, 5)) > 0.5).astype(np.uint8),
+    })
+    ds = NicsShardDataset(pattern=str(tmp_path / "h-*.nics"))
+    batch = next(ds.batches(4, shuffle=False))
+    assert batch["image"].dtype == ml_dtypes.bfloat16
+    assert batch["article"].dtype == ml_dtypes.bfloat16
+    assert batch["article_mask"].dtype == np.bool_
+    assert batch["caption_ids"].dtype == np.int32
+    # values survive the promotion (f16 -> bf16 rounds the mantissa)
+    raw = next(NativeShardLoader([str(tmp_path / "h-000.nics")],
+                                 batch_size=4).epoch(shuffle=False))
+    np.testing.assert_allclose(batch["image"].astype(np.float32),
+                               raw["image"].astype(np.float32),
+                               rtol=2**-7)
+    ds.close()

@@ -219,3 +219,29 @@ def test_head_grouping_math_matches_per_head():
         p /= p.sum(-1, keepdims=True)
         out_ref[:, sl] = p @ v[:, sl]
     np.testing.assert_allclose(out_group, out_ref, rtol=1e-10)
+
+
+def test_mha_flash_path_promotes_f16_inputs():
+    """f16 inputs must never reach the Pallas kernel (Mosaic has no
+    f16): attend casts them to bf16 at the call site. Interpret mode
+    exercises the same gate the TPU path takes."""
+    rng = np.random.RandomState(5)
+    Em, nH = 32, 4
+    Bq, Tq, Sq = 2, 5, 9
+    query = rng.randn(Bq, Tq, Em).astype(np.float16)
+    key = rng.randn(Bq, Sq, Em).astype(np.float16)
+    mha_f = MultiHeadAttention(embed_dim=Em, num_heads=nH,
+                               use_flash=True, flash_interpret=True)
+    mha_x = MultiHeadAttention(embed_dim=Em, num_heads=nH)
+    params = mha_x.init(jax.random.PRNGKey(0),
+                        jnp.asarray(query, jnp.float32),
+                        jnp.asarray(key, jnp.float32),
+                        jnp.asarray(key, jnp.float32))
+    out_f, _ = mha_f.apply(params, jnp.asarray(query),
+                           jnp.asarray(key), jnp.asarray(key))
+    out_x, _ = mha_x.apply(params, jnp.asarray(query, jnp.float32),
+                           jnp.asarray(key, jnp.float32),
+                           jnp.asarray(key, jnp.float32))
+    assert out_f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_f, np.float32),
+                               np.asarray(out_x), rtol=0.06, atol=0.06)
