@@ -207,6 +207,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sigterm-step", type=int, default=400)
     ap.add_argument("--skip-shards", action="store_true")
+    ap.add_argument("--resume-only", action="store_true",
+                    help="the preempted checkpoint already exists "
+                    "(a prior driver run was killed after the "
+                    "SIGTERM dance): skip the first train leg and "
+                    "go straight to recover -> evaluate -> export")
     ap.add_argument("--tiny", action="store_true",
                     help="toy dims on CPU (driver smoke)")
     args = ap.parse_args()
@@ -218,9 +223,10 @@ def main():
     if not args.skip_shards:
         build_shards()
     cfg_path = write_config()
-    rc = run_train(cfg_path,
-                   sigterm_after_steps=args.sigterm_step)
-    assert rc == 0, "preempted train must exit 0"
+    if not args.resume_only:
+        rc = run_train(cfg_path,
+                       sigterm_after_steps=args.sigterm_step)
+        assert rc == 0, "preempted train must exit 0"
     meta_path = (RUN_DIR / "serialization" / "checkpoints"
                  / "meta.json")
     meta = json.loads(meta_path.read_text())

@@ -55,8 +55,21 @@ class _SlotPool:
     Subclasses provide the device side: `reset()` builds the state
     pytree (and must call `_reset_bookkeeping`), `_insert_slot(slot,
     kvs1, extra)` grafts one prepped request, `_dispatch_chunk()`
-    advances every slot `inner_steps` steps, `_harvest()` collects
-    done slots.
+    advances every slot `inner_steps` steps and stashes a HOST VIEW
+    (small, freshly-computed device arrays — finished flags + result
+    rows) in `self._pending`, `_harvest(view)` turns a host view into
+    {request_id: results}.
+
+    Harvest is PIPELINED with one-chunk lag: `step()` dispatches
+    chunk N+1 before blocking on chunk N's view, so the device->host
+    round trip (the only per-chunk sync) overlaps with the next
+    chunk's device execution. A finished request is therefore
+    returned one `step()` after its slot finishes and its slot sits
+    frozen for that one chunk — the win is that the decode stream
+    never stalls on the host fetch (micro-seconds on PCIe hosts,
+    the entire per-chunk wall on high-RTT links). The view arrays are
+    sliced/cast INSIDE the chunk jit so they can never alias the
+    donated slot state (fetching a donated buffer raises).
     """
 
     def __init__(self, params, config: GenerationConfig, n_slots: int,
@@ -86,6 +99,20 @@ class _SlotPool:
         self._queue.clear()
         self._slot_req = [None] * self.W
         self._failed.clear()
+        self._pending = None       # in-flight host view (lag-1)
+
+    @staticmethod
+    def _start_host_copy(view) -> None:
+        """Begin the device->host transfer of a view without blocking;
+        `_harvest`'s jax.device_get then finds the bytes already in
+        flight (or local). Best-effort — backends without
+        copy_to_host_async just pay the fetch at harvest, which is
+        still overlapped with the next chunk's execution."""
+        for leaf in jax.tree.leaves(view):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                return
 
     def _enqueue(self, request: Dict[str, Any], extra: tuple) -> int:
         rid = self._next_id
@@ -180,26 +207,28 @@ class _SlotPool:
 
     def step(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Refill free slots, dispatch one jitted chunk
-        (`inner_steps` decode steps for every slot), harvest finished
-        slots. Returns {request_id: results} for captions completed
-        by this call.
+        (`inner_steps` decode steps for every slot), then harvest the
+        PREVIOUS chunk's finished slots (lag-1 pipeline — see class
+        docstring). Returns {request_id: results} for captions
+        completed by this call.
 
         Failed prep/inserts never raise here — they land in
         `drain_failed()`. A failed CHUNK dispatch raises after
         `reset()` (donated state: in-flight work is lost; the caller
         fails pending requests and keeps serving)."""
         self._fill()
-        if all(r is None for r in self._slot_req):
-            return {}
-        try:
-            self._dispatch_chunk()
-        except Exception:
-            # The dispatch consumed the donated state buffers; rebuild
-            # a fresh pool so the engine survives device-level errors.
-            self.reset()
-            raise
-        self.n_chunks += 1
-        return self._harvest()
+        prev, self._pending = self._pending, None
+        if any(r is not None for r in self._slot_req):
+            try:
+                self._dispatch_chunk()
+            except Exception:
+                # The dispatch consumed the donated state buffers;
+                # rebuild a fresh pool so the engine survives
+                # device-level errors.
+                self.reset()
+                raise
+            self.n_chunks += 1
+        return self._harvest(prev)
 
     def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Drive `step()` until the queue and every slot drain;
@@ -209,6 +238,9 @@ class _SlotPool:
         results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         while not self.idle:
             results.update(self.step())
+        # Fully drained: a residual in-flight view (the lag-1 chunk
+        # dispatched alongside the final harvest) has no owners left.
+        self._pending = None
         return results
 
 
@@ -402,9 +434,23 @@ class ContinuousBatcher(_SlotPool):
             (state, committed), _ = jax.lax.scan(
                 body, (state, jnp.int32(0)), None,
                 length=self.inner_steps)
-            return state, committed
+            return state, self._make_view(state, committed)
 
         return run
+
+    def _make_view(self, state: SlotState, committed) -> dict:
+        """Host view of one chunk's results: every array is a FRESH
+        value (dtype cast / strict slice — the token/lp/flag buffers
+        are over-allocated by spec_k), so fetching it after the next
+        chunk donates `state` is safe."""
+        L = self.config.max_len
+        view = {"finished": state.finished.astype(jnp.uint8),
+                "tokens": state.tokens[:, :L + 1],
+                "lps": state.lps[:, :L],
+                "committed": committed}
+        if self.collect_flags:
+            view["flags"] = state.flags[:, :L]
+        return view
 
     def _sampling_chunk_impl(self, sample_step_fn: Callable):
         """Top-k SAMPLING body (the reference's own generation mode,
@@ -456,7 +502,7 @@ class ContinuousBatcher(_SlotPool):
             (state, committed), _ = jax.lax.scan(
                 body, (state, jnp.int32(0)), None,
                 length=self.inner_steps)
-            return state, committed
+            return state, self._make_view(state, committed)
 
         return run
 
@@ -501,29 +547,35 @@ class ContinuousBatcher(_SlotPool):
                                   jnp.asarray(key))
 
     def _dispatch_chunk(self) -> None:
-        self.state, committed = self._chunk(self.params, self.state,
-                                            self.aux)
+        self.state, view = self._chunk(self.params, self.state,
+                                       self.aux)
         self.n_slot_steps += self.W * self.inner_steps
-        self.n_committed += int(committed)
+        self._start_host_copy(view)
+        # Snapshot slot->request as of THIS chunk: by harvest time a
+        # slot may already be freed and refilled (its frozen row would
+        # otherwise be mis-attributed to the new request).
+        self._pending = (list(self._slot_req), view)
 
-    def _harvest(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        finished = np.asarray(self.state.finished)
+    def _harvest(self, pending) -> Dict[int, Tuple[np.ndarray,
+                                                   np.ndarray]]:
         out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        done_slots = [s for s, r in enumerate(self._slot_req)
-                      if r is not None and finished[s]]
-        if done_slots:
-            idx = jnp.asarray(done_slots)
-            toks = np.asarray(self.state.tokens[idx])
-            lps = np.asarray(self.state.lps[idx])
-            flags = (np.asarray(self.state.flags[idx])
-                     if self.collect_flags else None)
-            L = self.config.max_len
-            for i, s in enumerate(done_slots):
-                res = (toks[i, :L + 1], lps[i, :L])
-                if flags is not None:
-                    res = res + (flags[i, :L],)
-                out[self._slot_req[s]] = res
-                self._slot_req[s] = None
+        if pending is None:
+            return out
+        owners, view = pending
+        view = jax.device_get(view)   # the step's ONLY blocking fetch
+        self.n_committed += int(view["committed"])
+        finished = view["finished"].astype(bool)
+        for s, r in enumerate(owners):
+            # Return slot s only if it STILL belongs to the request it
+            # held when this chunk ran (rids are unique; a mismatch
+            # means an earlier view already harvested it).
+            if r is None or not finished[s] or self._slot_req[s] != r:
+                continue
+            res = (view["tokens"][s], view["lps"][s])
+            if self.collect_flags:
+                res = res + (view["flags"][s],)
+            out[r] = res
+            self._slot_req[s] = None
         return out
 
     @property
@@ -862,16 +914,20 @@ class ContinuousBeamBatcher(_SlotPool):
 
             state, _ = jax.lax.scan(body, state, None,
                                     length=self.inner_steps)
-            return state
+            # Host view: rank ALL W slots in-jit every chunk (trivial
+            # vs the decode; a per-done-slot jit would re-dispatch
+            # N_done times on the serving hot loop). rank_beams
+            # computes fresh arrays, so the view never aliases the
+            # donated state (lag-1 harvest fetches it after the next
+            # chunk consumes `state`).
+            rt, rs = rank_beams(state.tokens.reshape(W, K, L + 1),
+                                state.scores.reshape(W, K),
+                                cfg.pad_id, cfg.length_penalty)
+            view = {"done": state.done.astype(jnp.uint8),
+                    "tokens": rt, "scores": rs}
+            return state, view
 
         self._chunk = jax.jit(run, donate_argnums=(1,))
-        # One fixed-shape ranking over ALL W slots per harvest (a
-        # per-done-slot jit would re-dispatch N_done times on the
-        # serving hot loop; ranking W slots of K beams is trivial).
-        self._rank_all = jax.jit(
-            lambda t, s: rank_beams(t.reshape(W, K, L + 1),
-                                    s.reshape(W, K), cfg.pad_id,
-                                    cfg.length_penalty))
         self.reset()
 
     def reset(self) -> None:
@@ -909,20 +965,23 @@ class ContinuousBeamBatcher(_SlotPool):
                                   jnp.int32(limit))
 
     def _dispatch_chunk(self) -> None:
-        self.state = self._chunk(self.params, self.state, self.aux)
+        self.state, view = self._chunk(self.params, self.state,
+                                       self.aux)
+        self._start_host_copy(view)
+        self._pending = (list(self._slot_req), view)
 
-    def _harvest(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-        done = np.asarray(self.state.done)
-        done_slots = [s for s, r in enumerate(self._slot_req)
-                      if r is not None and done[s]]
+    def _harvest(self, pending) -> Dict[int, Tuple[np.ndarray,
+                                                   np.ndarray]]:
         out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        if not done_slots:
+        if pending is None:
             return out
-        rt, rs = self._rank_all(self.state.tokens, self.state.scores)
-        idx = jnp.asarray(done_slots)
-        toks = np.asarray(rt[idx])
-        scores = np.asarray(rs[idx])
-        for i, s in enumerate(done_slots):
-            out[self._slot_req[s]] = (toks[i], scores[i])
+        owners, view = pending
+        view = jax.device_get(view)   # the step's ONLY blocking fetch
+        done = view["done"].astype(bool)
+        for s, r in enumerate(owners):
+            # Same stale-view guard as ContinuousBatcher._harvest.
+            if r is None or not done[s] or self._slot_req[s] != r:
+                continue
+            out[r] = (view["tokens"][s], view["scores"][s])
             self._slot_req[s] = None
         return out
