@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=96)
     ap.add_argument("--inner", default="4,8,16")
+    ap.add_argument("--lag", type=int, default=1,
+                    help="harvest_lag: chunk dispatches kept in "
+                         "flight before blocking on results (deep "
+                         "pipelining for high-RTT links)")
     ap.add_argument("--max-len", type=int, default=96)
     ap.add_argument("--platform", default=None,
                     help="force a JAX backend (e.g. cpu)")
@@ -145,7 +149,8 @@ def main():
     for inner in [int(x) for x in args.inner.split(",")]:
         cfg = GenerationConfig(max_len=args.max_len, sampling_topk=1)
         eng = ContinuousBatcher.for_flattened(
-            model, params, cfg, n_slots=W, inner_steps=inner)
+            model, params, cfg, n_slots=W, inner_steps=inner,
+            harvest_lag=args.lag)
         # compile prep/insert/chunk off the clock
         wid = eng.submit(reqs[0], max_len=max(2, args.lo))
         eng.run()
@@ -158,7 +163,7 @@ def main():
         dt = time.perf_counter() - t0
         print(json.dumps({
             "mode": "continuous", "inner_steps": inner,
-            "seconds": round(dt, 3),
+            "harvest_lag": args.lag, "seconds": round(dt, 3),
             "captions_per_s": round(args.n / dt, 1),
             "chunks": eng.n_chunks,
             "occupancy": round(eng.occupancy, 3),
@@ -227,7 +232,8 @@ def main():
         for inner in [int(x) for x in args.inner.split(",")]:
             cfg = GenerationConfig(max_len=args.max_len, beam_size=K)
             eng = ContinuousBeamBatcher(model, params, cfg, n_slots=W,
-                                        inner_steps=inner)
+                                        inner_steps=inner,
+                                        harvest_lag=args.lag)
             eng.submit(reqs[0], max_len=max(2, args.lo))
             eng.run()                 # compile off the clock
             eng.n_chunks = 0
@@ -238,7 +244,8 @@ def main():
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "mode": "beam_continuous", "beam": K,
-                "inner_steps": inner, "seconds": round(dt, 3),
+                "inner_steps": inner, "harvest_lag": args.lag,
+                "seconds": round(dt, 3),
                 "captions_per_s": round(args.n / dt, 1),
                 "chunks": eng.n_chunks,
                 "speedup_vs_beam_batch": round(dt_bb / dt, 2)}),

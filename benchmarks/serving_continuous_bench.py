@@ -99,6 +99,8 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--inner", type=int, default=8)
+    ap.add_argument("--lag", type=int, default=1,
+                    help="harvest_lag for the continuous worker")
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=96)
     ap.add_argument("--window", type=int, default=64)
@@ -144,12 +146,14 @@ def main():
     server = make_server(max_len=args.hi,
                          continuous_slots=args.slots,
                          inner_steps=args.inner,
+                         harvest_lag=args.lag,
                          continuous_beam=args.beam)
     try:
         jobs = (make_job(i, max_len=int(caps[i]), tiny=args.tiny)
                 for i in range(args.n + 1))
         tag = ("continuous-beam5" if args.beam
-               else f"continuous-slots{args.slots}-inner{args.inner}")
+               else f"continuous-slots{args.slots}-inner{args.inner}"
+                    f"-lag{args.lag}")
         drive(server, jobs, args.window, args.n,
               f"{tag}-caps[{args.lo},{args.hi}]")
     finally:

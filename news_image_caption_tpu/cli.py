@@ -97,6 +97,13 @@ def main(argv: Optional[list] = None) -> int:
                     help="continuous mode: decode steps per device "
                          "dispatch (finished slots are harvested and "
                          "refilled between dispatches)")
+    ps.add_argument("--harvest-lag", type=int, default=1,
+                    help="continuous mode: chunk dispatches kept in "
+                         "flight before blocking on results (pipeline "
+                         "depth). 1 hides the device->host fetch "
+                         "behind the next chunk; deeper lag amortizes "
+                         "high link RTT (remote accelerators) at the "
+                         "cost of slots staying frozen longer")
     ps.add_argument("--continuous-beam", action="store_true",
                     help="continuous mode serves EXACT beam search "
                          "(beam_size=5) from the slot pool; results "
@@ -393,6 +400,7 @@ def serve_command(args) -> int:
             speculative_k=args.speculative_k,
             continuous_slots=args.continuous_slots,
             inner_steps=args.inner_steps,
+            harvest_lag=args.harvest_lag,
             continuous_beam=args.continuous_beam,
             sampling_topk=args.sampling_topk,
             sampling_temp=args.sampling_temp)
@@ -408,6 +416,7 @@ def serve_command(args) -> int:
             speculative_k=args.speculative_k,
             continuous_slots=args.continuous_slots,
             inner_steps=args.inner_steps,
+            harvest_lag=args.harvest_lag,
             continuous_beam=args.continuous_beam,
             sampling_topk=args.sampling_topk,
             sampling_temp=args.sampling_temp)

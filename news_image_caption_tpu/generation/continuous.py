@@ -60,24 +60,34 @@ class _SlotPool:
     rows) in `self._pending`, `_harvest(view)` turns a host view into
     {request_id: results}.
 
-    Harvest is PIPELINED with one-chunk lag: `step()` dispatches
-    chunk N+1 before blocking on chunk N's view, so the device->host
+    Harvest is PIPELINED with `harvest_lag` chunks of lag (default 1):
+    `step()` keeps up to `harvest_lag` chunk dispatches in flight and
+    blocks only on the OLDEST outstanding view, so the device->host
     round trip (the only per-chunk sync) overlaps with the next
-    chunk's device execution. A finished request is therefore
-    returned one `step()` after its slot finishes and its slot sits
-    frozen for that one chunk — the win is that the decode stream
-    never stalls on the host fetch (micro-seconds on PCIe hosts,
-    the entire per-chunk wall on high-RTT links). The view arrays are
-    sliced/cast INSIDE the chunk jit so they can never alias the
-    donated slot state (fetching a donated buffer raises).
+    chunk(s)' device execution. A finished request is therefore
+    returned `harvest_lag` `step()`s after its slot finishes, and its
+    slot sits frozen for those chunks — the win is that the decode
+    stream never stalls on the host fetch. Lag 1 already hides the
+    fetch on locally-attached hosts (micro-seconds); on high-RTT
+    links (remote/tunneled accelerators) the fetch latency can exceed
+    a whole chunk's device time, and deeper lag keeps ~lag fetches in
+    flight so steady-state wall approaches max(chunk device time,
+    RTT / lag) — trade it against occupancy (frozen slots) via
+    `stats()['occupancy']`. The view arrays are sliced/cast INSIDE
+    the chunk jit so they can never alias the donated slot state
+    (fetching a donated buffer raises).
     """
 
     def __init__(self, params, config: GenerationConfig, n_slots: int,
-                 inner_steps: int, max_queue: Optional[int]):
+                 inner_steps: int, max_queue: Optional[int],
+                 harvest_lag: int = 1):
         if n_slots < 1:
             raise ValueError("n_slots must be >= 1")
         if inner_steps < 1:
             raise ValueError("inner_steps must be >= 1")
+        if harvest_lag < 1:
+            raise ValueError("harvest_lag must be >= 1")
+        self.harvest_lag = harvest_lag
         self.params = params
         self.config = config
         self.W = n_slots
@@ -99,7 +109,7 @@ class _SlotPool:
         self._queue.clear()
         self._slot_req = [None] * self.W
         self._failed.clear()
-        self._pending = None       # in-flight host view (lag-1)
+        self._pending = deque()    # in-flight host views, oldest first
 
     @staticmethod
     def _start_host_copy(view) -> None:
@@ -153,6 +163,8 @@ class _SlotPool:
             "engine": type(self).__name__,
             "slots": self.W,
             "inner_steps": self.inner_steps,
+            "harvest_lag": self.harvest_lag,
+            "views_in_flight": len(self._pending),
             "busy_slots": sum(r is not None for r in self._slot_req),
             "backlog": self.backlog,
             "max_queue": self.max_queue,
@@ -217,7 +229,7 @@ class _SlotPool:
         `reset()` (donated state: in-flight work is lost; the caller
         fails pending requests and keeps serving)."""
         self._fill()
-        prev, self._pending = self._pending, None
+        dispatched = False
         if any(r is not None for r in self._slot_req):
             try:
                 self._dispatch_chunk()
@@ -228,7 +240,15 @@ class _SlotPool:
                 self.reset()
                 raise
             self.n_chunks += 1
-        return self._harvest(prev)
+            dispatched = True
+        # Block on the oldest view(s) only once `harvest_lag` chunks
+        # are in flight; with nothing dispatched (all slots empty)
+        # flush every outstanding view.
+        keep = self.harvest_lag - 1 if dispatched else 0
+        out: Dict[int, Any] = {}
+        while len(self._pending) > keep:
+            out.update(self._harvest(self._pending.popleft()))
+        return out
 
     def run(self) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         """Drive `step()` until the queue and every slot drain;
@@ -238,9 +258,11 @@ class _SlotPool:
         results: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         while not self.idle:
             results.update(self.step())
-        # Fully drained: a residual in-flight view (the lag-1 chunk
-        # dispatched alongside the final harvest) has no owners left.
-        self._pending = None
+        # The step that freed the last slot also dispatched a chunk,
+        # so up to harvest_lag-1 views may remain in flight; their
+        # owners are all harvested already (the stale-view guard
+        # would skip them) — drop them to release the device arrays.
+        self._pending.clear()
         return results
 
 
@@ -287,9 +309,10 @@ class ContinuousBatcher(_SlotPool):
                  prepare_fn: Optional[Callable] = None,
                  max_queue: Optional[int] = None,
                  sample_step_fn: Optional[Callable] = None,
-                 collect_flags: bool = False):
+                 collect_flags: bool = False,
+                 harvest_lag: int = 1):
         super().__init__(params, config, n_slots, inner_steps,
-                         max_queue)
+                         max_queue, harvest_lag=harvest_lag)
         # collect_flags: chunk_fn returns a 4th [W, k] bool array of
         # per-position flags (the pointer family's copied markers);
         # harvest then yields (tokens, lps, flags) triples.
@@ -554,7 +577,7 @@ class ContinuousBatcher(_SlotPool):
         # Snapshot slot->request as of THIS chunk: by harvest time a
         # slot may already be freed and refilled (its frozen row would
         # otherwise be mis-attributed to the new request).
-        self._pending = (list(self._slot_req), view)
+        self._pending.append((list(self._slot_req), view))
 
     def _harvest(self, pending) -> Dict[int, Tuple[np.ndarray,
                                                    np.ndarray]]:
@@ -598,8 +621,8 @@ class ContinuousBatcher(_SlotPool):
     def for_flattened(cls, model, params,
                       config: GenerationConfig, n_slots: int,
                       inner_steps: int = 8, spec_k: int = 1,
-                      source_len: int = 512,
-                      ngram_n: int = 2) -> "ContinuousBatcher":
+                      source_len: int = 512, ngram_n: int = 2,
+                      harvest_lag: int = 1) -> "ContinuousBatcher":
         """Engine over TransformerFlattened (the flagship serving
         model): per-request KV prep via `_decode_setup`, chunk steps
         via `DynamicConvDecoder.step_chunk` (per-row positions over
@@ -634,13 +657,15 @@ class ContinuousBatcher(_SlotPool):
                    inner_steps=inner_steps, spec_k=spec_k,
                    source_len=source_len, ngram_n=ngram_n,
                    prepare_fn=prepare_fn,
-                   sample_step_fn=sample_step_fn)
+                   sample_step_fn=sample_step_fn,
+                   harvest_lag=harvest_lag)
 
     @classmethod
     def for_pointer(cls, model, variables, config: GenerationConfig,
                     n_slots: int, inner_steps: int = 8,
                     spec_k: int = 1, source_len: int = 512,
-                    ngram_n: int = 2) -> "ContinuousBatcher":
+                    ngram_n: int = 2,
+                    harvest_lag: int = 1) -> "ContinuousBatcher":
         """Engine over TransformerPointer (entity gate + copy head).
 
         Results are (tokens, lps, copied_flags) triples. The copy
@@ -701,13 +726,13 @@ class ContinuousBatcher(_SlotPool):
                    init_caches_fn, config, n_slots,
                    inner_steps=inner_steps, spec_k=spec_k,
                    source_len=source_len, ngram_n=ngram_n,
-                   collect_flags=True)
+                   collect_flags=True, harvest_lag=harvest_lag)
 
     @classmethod
     def for_tgnc(cls, model, variables, config: GenerationConfig,
                  n_slots: int, inner_steps: int = 8, spec_k: int = 1,
-                 source_len: int = 512,
-                 ngram_n: int = 2) -> "ContinuousBatcher":
+                 source_len: int = 512, ngram_n: int = 2,
+                 harvest_lag: int = 1) -> "ContinuousBatcher":
         """Engine over TGNC's template-guided decoder: the per-request
         template logits (ClassificationHead over article+image) are
         computed once in prep and ride the kvs tree per slot; trunk +
@@ -744,13 +769,14 @@ class ContinuousBatcher(_SlotPool):
         return cls(variables, prep_fn, chunk_fn, commit_conv_caches,
                    model.tg_decoder.init_cache, config, n_slots,
                    inner_steps=inner_steps, spec_k=spec_k,
-                   source_len=source_len, ngram_n=ngram_n)
+                   source_len=source_len, ngram_n=ngram_n,
+                   harvest_lag=harvest_lag)
 
     @classmethod
     def for_gen2(cls, model, params, config: GenerationConfig,
                  n_slots: int, inner_steps: int = 8, spec_k: int = 1,
-                 source_len: int = 512,
-                 ngram_n: int = 2) -> "ContinuousBatcher":
+                 source_len: int = 512, ngram_n: int = 2,
+                 harvest_lag: int = 1) -> "ContinuousBatcher":
         """Engine over Gen2Captioner (final* OnlyDecoder family).
 
         Gen-2's chunk contract is even simpler than the flagship's:
@@ -787,7 +813,8 @@ class ContinuousBatcher(_SlotPool):
         return cls(params, prep_fn, chunk_fn, commit_fn,
                    init_caches_fn, config, n_slots,
                    inner_steps=inner_steps, spec_k=spec_k,
-                   source_len=source_len, ngram_n=ngram_n)
+                   source_len=source_len, ngram_n=ngram_n,
+                   harvest_lag=harvest_lag)
 
 
 class BeamSlotState(NamedTuple):
@@ -820,13 +847,14 @@ class ContinuousBeamBatcher(_SlotPool):
 
     def __init__(self, model, params, config: GenerationConfig,
                  n_slots: int, inner_steps: int = 8,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 harvest_lag: int = 1):
         from news_image_caption_tpu.generation.generator import (
             beam_combine, permute_rows, rank_beams)
         from news_image_caption_tpu.models.decoder_flattened import \
             DynamicConvDecoder
         super().__init__(params, config, n_slots, inner_steps,
-                         max_queue)
+                         max_queue, harvest_lag=harvest_lag)
         model._check_max_len(config)
         if config.harvest_finished:
             raise ValueError("continuous beam implements the default "
@@ -968,7 +996,7 @@ class ContinuousBeamBatcher(_SlotPool):
         self.state, view = self._chunk(self.params, self.state,
                                        self.aux)
         self._start_host_copy(view)
-        self._pending = (list(self._slot_req), view)
+        self._pending.append((list(self._slot_req), view))
 
     def _harvest(self, pending) -> Dict[int, Tuple[np.ndarray,
                                                    np.ndarray]]:

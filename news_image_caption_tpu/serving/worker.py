@@ -28,6 +28,7 @@ from news_image_caption_tpu.utils.logging import setup_logger
 def default_model_builder(speculative_k: int = 0,
                           continuous_slots: int = 0,
                           inner_steps: int = 8,
+                          harvest_lag: int = 1,
                           continuous_beam: bool = False,
                           sampling_topk: int = 1,
                           sampling_temp: float = 1.0):
@@ -131,7 +132,8 @@ def default_model_builder(speculative_k: int = 0,
                            speculative_k, source_len=6,
                            dummy={k: v for k, v in batch.items()
                                   if k != "caption_ids"},
-                           beam=continuous_beam)
+                           beam=continuous_beam,
+                           harvest_lag=harvest_lag)
     return predict
 
 
@@ -157,7 +159,8 @@ def _check_sampling_args(sampling_topk: int, continuous_slots: int,
 def _attach_continuous(predict, model, params, cfg, n_slots: int,
                        inner_steps: int, speculative_k: int,
                        source_len: int, dummy: Dict[str, Any],
-                       beam: bool = False) -> None:
+                       beam: bool = False,
+                       harvest_lag: int = 1) -> None:
     """Attach a ContinuousBatcher engine + engine-aware warmup to a
     builder's predict fn. The worker detects `predict.engine` and
     switches to the slot-refill loop (submit jobs as they arrive,
@@ -172,12 +175,13 @@ def _attach_continuous(predict, model, params, cfg, n_slots: int,
     if beam:
         engine = ContinuousBeamBatcher(model, params, cfg,
                                        n_slots=n_slots,
-                                       inner_steps=inner_steps)
+                                       inner_steps=inner_steps,
+                                       harvest_lag=harvest_lag)
     else:
         engine = ContinuousBatcher.for_flattened(
             model, params, cfg, n_slots=n_slots,
             inner_steps=inner_steps, spec_k=max(1, speculative_k),
-            source_len=source_len)
+            source_len=source_len, harvest_lag=harvest_lag)
     stage = predict.stage
 
     def warmup():
@@ -241,6 +245,7 @@ def flagship_model_builder(max_len: int = 32,
                            speculative_k: int = 0,
                            continuous_slots: int = 0,
                            inner_steps: int = 8,
+                           harvest_lag: int = 1,
                            continuous_beam: bool = False,
                            sampling_topk: int = 1,
                            sampling_temp: float = 1.0):
@@ -388,7 +393,8 @@ def flagship_model_builder(max_len: int = 32,
         _attach_continuous(predict, model, params, cfg,
                            continuous_slots, inner_steps,
                            speculative_k, source_len=S, dummy=dummy,
-                           beam=continuous_beam)
+                           beam=continuous_beam,
+                           harvest_lag=harvest_lag)
     return predict
 
 

@@ -527,3 +527,54 @@ def test_tgnc_engine_matches_generate():
     results = eng.run()
     for i, rid in enumerate(ids):
         np.testing.assert_array_equal(results[rid][0], singles[i])
+
+
+def test_harvest_lag_pipeline_exactness(setup):
+    """harvest_lag > 1 (deep-pipelined views: the engine keeps
+    several chunk dispatches in flight and blocks only on the oldest)
+    must not change ANY result: staggered greedy requests through a
+    3-slot lag-3 pool are token-identical to standalone generate, and
+    every view is attributed to the request that owned the slot when
+    its chunk ran (stale views of refilled slots are skipped)."""
+    model, params, requests, cfg, singles = setup
+    eng = ContinuousBatcher.for_flattened(model, params, cfg,
+                                          n_slots=3, inner_steps=2,
+                                          harvest_lag=3)
+    assert eng.stats()["harvest_lag"] == 3
+    ids = [eng.submit(r) for r in requests[:4]]
+    results = {}
+    results.update(eng.step())
+    results.update(eng.step())
+    ids += [eng.submit(r) for r in requests[4:]]   # mid-flight
+    results.update(eng.run())
+    assert sorted(results) == sorted(ids)
+    assert not eng._pending          # run() flushed/dropped all views
+    for rid, want in zip(ids, singles):
+        np.testing.assert_array_equal(results[rid][0], want)
+
+
+def test_harvest_lag_beam_exactness(setup):
+    """Deep-pipelined EXACT beam: lag-2 results identical to
+    standalone generate_beam (tokens + scores)."""
+    from news_image_caption_tpu.generation.continuous import \
+        ContinuousBeamBatcher
+
+    model, params, requests, _, _ = setup
+    cfg = GenerationConfig(max_len=MAX_LEN, beam_size=3,
+                           early_exit=True)
+    singles = [model.generate_beam(params, r, cfg) for r in requests]
+    eng = ContinuousBeamBatcher(model, params, cfg, n_slots=2,
+                                inner_steps=2, harvest_lag=2)
+    ids = [eng.submit(r) for r in requests[:3]]
+    results = {}
+    results.update(eng.step())
+    ids += [eng.submit(r) for r in requests[3:]]
+    results.update(eng.run())
+    assert sorted(results) == sorted(ids)
+    for i, rid in enumerate(ids):
+        want_t, want_s = singles[i]
+        np.testing.assert_array_equal(results[rid][0],
+                                      np.asarray(want_t[0]))
+        np.testing.assert_allclose(results[rid][1],
+                                   np.asarray(want_s[0]),
+                                   rtol=1e-5, atol=1e-6)
