@@ -39,6 +39,11 @@ class RobertaLayer(nn.Module):
     intermediate: int
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    # Sequence-parallel attention: when a mesh with a `context` axis
+    # is supplied, attention runs as ring attention (K/V blocks
+    # rotating over ICI, parallel/ring.py) instead of materializing
+    # the full [B,H,S,S] score tile per device.
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, pad_mask):
@@ -51,12 +56,20 @@ class RobertaLayer(nn.Module):
         q = q.reshape(B, S, self.heads, hd)
         k = k.reshape(B, S, self.heads, hd)
         v = v.reshape(B, S, self.heads, hd)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd)
-        scores = jnp.where(pad_mask[:, None, None, :], scores, -1e9)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        ctx = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(B, S, H)
+        if self.ring_mesh is not None:
+            from news_image_caption_tpu.parallel.ring import \
+                ring_attention
+            ctx = ring_attention(q, k, v, pad_mask,
+                                 self.ring_mesh).reshape(B, S, H)
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(hd)
+            scores = jnp.where(pad_mask[:, None, None, :], scores,
+                               -1e9)
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            ctx = jnp.einsum("bhts,bshd->bthd", probs,
+                             v).reshape(B, S, H)
         attn_out = nn.Dense(self.hidden, name="attn_out",
                             dtype=self.dtype)(ctx)
         x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
@@ -81,6 +94,7 @@ class RobertaEncoder(nn.Module):
     padding_idx: int = 1
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    ring_mesh: Any = None   # see RobertaLayer.ring_mesh
 
     @nn.compact
     def __call__(self, ids: jax.Array
@@ -102,8 +116,9 @@ class RobertaEncoder(nn.Module):
         hiddens = [x]
         for i in range(self.num_layers):
             x = RobertaLayer(self.hidden, self.heads, self.intermediate,
-                             self.eps, self.dtype, name=f"layer_{i}")(
-                x, pad_mask)
+                             self.eps, self.dtype,
+                             ring_mesh=self.ring_mesh,
+                             name=f"layer_{i}")(x, pad_mask)
             hiddens.append(x)
         return x, tuple(hiddens)
 

@@ -3,8 +3,10 @@ from news_image_caption_tpu.parallel.distributed import (
 from news_image_caption_tpu.parallel.mesh import make_mesh, MeshConfig
 from news_image_caption_tpu.parallel.partition import (
     param_shardings, batch_shardings, shard_params)
+from news_image_caption_tpu.parallel.ring import ring_attention
 
 __all__ = [
+    "ring_attention",
     "make_mesh",
     "MeshConfig",
     "param_shardings",

@@ -17,8 +17,11 @@ and inserts the attention all-gathers:
 The self-attention inside the encoder still needs full-sequence K/V;
 with a sharding constraint on the hiddens, XLA chooses between
 all-gathering K/V (Ulysses-style communication) or resharding — for
-S <= 512 that tradeoff is moot, which is why this stays a hook rather
-than a ring-attention implementation.
+S <= 512 that tradeoff is moot. When it is NOT moot (long articles),
+use the real sequence-parallel path instead: `parallel/ring.py`
+implements exact ring attention (K/V blocks rotating over ICI with
+an online-softmax combine), wired into the encoder via
+`RobertaEncoder(ring_mesh=mesh)`.
 """
 
 from __future__ import annotations
