@@ -276,25 +276,40 @@ class AdaptiveSoftmax(nn.Module):
         """
         c0 = self.cutoff[0]
         ranges = band_ranges(self.cutoff)
+
+        def band_nll(logits, tgt):
+            # NLL via logsumexp - gather instead of log_softmax +
+            # gather: mathematically identical (same max-shift), but
+            # the [N, band_v] tensor is consumed ONLY by reductions
+            # and a one-column gather — no band-wide elementwise
+            # output ever materializes, so XLA fuses the softmax
+            # passes into the logits matmul's consumers instead of
+            # round-tripping ~856 MB of fp32 log-probs per step
+            # through HBM (B=64 flagship; the r03 profile's
+            # "adaptive head ~60% MXU" remainder).
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            picked = jnp.take_along_axis(
+                logits, tgt[:, None], axis=1)[:, 0]
+            return lse - picked
+
         # Head: remap tail targets to class slots.
         head_target = target
         for i, (lo, hi) in enumerate(ranges[1:]):
             in_band = (target >= lo) & (target < hi)
             head_target = jnp.where(in_band, c0 + i, head_target)
-        hlog = jax.nn.log_softmax(
-            self.head_logits(x, embed_tables).astype(jnp.float32), axis=-1)
-        head_nll = -jnp.take_along_axis(
-            hlog, head_target[:, None], axis=1)[:, 0]
+        head_nll = band_nll(
+            self.head_logits(x, embed_tables).astype(jnp.float32),
+            head_target)
         head_valid = head_target != padding_idx
         loss = jnp.sum(jnp.where(head_valid, head_nll, 0.0))
         # Tails: dense logits, masked CE per band.
         for i, (lo, hi) in enumerate(ranges[1:], start=1):
             in_band = (target >= lo) & (target < hi)
             tgt_in = jnp.clip(target - lo, 0, hi - lo - 1)
-            tlog = jax.nn.log_softmax(
+            nll = band_nll(
                 self.tail_logits(x, i, embed_tables,
-                                 deterministic).astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(tlog, tgt_in[:, None], axis=1)[:, 0]
+                                 deterministic).astype(jnp.float32),
+                tgt_in)
             valid = in_band & (tgt_in != padding_idx)  # faithful quirk
             loss = loss + jnp.sum(jnp.where(valid, nll, 0.0))
         ntokens = jnp.sum((target != padding_idx).astype(jnp.int32))
