@@ -196,7 +196,10 @@ def export_npz():
             for k, v in node.items():
                 rec(v, path + (k,))
         else:
-            flat["/".join(path)] = np.asarray(node)
+            a = np.asarray(node)
+            if a.dtype.kind == "V":   # np.savez can't store bfloat16
+                a = a.astype(np.float32)
+            flat["/".join(path)] = a
     rec(jax.tree.map(lambda x: x, state.params), ())
     out = RUN_DIR / "flagship_trained.npz"
     np.savez(str(out), **flat)

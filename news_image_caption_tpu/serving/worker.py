@@ -225,9 +225,17 @@ def _fit_ids(ids, S: int, pad_id: int = 1):
 def unflatten_params(flat: Dict[str, Any]):
     """'/'-joined flat keys -> nested param pytree (the .npz layout
     `flagship_model_builder(params_path=...)` loads; produce one with
-    np.savez(path, **{'/'.join(path): leaf})."""
+    np.savez(path, **{'/'.join(path): leaf}).
+
+    np.savez has no bfloat16: ml_dtypes arrays round-trip as raw void
+    bytes (V2), which this reverses — an exported bf16_o2 checkpoint
+    loads without the producer having to upcast."""
+    import ml_dtypes
+    import numpy as _np
     params: Dict[str, Any] = {}
     for k, v in flat.items():
+        if isinstance(v, _np.ndarray) and v.dtype == _np.dtype("V2"):
+            v = v.view(ml_dtypes.bfloat16)
         node = params
         parts = k.split("/")
         for p in parts[:-1]:

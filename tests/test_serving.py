@@ -410,6 +410,30 @@ def test_unflatten_params_roundtrip():
     np.testing.assert_array_equal(rebuilt["d"], tree["d"])
 
 
+def test_unflatten_params_restores_bf16_from_npz_void():
+    """np.savez stores ml_dtypes.bfloat16 as raw void (V2); loading an
+    exported bf16_o2 checkpoint must view it back (caught live by the
+    r4 spec-decode bench on the e2e run's flagship_trained.npz)."""
+    import io
+
+    import ml_dtypes
+
+    from news_image_caption_tpu.serving.worker import unflatten_params
+
+    w = (np.arange(6, dtype=np.float32).reshape(2, 3)
+         * 0.25).astype(ml_dtypes.bfloat16)
+    buf = io.BytesIO()
+    np.savez(buf, **{"layer/kernel": w, "layer/bias":
+                     np.zeros(3, np.float32)})
+    buf.seek(0)
+    rebuilt = unflatten_params(dict(np.load(buf)))
+    assert rebuilt["layer"]["kernel"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(
+        rebuilt["layer"]["kernel"].astype(np.float32),
+        w.astype(np.float32))
+    assert rebuilt["layer"]["bias"].dtype == np.float32
+
+
 def make_varied_job(seed: int, B=1):
     rng = np.random.default_rng(seed)
     return {
