@@ -42,6 +42,15 @@ class Gen3Pipeline:
         if isinstance(resnet, dict):
             resnet = ResNetTrunk(**resnet)
         if isinstance(roberta, dict):
+            roberta = dict(roberta)
+            # `ring: {data: D, context: C}` in YAML turns on ring
+            # attention (parallel/ring.py) over a context mesh axis —
+            # sequence-parallel encoding for long-article variants.
+            ring = roberta.pop("ring", None)
+            if ring:
+                from news_image_caption_tpu.parallel.mesh import (
+                    MeshConfig, make_mesh)
+                roberta["ring_mesh"] = make_mesh(MeshConfig(**ring))
             roberta = RobertaEncoder(**roberta)
         self.captioner = captioner or TransformerFlattened(
             **decoder_kwargs)

@@ -115,6 +115,44 @@ def test_roberta_encoder_ring_matches_dense():
     assert len(got_all) == len(want_all)
 
 
+def test_pipeline_yaml_ring_config_matches_dense():
+    """`roberta: {ring: {data: 2, context: 4}}` in a model config
+    builds the encoder with ring attention; encoded article features
+    equal the dense pipeline's from the same params."""
+    from news_image_caption_tpu.models.pipeline import Gen3Pipeline
+
+    rob = dict(vocab_size=40, hidden=16, num_layers=1, heads=4,
+               intermediate=32, max_positions=24)
+    dec = dict(vocab_size=40, cutoff=(12, 24, 40), embed_dim=16,
+               ffn_dim=32, num_heads=4, num_layers=1,
+               kernel_sizes=(3,), image_dim=64, article_dim=16,
+               max_positions=64)
+    from news_image_caption_tpu.models.resnet import ResNetTrunk
+    resnet = ResNetTrunk(depth=18, num_stages=3)
+
+    dense = Gen3Pipeline(resnet=resnet, roberta=dict(rob), **dec)
+    ring = Gen3Pipeline(
+        resnet=resnet,
+        roberta={**rob, "ring": {"data": 2, "context": 4}}, **dec)
+    assert ring.roberta.ring_mesh is not None
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32),
+        "article_ids": jnp.asarray(
+            np.where(np.arange(8)[None] < [[8], [5]],
+                     rng.randint(4, 40, (2, 8)), 1).astype(np.int32)),
+        "caption_ids": jnp.asarray(
+            rng.randint(4, 40, (2, 7)).astype(np.int32)),
+    }
+    variables = dense.init(jax.random.PRNGKey(0), batch)
+    ctx_d = dense.encode(variables, batch)
+    ctx_r = ring.encode(variables, batch)
+    np.testing.assert_allclose(np.asarray(ctx_r["article"]),
+                               np.asarray(ctx_d["article"]),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_ring_with_sharded_inputs():
     """Pre-sharded activations (the production placement) flow
     through without resharding errors and still match dense."""
