@@ -312,6 +312,15 @@ class Gen2Transformer(nn.Module):
         x = self.decode(memory, tgt, tgt_mask, src_masks, deterministic)
         return jax.nn.log_softmax(self.proj(x), axis=-1)
 
+    def logits(self, memory, tgt, tgt_mask=None, src_masks=None,
+               deterministic: bool = True) -> jax.Array:
+        """Generator output BEFORE log-softmax [B, T, V] — the train
+        loss consumes these with reductions only (see
+        label_smoothing_loss_from_logits), so the [B, T, V] log-prob
+        tensor never materializes."""
+        x = self.decode(memory, tgt, tgt_mask, src_masks, deterministic)
+        return self.proj(x)
+
     # -- incremental ----------------------------------------------------
     def precompute_kv(self, memory: Dict[str, jax.Array]):
         return [{"image": layer.img_attn.project_kv(
@@ -394,6 +403,44 @@ def label_smoothing_loss(log_probs: jax.Array, targets: jax.Array,
     return loss, jnp.sum(mask.astype(jnp.int32))
 
 
+def label_smoothing_loss_from_logits(logits: jax.Array,
+                                     targets: jax.Array,
+                                     pad_id: int = 0,
+                                     smoothing: float = 0.0
+                                     ) -> Tuple[jax.Array, jax.Array]:
+    """`label_smoothing_loss` computed from LOGITS with reductions only.
+
+    Same math (log_softmax(x) = x - logsumexp(x), identical max-shift)
+    but the [N, V] log-prob tensor is consumed by reductions and
+    per-row gathers instead of materializing elementwise, so XLA fuses
+    the softmax passes into the generator matmul's consumers — the
+    same dataflow rework measured 1.67x on the flagship's adaptive
+    loss (ops/adaptive.py::loss_sum, BASELINE.md r4). Equal to the
+    log-prob form to fp tolerance (same max-shifted math; the
+    subtractions associate differently, and with smoothing>0 the
+    smoothing sum reassociates as sum(x) - V*lse). Under bf16 compute
+    this form additionally accumulates the loss in fp32 (the flagship
+    loss_sum convention) where the log-prob form summed in bf16.
+    """
+    V = logits.shape[-1]
+    lg = logits.reshape(-1, V).astype(jnp.float32)
+    tgt = targets.reshape(-1)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)
+    picked = jnp.take_along_axis(lg, tgt[:, None], axis=1)[:, 0]
+    nll = lse - picked
+    if smoothing > 0.0:
+        confidence = 1.0 - smoothing
+        # lp.sum() - lp[tgt] - lp[pad] with lp = lg - lse[:, None]:
+        lp_sum = lg.sum(axis=-1) - V * lse
+        smooth_sum = lp_sum - (picked - lse) - (lg[:, pad_id] - lse)
+        loss_tok = confidence * nll - smooth_sum * (smoothing / (V - 2))
+    else:
+        loss_tok = nll
+    mask = tgt != pad_id
+    loss = jnp.sum(jnp.where(mask, loss_tok, 0.0))
+    return loss, jnp.sum(mask.astype(jnp.int32))
+
+
 @MODELS.register("gen2_transformer")
 def gen2_transformer(smoothing: float = 0.0, **kw) -> "Gen2Captioner":
     """Registry factory: config dict -> trainable Gen-2 captioner."""
@@ -411,7 +458,7 @@ class Gen2Captioner:
     def init(self, rng, batch):
         memory = {"image": batch["image"], "article": batch["article"]}
         return self.module.init(rng, memory, batch["caption_ids"][:, :-1],
-                                method=Gen2Transformer.log_probs)
+                                method=Gen2Transformer.logits)
 
     def _memory(self, batch):
         return {"image": batch["image"], "article": batch["article"]}
@@ -428,13 +475,13 @@ class Gen2Captioner:
         tgt_y = batch["caption_ids"][:, 1:]
         deterministic = dropout_rng is None
         rngs = {} if deterministic else {"dropout": dropout_rng}
-        lp = self.module.apply(
+        lg = self.module.apply(
             params, self._memory(batch), tgt_in,
             src_masks=self._src_masks(batch),
             deterministic=deterministic, rngs=rngs,
-            method=Gen2Transformer.log_probs)
-        loss, ntokens = label_smoothing_loss(
-            lp, tgt_y, pad_id=self.module.pad_id,
+            method=Gen2Transformer.logits)
+        loss, ntokens = label_smoothing_loss_from_logits(
+            lg, tgt_y, pad_id=self.module.pad_id,
             smoothing=self.smoothing)
         sample = jnp.maximum(ntokens, 1)
         return loss / sample, {"loss_sum": loss, "sample_size": ntokens}

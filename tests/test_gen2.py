@@ -6,10 +6,9 @@ import numpy as np
 import pytest
 
 from news_image_caption_tpu.generation.generator import GenerationConfig
-from news_image_caption_tpu.models.gen2 import (Gen2Captioner,
-                                                Gen2LayerNorm,
-                                                Gen2Transformer,
-                                                label_smoothing_loss)
+from news_image_caption_tpu.models.gen2 import (
+    Gen2Captioner, Gen2LayerNorm, Gen2Transformer, label_smoothing_loss,
+    label_smoothing_loss_from_logits)
 
 V, D = 50, 16
 
@@ -82,6 +81,39 @@ def test_label_smoothing_matches_reference_true_dist():
         manual += -(true * lp_np[i]).sum()
     np.testing.assert_allclose(float(loss), manual, rtol=1e-6)
     assert int(n) == 3
+
+
+def test_label_smoothing_from_logits_matches_log_prob_form():
+    """The reduction-only logits form (what loss_fn now feeds XLA)
+    equals the log-prob form to fp tolerance (same max-shifted math;
+    the subtractions associate differently: (x-max)-lsm vs
+    (max+lsm)-x, and the smoothing sum reassociates)."""
+    logits = jax.random.normal(jax.random.PRNGKey(2), (6, 11)) * 3.0
+    lp = jax.nn.log_softmax(logits, -1)
+    tgt = jnp.array([1, 5, 0, 3, 0, 10])   # two pad rows (id 0)
+    l0_old, n0 = label_smoothing_loss(lp, tgt, pad_id=0, smoothing=0.0)
+    l0_new, n0b = label_smoothing_loss_from_logits(
+        logits, tgt, pad_id=0, smoothing=0.0)
+    np.testing.assert_allclose(float(l0_old), float(l0_new), rtol=1e-6)
+    assert int(n0) == int(n0b) == 4
+    ls_old, _ = label_smoothing_loss(lp, tgt, pad_id=0, smoothing=0.2)
+    ls_new, _ = label_smoothing_loss_from_logits(
+        logits, tgt, pad_id=0, smoothing=0.2)
+    np.testing.assert_allclose(float(ls_old), float(ls_new), rtol=1e-6)
+
+
+def test_label_smoothing_from_logits_bf16_accumulates_fp32():
+    """Under bf16 compute the logits form reduces in fp32 (the
+    flagship loss_sum convention) instead of summing bf16 log-probs."""
+    logits = (jax.random.normal(jax.random.PRNGKey(3), (32, 11)) * 3.0
+              ).astype(jnp.bfloat16)
+    tgt = jnp.array([i % 10 + 1 for i in range(32)])
+    loss, n = label_smoothing_loss_from_logits(logits, tgt, pad_id=0)
+    assert loss.dtype == jnp.float32
+    ref, _ = label_smoothing_loss_from_logits(
+        logits.astype(jnp.float32), tgt, pad_id=0)
+    # bf16 logits quantize the inputs; the reduction itself is fp32.
+    np.testing.assert_allclose(float(loss), float(ref), rtol=2e-2)
 
 
 @pytest.mark.slow
