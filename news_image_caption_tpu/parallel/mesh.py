@@ -20,13 +20,15 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 CONTEXT_AXIS = "context"
+PIPE_AXIS = "pipe"
 
 
 @dataclass(frozen=True)
 class MeshConfig:
     data: int = -1      # -1: all remaining devices
     model: int = 1
-    context: int = 1    # sequence-parallel axis (extension point)
+    context: int = 1    # sequence-parallel axis (parallel/ring.py)
+    pipe: int = 1       # pipeline-parallel axis (parallel/pipe.py)
 
 
 def make_mesh(config: MeshConfig = MeshConfig(),
@@ -34,13 +36,24 @@ def make_mesh(config: MeshConfig = MeshConfig(),
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model, context = config.model, config.context
+    pipe = config.pipe
     data = (config.data if config.data != -1
-            else n // (model * context))
-    if data * model * context != n:
+            else n // (model * context * pipe))
+    if data * model * context * pipe != n:
         raise ValueError(
-            f"mesh {data}x{model}x{context} does not cover {n} devices")
-    if context == 1:
-        arr = np.asarray(devices).reshape(data, model)
-        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-    arr = np.asarray(devices).reshape(data, model, context)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS))
+            f"mesh {data}x{model}x{context}x{pipe} does not cover "
+            f"{n} devices")
+    # Trailing singleton axes are dropped so existing 2-axis (dp x tp)
+    # partition specs keep working; `pipe` is placed innermost — its
+    # ppermute activation handoffs are the latency-critical hops and
+    # should ride neighboring-chip ICI links.
+    shape = [data, model]
+    names = [DATA_AXIS, MODEL_AXIS]
+    if context > 1:
+        shape.append(context)
+        names.append(CONTEXT_AXIS)
+    if pipe > 1:
+        shape.append(pipe)
+        names.append(PIPE_AXIS)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(names))
