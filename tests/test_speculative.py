@@ -388,6 +388,38 @@ def test_ngram_drafts_match_at_end_pads():
     np.testing.assert_array_equal(np.asarray(drafts[0]), [1, 1])
 
 
+def test_ngram_drafts_span_boundary_resync():
+    """The mechanism behind the measured span-structure curve
+    (benchmarks/spec_decode_spans.py): a caption that jumps between
+    two disjoint article spans costs ~2 tokens per boundary — the
+    cross-boundary 2-gram is not in the article (one missed draft,
+    then a pad step), and drafting re-syncs once two in-span tokens
+    are committed."""
+    #                      span A: 10..13        span B: 20..23
+    source = jnp.asarray([[10, 11, 12, 13, 99, 98, 20, 21, 22, 23]],
+                         jnp.int32)
+    # committed caption crosses A -> B at position 3.
+    tokens = jnp.asarray([[0, 12, 13, 20, 21, 0, 0]], jnp.int32)
+
+    # At the end of span A, the (12, 13) 2-gram matches — but drafts
+    # continue the ARTICLE (99, 98), not the caption's jump to 20.
+    d = ngram_drafts(source, tokens, jnp.asarray([2], jnp.int32),
+                     k_draft=2, n=2, pad_id=1)
+    np.testing.assert_array_equal(np.asarray(d[0]), [99, 98])
+
+    # One token into span B the cross-boundary 2-gram (13, 20) is not
+    # in the article -> all-pad drafts (the chunk still commits the
+    # corrected token; bad drafts cost speed only).
+    d = ngram_drafts(source, tokens, jnp.asarray([3], jnp.int32),
+                     k_draft=2, n=2, pad_id=1)
+    np.testing.assert_array_equal(np.asarray(d[0]), [1, 1])
+
+    # Two tokens in, (20, 21) matches and drafting resumes: 22, 23.
+    d = ngram_drafts(source, tokens, jnp.asarray([4], jnp.int32),
+                     k_draft=2, n=2, pad_id=1)
+    np.testing.assert_array_equal(np.asarray(d[0]), [22, 23])
+
+
 def test_ngram_drafts_short_prefix():
     """At pos=0 only the seed is available; matching falls back to the
     1-gram suffix."""
