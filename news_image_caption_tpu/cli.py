@@ -537,11 +537,16 @@ def evaluate_command(args) -> int:
     # (generation/speculative.py). Applies when the batch carries
     # article_ids and decoding is greedy.
     spec_k = int(gcfg_raw.get("speculative_k", 0) or 0)
+    # generation.ngram_n tunes the prompt-lookup key length: every
+    # verbatim-span boundary costs ~ngram_n re-sync tokens (measured:
+    # BASELINE.md span-structure curve), while shorter keys false-match
+    # more often on short articles. Default 2 = the production setting.
+    ngram_n = int(gcfg_raw.get("ngram_n", 2) or 2)
     spec_gen = None
     if (spec_k >= 2 and gcfg.sampling_topk == 1
             and hasattr(model, "generate_speculative")):
         spec_gen = jax.jit(lambda p, b: model.generate_speculative(
-            p, b, gcfg, spec_k=spec_k))
+            p, b, gcfg, spec_k=spec_k, ngram_n=ngram_n))
     dump_attn = getattr(args, "dump_attention", None)
     attn_fn = None
     if dump_attn:

@@ -376,6 +376,14 @@ def test_cli_evaluate_speculative_matches_greedy(tmp_path):
     spec = (ser / "generations_spec.jsonl").read_text()
     assert spec == plain
 
+    # generation.ngram_n tunes the prompt-lookup key length; exactness
+    # holds for ANY draft quality, so output stays byte-identical.
+    rc = main(["evaluate", cfg_path, "--split", "test", "-s", "_n3",
+               "-o", json.dumps(
+                   {"generation": {"speculative_k": 4, "ngram_n": 3}})])
+    assert rc == 0
+    assert (ser / "generations_n3.jsonl").read_text() == plain
+
 
 def test_cli_evaluate_dumps_attention_maps(tmp_path):
     """--dump-attention writes per-batch npz with per-layer,
