@@ -273,7 +273,10 @@ def flagship_model_builder(max_len: int = 32,
       [B, S] int32 alongside the features — tokens identical to
       plain greedy, wall-clock shrinks with draft acceptance. Jobs
       without article_ids fall back to the plain path (both paths
-      are pre-compiled in warmup).
+      are pre-compiled in warmup). Measured guidance (BASELINE.md
+      span-structure curve): spec_k=4 for prompt-lookup drafts at
+      news-like caption structure (1.35-1.45x); larger k only pays
+      when drafts approach oracle quality (draft-model territory).
     - continuous_slots: > 0 switches the worker to CONTINUOUS
       BATCHING (generation/continuous.py): a pool of that many decode
       slots refilled mid-flight, so one long caption never stalls the
