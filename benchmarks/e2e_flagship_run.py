@@ -43,6 +43,78 @@ PLATFORM = None       # --tiny: "cpu"
 NUM_EPOCHS, LOG_EVERY = 8, 16
 
 
+SPAN = False          # --span: memorizable span-structured dataset
+
+
+def set_span():
+    """Nonzero-quality e2e (VERDICT r4 item 5): train on a SMALL fixed
+    set of span-structured rows (captions copy verbatim article spans
+    at news-like structure, f=2/3 span=12 — the BASELINE.md
+    span-curve regime) so the flagship MEMORIZES them, then evaluate
+    on a held-IN subset. Features are random, so memorization is the
+    only route to captions (BASELINE.md r4 explains why uniform-random
+    captions produce structural zeros: argmax-EOS empty generations);
+    val/test being subsets of train is therefore the point, not a
+    leak — the target is nonzero BLEU/CIDEr/METEOR through the
+    production CLI train -> evaluate -> compute_metrics path at
+    flagship dims, the closest available stand-in for the blocked
+    real-checkpoint quality parity."""
+    global SPAN, RUN_DIR, SHARD_DIR, N_TRAIN, PER_SHARD, N_VAL
+    global NUM_EPOCHS, LOG_EVERY
+    SPAN = True
+    RUN_DIR = Path("/tmp/nic_e2e_span")
+    SHARD_DIR = RUN_DIR / "shards"
+    N_TRAIN, PER_SHARD, N_VAL = 512, 256, 256
+    # 512 rows / B=64 = 8 steps per epoch; ~832 steps total = the
+    # overfit recipe spec_decode_trained/spans measured (800 @ B=128).
+    NUM_EPOCHS, LOG_EVERY = 104, 16
+
+
+def build_span_shards():
+    import benchmarks.spec_decode_spans as sds
+    from news_image_caption_tpu.data.native_loader import write_shard
+    sds.T, sds.S, sds.VOCAB = T, S, V
+    SHARD_DIR.mkdir(parents=True, exist_ok=True)
+    done = SHARD_DIR / ".done"
+    if done.exists():
+        return
+    rng = np.random.default_rng(11)
+    articles = rng.integers(4, V, (N_TRAIN, S)).astype(np.int32)
+    caps, actual_f = sds.span_copy_captions(
+        articles, 2 / 3, 12, np.random.default_rng(12))
+    print(f"[driver] span dataset: copy fraction {actual_f:.3f}",
+          flush=True)
+    feat = np.random.default_rng(13)
+    image = feat.standard_normal((N_TRAIN, P, IMG)).astype(np.float16)
+    article = feat.standard_normal((N_TRAIN, S, ART)).astype(
+        np.float16)
+    rows = {
+        "caption_ids": caps.astype(np.int32),
+        "article_ids": articles,
+        "image": image,
+        "article": article,
+        "article_mask": np.zeros((N_TRAIN, S), np.uint8),
+        "image_mask": np.zeros((N_TRAIN, P), np.uint8),
+    }
+    splits = {"train": np.arange(N_TRAIN),
+              "val": np.arange(N_VAL),                    # memorized
+              "test": np.arange(N_TRAIN - N_VAL, N_TRAIN)}
+    for split, idx in splits.items():
+        for shard_i, lo in enumerate(range(0, len(idx), PER_SHARD)):
+            sel = idx[lo:lo + PER_SHARD]
+            rec = {k: v[sel] for k, v in rows.items()}
+            path = SHARD_DIR / f"{split}-{shard_i:03d}.nics"
+            write_shard(str(path), rec)
+            print("wrote", path, len(sel), flush=True)
+    done.touch()
+
+
+def _retarget(run_dir: Path):
+    global RUN_DIR, SHARD_DIR
+    RUN_DIR = run_dir
+    SHARD_DIR = RUN_DIR / "shards"
+
+
 def set_tiny():
     """CPU smoke of the whole driver (SIGTERM dance, meta, recover,
     evaluate, export) at toy dims."""
@@ -113,11 +185,17 @@ def write_config():
             "max_positions": 512,
             "use_flash_train": PLATFORM is None, **MODEL}},
         "iterator": {"batch_size": BATCH},
-        "generation": {"max_len": 32},
+        # span mode decodes the full caption (eos sits at T-1) so the
+        # memorized generations can match their references n-gram for
+        # n-gram; lr/t_total follow the measured overfit recipe.
+        "generation": {"max_len": T if SPAN else 32},
         "trainer": {
             "serialization_dir": str(RUN_DIR / "serialization"),
-            "optimizer": {"type": "bert_adam", "lr": 1e-4,
-                          "warmup": 0.05, "t_total": 4000},
+            "optimizer": {"type": "bert_adam",
+                          "lr": 5e-5 if SPAN else 1e-4,
+                          "warmup": 0.05,
+                          "t_total": (NUM_EPOCHS * N_TRAIN // BATCH
+                                      if SPAN else 4000)},
             "num_epochs": NUM_EPOCHS, "patience": None,
             "num_serialized_models_to_keep": 10,
             "mixed_precision": "bf16_o2",
@@ -217,14 +295,28 @@ def main():
                     "go straight to recover -> evaluate -> export")
     ap.add_argument("--tiny", action="store_true",
                     help="toy dims on CPU (driver smoke)")
+    ap.add_argument("--span", action="store_true",
+                    help="memorizable span-structured dataset -> "
+                         "nonzero BLEU/CIDEr/METEOR through the CLI "
+                         "path (see set_span)")
     args = ap.parse_args()
     if args.tiny:
         set_tiny()
         if args.sigterm_step == 400:
             args.sigterm_step = 20
+    if args.span:
+        set_span()
+        if args.tiny:   # smoke of the span driver at toy dims
+            global N_TRAIN, PER_SHARD, N_VAL, NUM_EPOCHS
+            RUN_DIR_ = Path("/tmp/nic_e2e_span_tiny")
+            _retarget(RUN_DIR_)
+            N_TRAIN, PER_SHARD, N_VAL = 64, 32, 32
+            NUM_EPOCHS = 40
+        elif args.sigterm_step == 400:
+            args.sigterm_step = 300
     RUN_DIR.mkdir(parents=True, exist_ok=True)
     if not args.skip_shards:
-        build_shards()
+        build_span_shards() if SPAN else build_shards()
     cfg_path = write_config()
     if not args.resume_only:
         rc = run_train(cfg_path,
@@ -242,12 +334,29 @@ def main():
     rc = run_train(cfg_path, recover=True)
     assert rc == 0, "resumed train failed"
     ecmd = [sys.executable, "-m", "news_image_caption_tpu.cli",
-            "evaluate", str(cfg_path), "--split", "test",
-            "--no-enrich"]
+            "evaluate", str(cfg_path), "--split", "test"]
+    if not SPAN:
+        # span mode keeps enrichment: compute_metrics consumes the
+        # enriched records downstream
+        ecmd += ["--no-enrich"]
     if PLATFORM:
         ecmd += ["--platform", PLATFORM]
     rc = subprocess.call(ecmd, cwd=str(REPO))
     print(f"[driver] evaluate exit={rc}", flush=True)
+    if SPAN:
+        gen_path = RUN_DIR / "serialization" / "generations.jsonl"
+        rc = subprocess.call(
+            [sys.executable, "-m",
+             "news_image_caption_tpu.evaluation.compute_metrics",
+             str(gen_path)], cwd=str(REPO))
+        print(f"[driver] compute_metrics exit={rc}", flush=True)
+        em = json.loads((RUN_DIR / "serialization"
+                         / "evaluate-metrics.json").read_text())
+        print("[driver] evaluate metrics:", json.dumps(em),
+              flush=True)
+        assert em["bleu-4"] > 0 and em["cider"] > 0, (
+            "span-mode e2e must emit nonzero quality metrics "
+            f"(got {em})")
     export_npz()
     metrics = [json.loads(ln) for ln in
                (RUN_DIR / "serialization" / "metrics.jsonl")

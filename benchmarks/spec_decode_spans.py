@@ -80,7 +80,16 @@ def span_copy_captions(articles: np.ndarray, f: float, span: int,
     distinct spans abut back-to-back (the 2-gram across a span
     boundary is not in the article, so the drafter re-syncs per
     span — the realistic entity-span structure). Returns
-    (captions, actual copy fraction over content positions)."""
+    (captions, actual copy fraction over content positions).
+
+    Placement note (ADVICE r4): spans are packed from the caption
+    start with gaps sized to hit `f` overall, so when rounding
+    exhausts n_copy early the tail is all-fresh — placement is
+    slightly front-loaded rather than uniform. Left as-is so reruns
+    stay comparable with the recorded r4 curve (BASELINE.md); the
+    printed `actual copy fraction` is the ground truth per group, and
+    acceptance depends on span length/coverage, not position, because
+    the drafter re-keys every chunk from the committed suffix."""
     Bn = articles.shape[0]
     caps = rng.integers(4, VOCAB, (Bn, T)).astype(np.int32)
     caps[:, 0] = 0

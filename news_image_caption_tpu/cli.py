@@ -224,7 +224,7 @@ def port_command(args) -> int:
                              "serialization"))
     ckpt_dir = os.path.join(serialization_dir, "checkpoints")
     store = CheckpointStore(ckpt_dir)
-    tx = build_optimizer(cfg)
+    tx = build_optimizer(cfg, model)
     # Match the state shape evaluate will build from this config
     # (bf16_o2 configs restore into an O2 template — fp32 master in
     # opt_state; a plain-state checkpoint would not load).
@@ -271,7 +271,7 @@ def train_command(args) -> int:
     model = build_model(cfg)
     train_ds = build_dataset(cfg, "train")
     val_ds = build_dataset(cfg, "val")
-    tx = build_optimizer(cfg)
+    tx = build_optimizer(cfg, model)
     accum = int(tcfg.get("accumulate_steps", 1))
     if accum > 1:
         from news_image_caption_tpu.training.optim import \
@@ -507,7 +507,7 @@ def evaluate_command(args) -> int:
             store = ShardedCheckpointStore(ckpt_dir)
         else:
             store = CheckpointStore(ckpt_dir)
-        tx = build_optimizer(cfg)
+        tx = build_optimizer(cfg, model)
         # The restore template must match the TRAINING state shape:
         # a bf16_o2 run checkpoints the fp32 master copy inside
         # opt_state (apex-O2-true), which a plain template rejects.
@@ -541,7 +541,13 @@ def evaluate_command(args) -> int:
     # verbatim-span boundary costs ~ngram_n re-sync tokens (measured:
     # BASELINE.md span-structure curve), while shorter keys false-match
     # more often on short articles. Default 2 = the production setting.
-    ngram_n = int(gcfg_raw.get("ngram_n", 2) or 2)
+    # Validated here: ngram_n <= 0 would reach ngram_drafts and die at
+    # jit trace with an opaque jnp.stack error (ADVICE r4).
+    raw_ngram = gcfg_raw.get("ngram_n", 2)
+    ngram_n = 2 if raw_ngram is None else int(raw_ngram)
+    if ngram_n < 1:
+        raise ValueError(
+            f"generation.ngram_n must be >= 1, got {ngram_n}")
     spec_gen = None
     if (spec_k >= 2 and gcfg.sampling_topk == 1
             and hasattr(model, "generate_speculative")):
@@ -567,6 +573,14 @@ def evaluate_command(args) -> int:
     with open(out_path, "w") as f:
         for batch in ds.batches(batch_size, shuffle=False):
             if spec_gen is not None and "article_ids" in batch:
+                if batch_idx == 0 and ngram_n > \
+                        batch["article_ids"].shape[1] - 1:
+                    print(f"warning: generation.ngram_n={ngram_n} "
+                          f"exceeds the article window "
+                          f"({batch['article_ids'].shape[1]} tokens); "
+                          "drafts will be all-pad and speculative "
+                          "decode pays pure overhead",
+                          file=sys.stderr)
                 tokens, aux, _ = spec_gen(params, batch)
             else:
                 tokens, aux = gen(params, batch)

@@ -92,7 +92,15 @@ def build_dataset(cfg: Dict, split: str = "train"):
     return DATASETS.build(dtype_, **dcfg)
 
 
-def build_optimizer(cfg: Dict):
+def build_optimizer(cfg: Dict, model=None):
+    """Build the configured optimizer. Pass `model` so models that
+    declare `frozen_collections` (Gen3Pipeline's frozen ResNet/RoBERTa
+    — the reference's `no_grad: ^resnet ^roberta`) get those
+    collections masked out of the optimizer (optim.mask_frozen): no
+    weight decay on frozen params, no moments allocated. Every call
+    site that later builds a TrainState template from this tx (train /
+    port / evaluate-restore) must pass the same model, or the
+    checkpointed opt_state schema will not match."""
     from news_image_caption_tpu.training import optim
 
     ocfg = copy.deepcopy(cfg.get("trainer", {}).get(
@@ -127,6 +135,9 @@ def build_optimizer(cfg: Dict):
         raise ValueError(
             f"unknown {otype} optimizer config keys: "
             f"{sorted(ocfg)}")
+    frozen = getattr(model, "frozen_collections", ())
+    if frozen:
+        tx = optim.mask_frozen(tx, frozen)
     return tx
 
 

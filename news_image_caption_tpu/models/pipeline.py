@@ -31,6 +31,15 @@ from news_image_caption_tpu.utils.registry import MODELS
 class Gen3Pipeline:
     """ResNet + RoBERTa encoders feeding the flagship captioner."""
 
+    # requires_grad=False analog of the reference's `no_grad: ^resnet
+    # ^roberta` (config.yaml:149-151): these variable collections get
+    # zero gradients (stop_gradient in encode) AND are excluded from
+    # the optimizer via optax.masked (training/optim.py::mask_frozen)
+    # — no Adam moments allocated for the 415M frozen encoder params
+    # and, critically, no decoupled weight decay silently shrinking
+    # frozen weights every step.
+    frozen_collections = ("resnet", "roberta")
+
     def __init__(self,
                  captioner: Optional[TransformerFlattened] = None,
                  resnet: Optional[ResNetTrunk] = None,
@@ -41,6 +50,7 @@ class Gen3Pipeline:
         # (resnet: {depth: 152, num_stages: 4}).
         if isinstance(resnet, dict):
             resnet = ResNetTrunk(**resnet)
+        self.roberta_pipe = None
         if isinstance(roberta, dict):
             roberta = dict(roberta)
             # `ring: {data: D, context: C}` in YAML turns on ring
@@ -51,6 +61,22 @@ class Gen3Pipeline:
                 from news_image_caption_tpu.parallel.mesh import (
                     MeshConfig, make_mesh)
                 roberta["ring_mesh"] = make_mesh(MeshConfig(**ring))
+            # `pipe: {data: D, pipe: P, n_micro: M}` runs the encoder
+            # through the GPipe schedule (parallel/pipe.py): layers
+            # sharded over the `pipe` axis, microbatches over `data`.
+            pipe = roberta.pop("pipe", None)
+            if pipe:
+                from news_image_caption_tpu.parallel.mesh import (
+                    MeshConfig, make_mesh)
+                pipe = dict(pipe)
+                n_micro = pipe.pop("n_micro", None)
+                if weigh_bert:
+                    raise ValueError(
+                        "roberta.pipe is incompatible with weigh_bert: "
+                        "the pipelined encoder produces only the last "
+                        "hidden (RobertaEncoder.encode_pipelined)")
+                self.roberta_pipe = (make_mesh(MeshConfig(**pipe)),
+                                     n_micro)
             roberta = RobertaEncoder(**roberta)
         self.captioner = captioner or TransformerFlattened(
             **decoder_kwargs)
@@ -91,10 +117,28 @@ class Gen3Pipeline:
             # ImageNet-normalized floats, and the offline path
             # (data/materialize.py) normalizes identically.
             image = preprocess_image(image)
+        # Computation follows storage: ResNetTrunk's convs have no
+        # explicit dtype (result follows operand promotion), so with
+        # bf16-stored encoder params (O2 training / bf16 serving) a
+        # fp32 normalized image would promote every conv back to fp32
+        # — the trunk is the FLOPs-heaviest block of the online path.
+        # Frozen-BN ResNet inference in bf16 is the standard recipe
+        # (BASELINE.md resnet_bench row); fp32 params make this a
+        # no-op.
+        res_dtype = jax.tree.leaves(variables["resnet"])[0].dtype
+        if jnp.issubdtype(image.dtype, jnp.floating):
+            image = image.astype(res_dtype)
         patches = self.resnet.apply(variables["resnet"], image,
                                     method=ResNetTrunk.patches)
-        last, hiddens = self.roberta.apply(variables["roberta"],
-                                           batch["article_ids"])
+        if self.roberta_pipe is not None:
+            mesh, n_micro = self.roberta_pipe
+            last = self.roberta.encode_pipelined(
+                variables["roberta"], batch["article_ids"], mesh,
+                n_micro)
+            hiddens = None   # weigh_bert rejected at __init__
+        else:
+            last, hiddens = self.roberta.apply(variables["roberta"],
+                                               batch["article_ids"])
         if self.weigh_bert:
             if "weighted_sum" not in variables:
                 # Config says 25-layer weighted sum but the variable
@@ -104,15 +148,22 @@ class Gen3Pipeline:
                 raise KeyError(
                     "weigh_bert=True but variables have no "
                     "'weighted_sum' collection")
+            # stop_gradient on the HIDDENS, not the weighted sum:
+            # bert_weight is a trainable model param in the reference
+            # (transformer_flattened.py:208-218; only ^resnet ^roberta
+            # are no_grad, config.yaml:149-151), so gradients must
+            # reach it through the softmax-weighted combination while
+            # the frozen encoder activations contribute none.
+            hiddens = jax.lax.stop_gradient(hiddens)
             article = self.weighted_sum.apply(variables["weighted_sum"],
                                               hiddens)
         else:
-            article = last
+            article = jax.lax.stop_gradient(last)
         B, P, _ = patches.shape
         return {
             "image": jax.lax.stop_gradient(patches),
             "image_mask": jnp.zeros((B, P), bool),
-            "article": jax.lax.stop_gradient(article),
+            "article": article,
             "article_mask": batch["article_ids"] == self.article_pad,
         }
 

@@ -122,6 +122,66 @@ class RobertaEncoder(nn.Module):
             hiddens.append(x)
         return x, tuple(hiddens)
 
+    def encode_pipelined(self, variables, ids: jax.Array, mesh,
+                         n_micro: int = None) -> jax.Array:
+        """Last-layer features via the GPipe schedule (parallel/pipe.py).
+
+        The layer stack's params are stacked along a layer dim and
+        sharded over the mesh's `pipe` axis, so each device holds only
+        L/P of the 24 layers — the encoder (355M params at roberta.large
+        dims) scales past one chip's HBM. Values are identical to
+        `apply(variables, ids)[0]` (pinned by tests/test_pipe.py): the
+        embedding stage reuses the exact Flax submodules on the same
+        param subtrees, and pipeline_apply is numerically the
+        sequential layer loop. Only the last hidden is produced — the
+        25-hidden tuple (weigh_bert) would have to travel the whole
+        pipeline; use the dense path for weighted-sum configs.
+        Beyond-reference (the reference has no PP — SURVEY.md §2.10).
+        """
+        from news_image_caption_tpu.parallel.mesh import DATA_AXIS
+        from news_image_caption_tpu.parallel.pipe import (pipeline_apply,
+                                                          stack_layers)
+        if n_micro is None:
+            # Max microbatches that still shard over the data axis
+            # (microbatch size = data-axis size): smallest bubble
+            # fraction (P-1)/(M+P-1) the batch permits.
+            n_micro = max(1, ids.shape[0]
+                          // dict(mesh.shape).get(DATA_AXIS, 1))
+        p = variables["params"]
+        pad_mask = ids != self.padding_idx
+        # parent=None: standalone submodule applies on the param
+        # subtrees (this method runs on the unbound module; flax would
+        # otherwise try to register these as children of self).
+        word = nn.Embed(self.vocab_size, self.hidden,
+                        parent=None).apply(
+            {"params": p["word_embeddings"]}, ids)
+        pos_ids = position_ids_from_tokens(ids, self.padding_idx)
+        pos = nn.Embed(self.max_positions, self.hidden,
+                       parent=None).apply(
+            {"params": p["position_embeddings"]}, pos_ids)
+        x = word + pos + p["token_type_embedding"]
+        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         parent=None).apply(
+            {"params": p["embed_ln"]}, x)
+        stacked = stack_layers(
+            [p[f"layer_{i}"] for i in range(self.num_layers)])
+        layer = RobertaLayer(self.hidden, self.heads, self.intermediate,
+                             self.eps, self.dtype, parent=None)
+
+        def stage_fn(layer_params, carry):
+            # The pad mask rides the carry so every stage masks its
+            # attention; bubble lanes see all-False masks, which the
+            # -1e9 fill degrades to a uniform average (no NaNs) and the
+            # commit mask discards.
+            h = layer.apply({"params": layer_params},
+                            carry["x"], carry["mask"])
+            return {"x": h, "mask": carry["mask"]}
+
+        out = pipeline_apply(stage_fn, stacked,
+                             {"x": x, "mask": pad_mask},
+                             mesh=mesh, n_micro=n_micro)
+        return out["x"]
+
 
 class WeightedSumFeatures(nn.Module):
     """Softmax-weighted sum over all hidden layers (weigh_bert)."""

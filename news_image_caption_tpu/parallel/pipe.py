@@ -37,13 +37,13 @@ production integration.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from news_image_caption_tpu.parallel.mesh import PIPE_AXIS
+from news_image_caption_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS
 
 Carry = Any          # pytree of [B, ...] arrays
 StageFn = Callable[[Any, Carry], Carry]
@@ -121,14 +121,18 @@ def _pipe_local(stacked, carry_micro, *, stage_fn: StageFn,
 
 def pipeline_apply(stage_fn: StageFn, stacked_params: Any,
                    carry: Carry, *, mesh: Mesh, n_micro: int,
-                   axis_name: str = PIPE_AXIS) -> Carry:
+                   axis_name: str = PIPE_AXIS,
+                   batch_axis: Optional[str] = DATA_AXIS) -> Carry:
     """Apply L stacked layers to `carry` through a P-stage pipeline.
 
     stage_fn(layer_params, carry) -> carry applies ONE layer.
     stacked_params: pytree with leading layer dim L (L % P == 0);
     sharded over `axis_name` so each device holds L/P layers.
-    carry: pytree of [B, ...] arrays, B % n_micro == 0 (replicated
-    over the pipe axis; compose with an outer `data` axis for DP+PP).
+    carry: pytree of [B, ...] arrays, B % n_micro == 0. When the mesh
+    also has `batch_axis` (default `data`) with size d > 1, each
+    microbatch is additionally sharded over it (B/n_micro % d == 0) —
+    composed DP x PP, with the pipe ppermute hops staying inside each
+    data row. Other mesh axes see replicated data.
     Returns the carry after all L layers, numerically identical to the
     sequential loop. Differentiable (backward pipeline via AD).
     """
@@ -144,6 +148,12 @@ def pipeline_apply(stage_fn: StageFn, stacked_params: Any,
     if batch % n_micro:
         raise ValueError(f"batch {batch} not divisible by "
                          f"n_micro={n_micro}")
+    b = (batch_axis if batch_axis in mesh.axis_names
+         and mesh.shape[batch_axis] > 1 else None)
+    if b is not None and (batch // n_micro) % mesh.shape[b]:
+        raise ValueError(
+            f"microbatch {batch // n_micro} not divisible by "
+            f"{b}={mesh.shape[b]} (batch {batch}, n_micro {n_micro})")
     carry_micro = jax.tree.map(
         lambda x: x.reshape((n_micro, batch // n_micro) + x.shape[1:]),
         carry)
@@ -152,8 +162,8 @@ def pipeline_apply(stage_fn: StageFn, stacked_params: Any,
         partial(_pipe_local, stage_fn=stage_fn, axis_name=axis_name,
                 n_micro=n_micro),
         mesh=mesh,
-        in_specs=(P(axis_name), P()),
-        out_specs=P(),
+        in_specs=(P(axis_name), P(None, b)),
+        out_specs=P(None, b),
         check_vma=False)
     out_micro = f(stacked_params, carry_micro)
     return jax.tree.map(

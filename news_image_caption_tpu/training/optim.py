@@ -98,6 +98,33 @@ def bert_adam(lr_schedule, b1: float = 0.9, b2: float = 0.98,
     return optax.chain(*txs)
 
 
+def mask_frozen(tx: optax.GradientTransformation,
+                frozen_collections) -> optax.GradientTransformation:
+    """Exclude frozen top-level variable collections from `tx`.
+
+    The reference freezes encoders by dropping their params from the
+    optimizer entirely (`no_grad: ^resnet ^roberta` ->
+    requires_grad=False -> AllenNLP never hands them to BertAdam).
+    stop_gradient alone does NOT reproduce that: zero-grad params
+    still receive decoupled weight decay (`add_decayed_weights` in
+    bert_adam) — a silent per-step shrink of the frozen encoders —
+    and still allocate Adam moments (8 bytes/param of pure waste for
+    a 415M-param frozen ResNet+RoBERTa). optax.masked applies `tx`
+    only to the trainable collections; frozen leaves' (zero) updates
+    pass through untouched and hold no optimizer state.
+
+    `frozen_collections`: top-level keys of the model's variables
+    dict (e.g. Gen3Pipeline.frozen_collections).
+    """
+    fset = frozenset(frozen_collections)
+
+    def mask(params):
+        return {k: jax.tree.map(lambda _: k not in fset, v)
+                for k, v in params.items()}
+
+    return optax.masked(tx, mask)
+
+
 def clip_by_per_tensor_norm(max_norm: float
                             ) -> optax.GradientTransformation:
     """Clip each LEAF's gradient to `max_norm` by its own L2 norm

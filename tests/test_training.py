@@ -384,6 +384,16 @@ def test_cli_evaluate_speculative_matches_greedy(tmp_path):
     assert rc == 0
     assert (ser / "generations_n3.jsonl").read_text() == plain
 
+    # ngram_n < 1 is rejected up front (ADVICE r4: it used to reach
+    # ngram_drafts and fail at jit trace with an opaque stack error;
+    # 0 used to be silently coerced to 2).
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="ngram_n"):
+            main(["evaluate", cfg_path, "--split", "test", "-s", "_bad",
+                  "-o", json.dumps({"generation":
+                                    {"speculative_k": 4,
+                                     "ngram_n": bad}})])
+
 
 def test_cli_evaluate_dumps_attention_maps(tmp_path):
     """--dump-attention writes per-batch npz with per-layer,
