@@ -44,6 +44,7 @@ NUM_EPOCHS, LOG_EVERY = 8, 16
 
 
 SPAN = False          # --span: memorizable span-structured dataset
+SPAN_REPEAT = 1       # train-shard tiling factor (see set_span)
 
 
 def set_span():
@@ -59,19 +60,30 @@ def set_span():
     production CLI train -> evaluate -> compute_metrics path at
     flagship dims, the closest available stand-in for the blocked
     real-checkpoint quality parity."""
-    global SPAN, RUN_DIR, SHARD_DIR, N_TRAIN, PER_SHARD, N_VAL
-    global NUM_EPOCHS, LOG_EVERY
+    global SPAN, SPAN_REPEAT, RUN_DIR, SHARD_DIR
+    global N_TRAIN, PER_SHARD, N_VAL, NUM_EPOCHS, LOG_EVERY
     SPAN = True
     RUN_DIR = Path("/tmp/nic_e2e_span")
     SHARD_DIR = RUN_DIR / "shards"
-    N_TRAIN, PER_SHARD, N_VAL = 512, 256, 256
-    # 512 rows / B=64 = 8 steps per epoch; ~832 steps total = the
-    # overfit recipe spec_decode_trained/spans measured (800 @ B=128).
-    NUM_EPOCHS, LOG_EVERY = 104, 16
+    N_TRAIN, PER_SHARD, N_VAL = 512, 512, 256
+    # 832 steps total at B=64 ≈ the overfit recipe
+    # spec_decode_trained/spans measured (800 @ B=128; ~100 views per
+    # row either way). The 512 distinct rows are TILED 13x in the
+    # train shards so an epoch is 104 steps, not 8 — per-epoch
+    # validation/checkpoint overhead (two 80 MB tunnel transfers per
+    # val batch) otherwise dominates the run.
+    SPAN_REPEAT = 13
+    NUM_EPOCHS, LOG_EVERY = 8, 16
 
 
 def build_span_shards():
-    import benchmarks.spec_decode_spans as sds
+    # spec_decode_spans (via flash_train_bench) parses sys.argv at
+    # import; hide this driver's flags from it.
+    argv, sys.argv = sys.argv, sys.argv[:1]
+    try:
+        import benchmarks.spec_decode_spans as sds
+    finally:
+        sys.argv = argv
     from news_image_caption_tpu.data.native_loader import write_shard
     sds.T, sds.S, sds.VOCAB = T, S, V
     SHARD_DIR.mkdir(parents=True, exist_ok=True)
@@ -80,8 +92,11 @@ def build_span_shards():
         return
     rng = np.random.default_rng(11)
     articles = rng.integers(4, V, (N_TRAIN, S)).astype(np.int32)
+    # span 12 = the news-like BASELINE.md row; clamped for toy dims
+    # (span must leave room for a source start position)
+    span = min(12, S - 1, T - 2)
     caps, actual_f = sds.span_copy_captions(
-        articles, 2 / 3, 12, np.random.default_rng(12))
+        articles, 2 / 3, span, np.random.default_rng(12))
     print(f"[driver] span dataset: copy fraction {actual_f:.3f}",
           flush=True)
     feat = np.random.default_rng(13)
@@ -96,7 +111,9 @@ def build_span_shards():
         "article_mask": np.zeros((N_TRAIN, S), np.uint8),
         "image_mask": np.zeros((N_TRAIN, P), np.uint8),
     }
-    splits = {"train": np.arange(N_TRAIN),
+    train_idx = np.tile(np.arange(N_TRAIN), SPAN_REPEAT)
+    train_idx = np.random.default_rng(14).permutation(train_idx)
+    splits = {"train": train_idx,
               "val": np.arange(N_VAL),                    # memorized
               "test": np.arange(N_TRAIN - N_VAL, N_TRAIN)}
     for split, idx in splits.items():
@@ -194,7 +211,8 @@ def write_config():
             "optimizer": {"type": "bert_adam",
                           "lr": 5e-5 if SPAN else 1e-4,
                           "warmup": 0.05,
-                          "t_total": (NUM_EPOCHS * N_TRAIN // BATCH
+                          "t_total": (NUM_EPOCHS * N_TRAIN
+                                      * SPAN_REPEAT // BATCH
                                       if SPAN else 4000)},
             "num_epochs": NUM_EPOCHS, "patience": None,
             "num_serialized_models_to_keep": 10,
@@ -307,11 +325,11 @@ def main():
     if args.span:
         set_span()
         if args.tiny:   # smoke of the span driver at toy dims
-            global N_TRAIN, PER_SHARD, N_VAL, NUM_EPOCHS
+            global N_TRAIN, PER_SHARD, N_VAL, NUM_EPOCHS, SPAN_REPEAT
             RUN_DIR_ = Path("/tmp/nic_e2e_span_tiny")
             _retarget(RUN_DIR_)
-            N_TRAIN, PER_SHARD, N_VAL = 64, 32, 32
-            NUM_EPOCHS = 40
+            N_TRAIN, PER_SHARD, N_VAL = 64, 64, 32
+            NUM_EPOCHS, SPAN_REPEAT = 20, 2
         elif args.sigterm_step == 400:
             args.sigterm_step = 300
     RUN_DIR.mkdir(parents=True, exist_ok=True)
