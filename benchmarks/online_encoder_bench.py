@@ -116,15 +116,18 @@ def bench_train():
         rng = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
         state, m = step(state, batch, rng)
-        jax.block_until_ready(m["loss"])
+        np.asarray(m["loss"])
         compile_s = time.perf_counter() - t0
         for _ in range(2):
             state, m = step(state, batch, rng)
-        jax.block_until_ready(m["loss"])
+        # np.asarray fetch is the only true completion barrier on the
+        # axon backend (block_until_ready can return early — NOTES);
+        # the loss is a scalar, so the fetch costs one RTT.
+        np.asarray(m["loss"])
         t0 = time.perf_counter()
         for _ in range(STEPS):
             state, m = step(state, batch, rng)
-        jax.block_until_ready(m["loss"])   # one end barrier
+        np.asarray(m["loss"])   # one end barrier (host fetch)
         dt = (time.perf_counter() - t0) / STEPS
         print(json.dumps({
             "mode": "gen3_pipeline_train", "batch": B,
