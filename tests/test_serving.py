@@ -502,6 +502,58 @@ def test_continuous_worker_matches_plain(server_and_client):
     assert np.all(capped[0, 3:] == 1)   # pad after the cap
 
 
+def test_continuous_spec_worker_matches_plain(server_and_client):
+    """The COMPOSED production serving mode — continuous slot pool
+    with speculative drafting in every slot (continuous_slots > 0 AND
+    speculative_k >= 2, the `tellax serve --continuous-slots 16
+    --speculative-k 4` configuration; measured 1.81x on TPU,
+    BASELINE.md "composed production serving") — must stay
+    token-identical to the plain per-job worker at the ZMQ level:
+    jobs WITH article_ids draft from their own source row, jobs
+    without draft from the pad source (all-pad drafts, pure verify) —
+    exactness holds either way because commits come from the chunk
+    forward only (generation/speculative.py::greedy_verify)."""
+    import functools
+
+    from news_image_caption_tpu.serving.base import CaptionServer
+    from news_image_caption_tpu.serving.client import CaptioningClient
+    from news_image_caption_tpu.serving.worker import (
+        CaptioningWorker, default_model_builder)
+
+    _, plain_client = server_and_client
+    jobs = [make_varied_job(s) for s in range(5)]
+    rng = np.random.default_rng(99)
+    for j in jobs[:3]:   # 3 jobs carry article ids, 2 fall back
+        j["article_ids"] = rng.integers(
+            4, 64, (1, 6)).astype(np.int32)
+    refs = [plain_client.caption(
+        {k: v for k, v in j.items() if k != "article_ids"})["tokens"]
+        for j in jobs]
+
+    server = CaptionServer(
+        worker_factory=lambda **kw: CaptioningWorker(
+            model_builder=functools.partial(default_model_builder,
+                                            continuous_slots=2,
+                                            inner_steps=2,
+                                            speculative_k=3),
+            platform="cpu", **kw),
+        num_workers=1).start()
+    client = CaptioningClient(server.frontend_addr,
+                              server.sink_pub_addr, timeout_ms=240000)
+    try:
+        results = list(client.caption_stream(iter(jobs), window=5))
+        stats = client.stats()
+        assert stats["engine"] == "ContinuousBatcher"
+        assert stats["spec_k"] == 3
+        assert stats["in_flight"] == 0 and stats["n_chunks"] > 0
+    finally:
+        client.close()
+        server.stop()
+    assert len(results) == 5
+    for got, want in zip(results, refs):
+        np.testing.assert_array_equal(got["tokens"], want)
+
+
 def test_continuous_beam_worker_matches_generate_beam(server_and_client):
     """--continuous-beam: the worker serves EXACT beam search from the
     slot pool; payloads carry [1, beam, L+1] tokens + scores matching
